@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: derive the interleaved span corpus from the
+sf0.001 documents table and run the full hybrid extraction pipeline,
+returning the flattened extracted spans.
+
+``queries()`` / ``oracle_sql()`` — operator-level correctness gate; each
+Spark DataFrame implementation has a DuckDB-ANSI equivalent unless the
+operator is not SQL-expressible (the extraction pipeline itself), which
+gets a rows-only check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: hybrid table extraction over the interleaved corpus
+    derived from sf0.001, returning flattened extracted spans."""
+    from extractpdf4j_spark.config import ExtractConfig
+    from extractpdf4j_spark.corpusgen import ensure_fixture_corpus
+    from extractpdf4j_spark.pipeline import extract, with_spans
+
+    docs, media = ensure_fixture_corpus(spark, SF0001, limit=200)
+    combined = extract(docs, media, ExtractConfig(), num_partitions=8)
+    return (with_spans(combined)
+            .select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from extractpdf4j_spark.entry_queries import QUERIES
+    return QUERIES
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from extractpdf4j_spark.entry_queries import ORACLES
+    return ORACLES

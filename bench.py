@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (driver contract): runs the headline extraction job plus key
+operator queries at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+
+    {"metric": "docs_per_sec_extraction", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., ...}
+
+``--scaling`` mode: same extraction job at local[8] and local[32] on the
+same input, reporting throughput at both plus efficiency
+(= (T8/T32)... see below) — the sandbox proxy for the north rule's
+N→4N-executor scaling criterion. Results are appended to BENCH/BASELINE.md
+by the caller (see README).
+
+Corpus derivation is cached on disk so measured time is extraction, not
+fixture generation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def make_spark(cores: int, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+    sp = shuffle_partitions or max(cores * 2, 8)
+    return (SparkSession.builder
+            .master(f"local[{cores}]")
+            .appName(f"extractpdf4j-bench-{cores}")
+            .config("spark.sql.shuffle.partitions", str(sp))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+            .config("spark.driver.memory", "48g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def run_extraction_bench(spark, sf_dir: str, cores: int) -> tuple[float, int]:
+    """Timed end-to-end hybrid extraction. Returns (seconds, n_docs)."""
+    from extractpdf4j_spark.config import ExtractConfig
+    from extractpdf4j_spark.corpusgen import ensure_fixture_corpus
+    from extractpdf4j_spark.pipeline import extract
+
+    docs, media = ensure_fixture_corpus(spark, sf_dir)  # cached on disk
+    docs = docs.cache()
+    n_docs = docs.count()
+    media.cache().count()
+
+    t0 = time.perf_counter()
+    combined = extract(docs, media, ExtractConfig(), num_partitions=cores * 2)
+    n_out = combined.count()
+    dt = time.perf_counter() - t0
+    assert n_out == n_docs, (n_out, n_docs)
+    docs.unpersist()
+    media.unpersist()
+    return dt, n_docs
+
+
+def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
+    from extractpdf4j_spark.entry_queries import QUERIES
+    out = {}
+    skip = {"q_extract_metrics", "q_extract_spans"}  # covered by headline
+    for name, fn in QUERIES.items():
+        if name in skip:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def headline(sf_dir: str, cores: int) -> dict:
+    spark = make_spark(cores)
+    try:
+        # warm-up run primes JVM/Python workers and the corpus cache
+        run_extraction_bench(spark, sf_dir, cores)
+        times = []
+        n_docs = 0
+        for _ in range(2):
+            dt, n_docs = run_extraction_bench(spark, sf_dir, cores)
+            times.append(dt)
+        best = min(times)
+        queries = run_query_bench(spark, sf_dir)
+        return {
+            "metric": "extraction_wall_sec",
+            "value": round(best, 3),
+            "unit": "sec",
+            "docs_per_sec": round(n_docs / best, 2),
+            "n_docs": n_docs,
+            "cores": cores,
+            "queries": queries,
+            "sf": sf_dir,
+        }
+    finally:
+        spark.stop()
+
+
+def scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Run the same job at two parallelism levels in separate JVMs.
+
+    Efficiency for an N→4N *core* scale-up at fixed input =
+    speedup / (hi/lo) where speedup = T_lo / T_hi.
+    """
+    out = {}
+    for cores in (lo, hi):
+        r = subprocess.run(
+            [sys.executable, __file__, "--one", str(cores)],
+            capture_output=True, text=True, env={**os.environ},
+            cwd=REPO, timeout=3600)
+        if r.returncode != 0:
+            print(r.stdout, r.stderr, file=sys.stderr)
+            raise SystemExit(1)
+        out[cores] = json.loads(r.stdout.strip().splitlines()[-1])
+    t_lo, t_hi = out[lo]["value"], out[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "lo_cores": lo, "hi_cores": hi,
+        "lo_sec": t_lo, "hi_sec": t_hi,
+        "lo_docs_per_sec": out[lo]["docs_per_sec"],
+        "hi_docs_per_sec": out[hi]["docs_per_sec"],
+        "speedup": round(t_lo / t_hi, 3),
+        "efficiency": round(eff, 3),
+        "n_docs": out[hi]["n_docs"],
+        "sf": sf_dir,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--one", type=int, default=None,
+                    help="internal: headline at N cores only")
+    args = ap.parse_args()
+    if args.one:
+        print(json.dumps(headline(SF_DIR, args.one)))
+    elif args.scaling:
+        print(json.dumps(scaling(SF_DIR)))
+    else:
+        print(json.dumps(headline(SF_DIR, CPUS)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,645 @@
+"""Operator-level queries for the driver's correctness gate.
+
+Each entry re-expresses one operator from SURVEY.md §2 (or a
+training-data-pipeline operator) as a Spark DataFrame program over the
+driver's parquet tables, with a DuckDB-ANSI oracle producing identical
+columns/values. Extraction-pipeline queries that are not SQL-expressible
+are rows-only (no oracle entry).
+
+Determinism rules shared by both sides:
+* glyph-like inputs are derived arithmetically from integer keys (same
+  IEEE doubles both engines),
+* float outputs are rounded to 6dp on both sides,
+* every aggregate/computed column is aliased identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+# ---------------------------------------------------------------------------
+# Shared derivations
+# ---------------------------------------------------------------------------
+
+# Derived glyph table (stream-kernel analog input): arithmetic on
+# p_partkey only → bit-identical doubles in Spark and DuckDB.
+GLYPHS_SQL = """
+    SELECT
+        p_partkey % 40                                        AS line_id,
+        p_partkey                                             AS seq,
+        (p_partkey % 13) * 30.0 + (p_partkey % 7) * 2.0       AS x,
+        5.0 * (1 + p_partkey % 4)                             AS w,
+        (p_partkey % 40) * 7.0 + (p_partkey % 3) * 0.5        AS y,
+        p_brand                                               AS token
+    FROM part
+"""
+
+
+def _glyphs(spark: SparkSession, sf: str) -> DataFrame:
+    p = spark.read.parquet(f"{sf}/part.parquet")
+    k = F.col("p_partkey")
+    return p.select(
+        (k % 40).alias("line_id"),
+        k.alias("seq"),
+        ((k % 13) * 30.0 + (k % 7) * 2.0).alias("x"),
+        (5.0 * (1 + k % 4)).alias("w"),
+        ((k % 40) * 7.0 + (k % 3) * 0.5).alias("y"),
+        F.col("p_brand").alias("token"),
+    )
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# 1. Row clustering (stream op 9; StreamParser.java:119-125)
+# ---------------------------------------------------------------------------
+
+def q_row_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    g = _glyphs(spark, sf)
+    return (g.select(F.floor(F.col("y") / 2.0 + 0.5).cast("long").alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n_glyphs"))
+            .orderBy("bucket"))
+
+
+SQL_ROW_CLUSTER = f"""
+WITH glyphs AS ({GLYPHS_SQL})
+SELECT CAST(floor(y / 2.0 + 0.5) AS BIGINT) AS bucket,
+       count(*) AS n_glyphs
+FROM glyphs GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Span merge — 1-D session window by gap (stream op 11;
+#    StreamParser.java:190-208)
+# ---------------------------------------------------------------------------
+
+def q_span_merge(spark: SparkSession, sf: str) -> DataFrame:
+    g = _glyphs(spark, sf)
+    win = Window.partitionBy("line_id").orderBy("x", "seq")
+    g = g.withColumn("prev_right", F.lag(F.col("x") + F.col("w")).over(win))
+    g = g.withColumn(
+        "brk",
+        F.when(F.col("prev_right").isNull(), 1)
+        .when(F.col("x") - F.col("prev_right") > 6.0, 1).otherwise(0))
+    g = g.withColumn("span_id", F.sum("brk").over(
+        win.rowsBetween(Window.unboundedPreceding, 0)))
+    spans = (g.groupBy("line_id", "span_id")
+             .agg(F.min("x").alias("span_x"),
+                  F.concat_ws("", F.transform(
+                      F.array_sort(F.collect_list(F.struct("x", "seq", "token"))),
+                      lambda s: s.token)).alias("span_text"),
+                  F.count("*").alias("n_glyphs")))
+    return spans.orderBy("line_id", "span_id")
+
+
+SQL_SPAN_MERGE = f"""
+WITH glyphs AS ({GLYPHS_SQL}),
+marked AS (
+    SELECT *,
+        CASE WHEN lag(x + w) OVER (PARTITION BY line_id ORDER BY x, seq) IS NULL
+                  THEN 1
+             WHEN x - lag(x + w) OVER (PARTITION BY line_id ORDER BY x, seq) > 6.0
+                  THEN 1 ELSE 0 END AS brk
+    FROM glyphs
+),
+numbered AS (
+    SELECT *, sum(brk) OVER (PARTITION BY line_id ORDER BY x, seq
+                             ROWS UNBOUNDED PRECEDING) AS span_id
+    FROM marked
+)
+SELECT line_id, span_id,
+       min(x) AS span_x,
+       string_agg(token, '' ORDER BY x, seq) AS span_text,
+       count(*) AS n_glyphs
+FROM numbered
+GROUP BY line_id, span_id
+ORDER BY line_id, span_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Column-bound histogram (stream op 12; StreamParser.java:164-184)
+# ---------------------------------------------------------------------------
+
+def q_col_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    g = _glyphs(spark, sf)
+    win = Window.partitionBy("line_id").orderBy("x", "seq")
+    g = (g.withColumn("nx", F.lead("x").over(win))
+         .withColumn("right", F.col("x") + F.col("w"))
+         .withColumn("gap", F.col("nx") - F.col("right"))
+         .filter(F.col("gap") > 12.0))
+    return (g.select(F.floor((F.col("right") + F.col("gap") / 2) / 10.0 + 0.5)
+                     .cast("long").alias("bound_bucket"))
+            .groupBy("bound_bucket").agg(F.count("*").alias("votes"))
+            .orderBy("bound_bucket"))
+
+
+SQL_COL_HISTOGRAM = f"""
+WITH glyphs AS ({GLYPHS_SQL}),
+gaps AS (
+    SELECT x + w AS "right",
+           lead(x) OVER (PARTITION BY line_id ORDER BY x, seq) - (x + w) AS gap
+    FROM glyphs
+)
+SELECT CAST(floor(("right" + gap / 2) / 10.0 + 0.5) AS BIGINT) AS bound_bucket,
+       count(*) AS votes
+FROM gaps WHERE gap > 12.0
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Cell assignment — interval search (stream op 13;
+#    StreamParser.java:135-158, np.searchsorted analog in SQL)
+# ---------------------------------------------------------------------------
+
+BOUNDS_LITERAL = "array(0.0D, 60.0D, 150.0D, 240.0D, 330.0D, 1e9D)"
+BOUNDS_DUCK = "[0.0, 60.0, 150.0, 240.0, 330.0, 1e9]"
+
+
+def q_cell_assign(spark: SparkSession, sf: str) -> DataFrame:
+    g = _glyphs(spark, sf)
+    col = F.expr(f"size(filter({BOUNDS_LITERAL}, b -> b <= x)) - 1")
+    ncols = 5
+    clamped = F.least(F.greatest(col, F.lit(0)), F.lit(ncols - 1))
+    return (g.select(F.col("line_id"), clamped.alias("col_id"))
+            .groupBy("line_id", "col_id")
+            .agg(F.count("*").alias("n_spans"))
+            .orderBy("line_id", "col_id"))
+
+
+SQL_CELL_ASSIGN = f"""
+WITH glyphs AS ({GLYPHS_SQL})
+SELECT line_id,
+       least(greatest(len(list_filter({BOUNDS_DUCK}, b -> b <= x)) - 1, 0), 4)
+           AS col_id,
+       count(*) AS n_spans
+FROM glyphs
+GROUP BY line_id, col_id
+ORDER BY line_id, col_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. Table scoring (hybrid op 37; HybridParser.java:297-322)
+# ---------------------------------------------------------------------------
+
+def q_table_score(spark: SparkSession, sf: str) -> DataFrame:
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    cells = n.select(
+        F.col("n_regionkey").alias("table_id"),
+        F.when(F.col("n_nationkey") % 3 == 0, F.lit("")).otherwise(F.col("n_name")).alias("c0"),
+        F.when(F.col("n_nationkey") % 4 == 0, F.lit("")).otherwise(F.lit("v")).alias("c1"),
+        F.when(F.col("n_nationkey") % 2 == 0, F.lit("")).otherwise(F.lit("x")).alias("c2"),
+    )
+    ne = sum((F.col(c) != "").cast("int") for c in ("c0", "c1", "c2"))
+    per_row = cells.select("table_id", ne.alias("row_ne"))
+    agg = per_row.groupBy("table_id").agg(
+        F.count("*").alias("nrows"),
+        F.sum("row_ne").alias("non_empty"),
+        F.sum((F.col("row_ne") > 1).cast("int")).alias("multi"))
+    score = (0.6 * F.col("non_empty") / (F.col("nrows") * 3)
+             + 0.3 * F.col("multi") / F.col("nrows")
+             + 0.1 * (F.log(F.lit(1 + 3.0)) / F.log(F.lit(4.0))))
+    return (agg.select("table_id", "nrows",
+                       F.round(score, 6).alias("score"))
+            .orderBy("table_id"))
+
+
+SQL_TABLE_SCORE = """
+WITH cells AS (
+    SELECT n_regionkey AS table_id,
+           CASE WHEN n_nationkey % 3 = 0 THEN '' ELSE n_name END AS c0,
+           CASE WHEN n_nationkey % 4 = 0 THEN '' ELSE 'v' END AS c1,
+           CASE WHEN n_nationkey % 2 = 0 THEN '' ELSE 'x' END AS c2
+    FROM nation
+),
+per_row AS (
+    SELECT table_id,
+           (CASE WHEN c0 <> '' THEN 1 ELSE 0 END
+          + CASE WHEN c1 <> '' THEN 1 ELSE 0 END
+          + CASE WHEN c2 <> '' THEN 1 ELSE 0 END) AS row_ne
+    FROM cells
+),
+agg AS (
+    SELECT table_id, count(*) AS nrows, sum(row_ne) AS non_empty,
+           sum(CASE WHEN row_ne > 1 THEN 1 ELSE 0 END) AS multi
+    FROM per_row GROUP BY table_id
+)
+SELECT table_id, nrows,
+       round(0.6 * non_empty / (nrows * 3)
+           + 0.3 * multi / nrows
+           + 0.1 * (ln(1 + 3.0) / ln(4.0)), 6) AS score
+FROM agg ORDER BY table_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. Hybrid argmax with exact tie-break (op 38; HybridParser.java:257-263)
+# ---------------------------------------------------------------------------
+
+def q_hybrid_pick(spark: SparkSession, sf: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    cand = o.select(
+        (F.col("o_orderkey") % 100).alias("doc_id"),
+        F.element_at(F.array(F.lit("stream"), F.lit("lattice"), F.lit("ocrstream")),
+                     (F.col("o_orderkey") % 3 + 1).cast("int")).alias("strategy"),
+        (F.round((F.col("o_orderkey") % 7) / 7.0, 6)).alias("score"),
+    ).groupBy("doc_id", "strategy").agg(F.round(F.avg("score"), 6).alias("avg_score"))
+    prio = (F.when(F.col("strategy") == "lattice", 3)
+            .when(F.col("strategy") == "ocrstream", 2).otherwise(1))
+    win = Window.partitionBy("doc_id").orderBy(F.col("avg_score").desc(),
+                                               prio.desc())
+    return (cand.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("strategy").alias("winner"), "avg_score")
+            .orderBy("doc_id"))
+
+
+SQL_HYBRID_PICK = """
+WITH cand AS (
+    SELECT o_orderkey % 100 AS doc_id,
+           (['stream','lattice','ocrstream'])[CAST(o_orderkey % 3 AS INT) + 1]
+               AS strategy,
+           round((o_orderkey % 7) / 7.0, 6) AS score
+    FROM orders
+),
+avgd AS (
+    SELECT doc_id, strategy, round(avg(score), 6) AS avg_score
+    FROM cand GROUP BY doc_id, strategy
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY avg_score DESC,
+                 CASE strategy WHEN 'lattice' THEN 3
+                               WHEN 'ocrstream' THEN 2 ELSE 1 END DESC) AS rn
+    FROM avgd
+)
+SELECT doc_id, strategy AS winner, avg_score
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. Amount normalization (ocrstream op 35; OcrStreamParser.java:425-432)
+# ---------------------------------------------------------------------------
+
+def q_norm_amount(spark: SparkSession, sf: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    raw = F.concat(
+        F.lit("$"),
+        (F.col("c_custkey") % 9 + 1).cast("string"),
+        F.lit(","),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("1O3 ")).otherwise(F.lit("482")),
+        F.lit(","),
+        (F.col("c_custkey") % 90 + 10).cast("string"),
+    )
+    s = F.regexp_replace(raw, r"\s+", "")
+    s = F.upper(s)
+    s = F.translate(s, "OILS", "0115")
+    s = F.regexp_replace(s, r"(\d),(\d{2})$", ".$2")
+    return (c.select(F.col("c_custkey").alias("id"), raw.alias("raw_amount"),
+                     s.alias("norm_amount"))
+            .orderBy("id"))
+
+
+SQL_NORM_AMOUNT = r"""
+WITH raw AS (
+    SELECT c_custkey AS id,
+           '$' || CAST(c_custkey % 9 + 1 AS VARCHAR) || ','
+               || CASE WHEN c_custkey % 2 = 0 THEN '1O3 ' ELSE '482' END
+               || ',' || CAST(c_custkey % 90 + 10 AS VARCHAR) AS raw_amount
+    FROM customer
+)
+SELECT id, raw_amount,
+       regexp_replace(
+           translate(upper(regexp_replace(raw_amount, '\s+', '', 'g')),
+                     'OILS', '0115'),
+           '(\d),(\d{2})$', '.\2') AS norm_amount
+FROM raw ORDER BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 8. Fuzzy header matching (ocrstream ops 31-32;
+#    OcrStreamParser.java:324-347 — editDistance<=1)
+# ---------------------------------------------------------------------------
+
+def q_fuzzy_header(spark: SparkSession, sf: str) -> DataFrame:
+    p = spark.read.parquet(f"{sf}/part.parquet")
+    words = (p.select(F.explode(F.split(F.lower(F.col("p_type")), " "))
+                      .alias("word"))
+             .filter(F.col("word") != ""))
+    targets = spark.createDataFrame(
+        [("date",), ("description",), ("debit",), ("credit",), ("balance",),
+         ("steel",), ("brass",), ("copper",)], ["target"])
+    j = words.crossJoin(targets).filter(
+        F.levenshtein(F.col("word"), F.col("target")) <= 1)
+    return (j.groupBy("target").agg(F.count("*").alias("n_matches"))
+            .orderBy("target"))
+
+
+SQL_FUZZY_HEADER = """
+WITH words AS (
+    SELECT unnest(string_split(lower(p_type), ' ')) AS word FROM part
+),
+targets AS (
+    SELECT unnest(['date','description','debit','credit','balance',
+                   'steel','brass','copper']) AS target
+)
+SELECT target, count(*) AS n_matches
+FROM words, targets
+WHERE word <> '' AND levenshtein(word, target) <= 1
+GROUP BY target ORDER BY target
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. Exact dedup (training-pipeline op; hash-groupBy)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    norm = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (d.select(F.col("doc_id"), norm.alias("text_hash"))
+            .groupBy("text_hash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("keeper_doc_id"))
+            .filter(F.col("n_docs") > 1)
+            .orderBy("text_hash"))
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash
+"""
+
+
+# ---------------------------------------------------------------------------
+# 10. Text quality scoring (training-pipeline op)
+# ---------------------------------------------------------------------------
+
+STOPWORDS_RE = r"\b(the|and|of|to|in|a|is|for|on|with)\b"
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+
+
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    stop_hits = F.regexp_count(F.lower(F.col("text")), F.lit(STOPWORDS_RE))
+    punct = F.regexp_count(F.col("text"), F.lit(PUNCT_RE))
+    chars = F.length("text")
+    quality = F.round(
+        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.4 * F.least(stop_hits / F.greatest(n_tokens, F.lit(1)) * 5.0, F.lit(1.0))
+        + 0.2 * (1.0 - F.least(punct / F.greatest(chars, F.lit(1)) * 10.0, F.lit(1.0))),
+        6)
+    return d.select("doc_id",
+                    n_tokens.alias("n_tokens"),
+                    stop_hits.alias("stopword_hits"),
+                    punct.alias("punct_chars"),
+                    quality.alias("quality")).orderBy("doc_id")
+
+
+SQL_TEXT_QUALITY = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       len(regexp_extract_all(lower(text),
+           '\b(the|and|of|to|in|a|is|for|on|with)\b')) AS stopword_hits,
+       len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS punct_chars,
+       round(0.4 * least(len(regexp_split_to_array(trim(text), '\s+')) / 100.0, 1.0)
+           + 0.4 * least(len(regexp_extract_all(lower(text),
+                 '\b(the|and|of|to|in|a|is|for|on|with)\b'))
+                 / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) * 5.0, 1.0)
+           + 0.2 * (1.0 - least(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                 / greatest(length(text), 1) * 10.0, 1.0)), 6) AS quality
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 11. Token counting (training-pipeline op; BPE-ish regex classes)
+# ---------------------------------------------------------------------------
+
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(TOKEN_RE)).alias("re_tokens"),
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS re_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 12. Language-ID heuristic (training-pipeline op)
+# ---------------------------------------------------------------------------
+
+LANG_WORDS = {
+    "en": r"\b(the|and|of|to|in|is)\b",
+    "de": r"\b(der|die|das|und|ist|nicht)\b",
+    "fr": r"\b(le|la|et|les|des|est)\b",
+}
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    lo = F.lower(F.col("text"))
+    en = F.regexp_count(lo, F.lit(LANG_WORDS["en"]))
+    de = F.regexp_count(lo, F.lit(LANG_WORDS["de"]))
+    fr = F.regexp_count(lo, F.lit(LANG_WORDS["fr"]))
+    pred = (F.when((en >= de) & (en >= fr), "en")
+            .when(de >= fr, "de").otherwise("fr"))
+    return d.select("doc_id", en.alias("en_hits"), de.alias("de_hits"),
+                    fr.alias("fr_hits"), pred.alias("pred_lang")).orderBy("doc_id")
+
+
+SQL_LANG_ID = r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS en_hits,
+       len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de_hits,
+       len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est)\b')) AS fr_hits,
+       CASE WHEN len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b'))
+                 >= len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b'))
+             AND len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b'))
+                 >= len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est)\b'))
+            THEN 'en'
+            WHEN len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b'))
+                 >= len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est)\b'))
+            THEN 'de' ELSE 'fr' END AS pred_lang
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 13. Document fingerprint (training-pipeline op)
+# ---------------------------------------------------------------------------
+
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select("doc_id", F.md5(norm).alias("fingerprint")).orderBy("doc_id")
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 14. Brute-force cosine top-k ANN (training-pipeline op)
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = e.select("vec_id", dbl.alias("emb"))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
+    j = e.crossJoin(F.broadcast(q))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, v: acc + v)
+
+    cos = dot(F.col("emb"), F.col("qemb")) / (
+        F.sqrt(dot(F.col("emb"), F.col("emb")))
+        * F.sqrt(dot(F.col("qemb"), F.col("qemb"))))
+    return (j.select("vec_id", F.round(cos, 6).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+            .limit(10))
+
+
+SQL_ANN_COSINE = """
+WITH q AS (
+    SELECT embedding::DOUBLE[] AS qemb FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], qemb)
+           / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qemb, qemb))), 6) AS cosine
+FROM embeddings, q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# 15. Page-range pruning (op 3; PageRange.java:15-34)
+# ---------------------------------------------------------------------------
+
+def q_page_filter(spark: SparkSession, sf: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    pages = o.select((F.col("o_orderkey") % 20 + 1).alias("page"))
+    # selection "1,3-4,17" → [1,3,4,17]
+    from .pagerange import parse_pages
+    sel = parse_pages("1,3-4,17")
+    return (pages.filter(F.col("page").isin(sel))
+            .groupBy("page").agg(F.count("*").alias("n"))
+            .orderBy("page"))
+
+
+SQL_PAGE_FILTER = """
+SELECT o_orderkey % 20 + 1 AS page, count(*) AS n
+FROM orders
+WHERE o_orderkey % 20 + 1 IN (1, 3, 4, 17)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (not SQL-expressible: the extraction pipeline itself)
+# ---------------------------------------------------------------------------
+
+def q_extract_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Full hybrid extraction over the derived interleaved corpus;
+    per-document metrics (deterministic, rows-only check)."""
+    from .config import ExtractConfig
+    from .corpusgen import ensure_fixture_corpus
+    from .pipeline import extract
+
+    docs, media = ensure_fixture_corpus(spark, sf, limit=120)
+    combined = extract(docs, media, ExtractConfig(), num_partitions=8)
+    return (combined.select("doc_id", "status", "strategy", "tables_found",
+                            "cells_parsed", "ocr_fallbacks")
+            .orderBy("doc_id"))
+
+
+def q_extract_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Flattened output spans of the extraction pipeline (rows-only)."""
+    from .config import ExtractConfig
+    from .corpusgen import ensure_fixture_corpus
+    from .pipeline import extract, with_spans
+
+    docs, media = ensure_fixture_corpus(spark, sf, limit=60)
+    combined = extract(docs, media, ExtractConfig(), num_partitions=8)
+    return (with_spans(combined)
+            .select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id", F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("text"),
+                    F.col("s.media_ref").alias("media_ref"),
+                    F.col("s.offset").alias("offset"))
+            .orderBy("doc_id", "offset"))
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q_row_cluster": q_row_cluster,
+    "q_span_merge": q_span_merge,
+    "q_col_histogram": q_col_histogram,
+    "q_cell_assign": q_cell_assign,
+    "q_table_score": q_table_score,
+    "q_hybrid_pick": q_hybrid_pick,
+    "q_norm_amount": q_norm_amount,
+    "q_fuzzy_header": q_fuzzy_header,
+    "q_dedup_exact": q_dedup_exact,
+    "q_text_quality": q_text_quality,
+    "q_token_count": q_token_count,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+    "q_ann_cosine": q_ann_cosine,
+    "q_page_filter": q_page_filter,
+    "q_extract_metrics": q_extract_metrics,
+    "q_extract_spans": q_extract_spans,
+}
+
+ORACLES = {
+    "q_row_cluster": SQL_ROW_CLUSTER,
+    "q_span_merge": SQL_SPAN_MERGE,
+    "q_col_histogram": SQL_COL_HISTOGRAM,
+    "q_cell_assign": SQL_CELL_ASSIGN,
+    "q_table_score": SQL_TABLE_SCORE,
+    "q_hybrid_pick": SQL_HYBRID_PICK,
+    "q_norm_amount": SQL_NORM_AMOUNT,
+    "q_fuzzy_header": SQL_FUZZY_HEADER,
+    "q_dedup_exact": SQL_DEDUP_EXACT,
+    "q_text_quality": SQL_TEXT_QUALITY,
+    "q_token_count": SQL_TOKEN_COUNT,
+    "q_lang_id": SQL_LANG_ID,
+    "q_fingerprint": SQL_FINGERPRINT,
+    "q_ann_cosine": SQL_ANN_COSINE,
+    "q_page_filter": SQL_PAGE_FILTER,
+    # q_extract_metrics / q_extract_spans: not SQL-expressible → rows-only
+}

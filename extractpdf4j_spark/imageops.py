@@ -1,0 +1,212 @@
+"""Pure-numpy image primitives for the lattice / ocrstream kernels.
+
+The reference uses OpenCV (via bytedeco JavaCPP) for binarization,
+morphology and projection profiling. This container has no OpenCV, and the
+reference's per-pixel Java loops are exactly the kind of work numpy
+reductions do well, so every primitive here is a vectorized numpy
+re-implementation with the reference's constants:
+
+* adaptive mean threshold 15/10 BINARY_INV  — ImagePdfUtils.java:95-99
+* adaptive gaussian threshold 31/15 INV     — OcrStreamParser.java:124
+* adaptive gaussian threshold 35/15 BINARY  — LatticeParser.java:213
+* rect-kernel erode/dilate (morph open)     — LatticeParser.java:150-157,
+                                              OcrStreamParser.java:215-231
+* projection-profile line detection >35%    — LatticeParser.java:268-291
+  (the O(W*H) Java pixel loop becomes one axis reduction)
+* near-duplicate line dedupe (tol px)       — LatticeParser.java:297-307
+
+Binary images use the OpenCV convention: uint8, 0 = background,
+255 = foreground ("white" mask pixels).
+
+All morphology here operates on binary masks, which lets us use windowed
+*counts* (cumulative sums, O(N) independent of kernel size) instead of
+sliding min/max: erode == "all k pixels in window set", dilate == "any
+pixel in window set". Border behavior matches OpenCV defaults (erode pads
++inf ≙ set, dilate pads -inf ≙ unset).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Windowed sums (the building block)
+# ---------------------------------------------------------------------------
+
+def _window_count(mask01: np.ndarray, k: int, axis: int, pad_value: int) -> np.ndarray:
+    """Count of set pixels in a length-k window along ``axis`` with OpenCV
+    center anchor a=k//2 (window for output i covers [i-a, i+k-1-a]),
+    padded with ``pad_value`` (0 or 1)."""
+    if k <= 1:
+        return mask01.astype(np.int32)
+    a = k // 2
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (a, k - 1 - a)
+    p = np.pad(mask01, pad, mode="constant", constant_values=pad_value)
+    c = np.cumsum(p, axis=axis, dtype=np.int32)
+    zero = np.zeros_like(np.take(c, [0], axis=axis))
+    c = np.concatenate([zero, c], axis=axis)
+    n = mask01.shape[axis]
+    hi = np.take(c, np.arange(k, k + n), axis=axis)
+    lo = np.take(c, np.arange(0, n), axis=axis)
+    return hi - lo
+
+
+def erode_binary(bin_img: np.ndarray, kw: int, kh: int) -> np.ndarray:
+    """Erosion with a (kw x kh) rect kernel on a 0/255 binary image."""
+    m = (bin_img > 0).astype(np.uint8)
+    if kw > 1:
+        m = (_window_count(m, kw, axis=1, pad_value=1) == kw).astype(np.uint8)
+    if kh > 1:
+        m = (_window_count(m, kh, axis=0, pad_value=1) == kh).astype(np.uint8)
+    return m * np.uint8(255)
+
+
+def dilate_binary(bin_img: np.ndarray, kw: int, kh: int) -> np.ndarray:
+    """Dilation with a (kw x kh) rect kernel on a 0/255 binary image."""
+    m = (bin_img > 0).astype(np.uint8)
+    if kw > 1:
+        m = (_window_count(m, kw, axis=1, pad_value=0) > 0).astype(np.uint8)
+    if kh > 1:
+        m = (_window_count(m, kh, axis=0, pad_value=0) > 0).astype(np.uint8)
+    return m * np.uint8(255)
+
+
+def morph_open_binary(bin_img: np.ndarray, kw: int, kh: int) -> np.ndarray:
+    """MORPH_OPEN = erode then dilate with the same kernel."""
+    return dilate_binary(erode_binary(bin_img, kw, kh), kw, kh)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive thresholding
+# ---------------------------------------------------------------------------
+
+def _box_mean(gray: np.ndarray, block: int) -> np.ndarray:
+    """Box-filter mean with replicate borders, rounded to uint8 like
+    OpenCV's boxFilter path inside adaptiveThreshold."""
+    a = block // 2
+    p = np.pad(gray.astype(np.float64), ((a, block - 1 - a), (a, block - 1 - a)),
+               mode="edge")
+    c = p.cumsum(axis=0).cumsum(axis=1)
+    c = np.pad(c, ((1, 0), (1, 0)), mode="constant")
+    h, w = gray.shape
+    s = (c[block:block + h, block:block + w]
+         - c[0:h, block:block + w]
+         - c[block:block + h, 0:w]
+         + c[0:h, 0:w])
+    return np.floor(s / (block * block) + 0.5)
+
+
+def _gaussian_kernel(ksize: int) -> np.ndarray:
+    """OpenCV getGaussianKernel weights for sigma<=0:
+    sigma = 0.3*((ksize-1)*0.5 - 1) + 0.8."""
+    sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    i = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2.0
+    k = np.exp(-(i * i) / (2.0 * sigma * sigma))
+    return k / k.sum()
+
+
+def _sep_filter(gray: np.ndarray, weights: np.ndarray, axis: int) -> np.ndarray:
+    k = len(weights)
+    a = k // 2
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (a, k - 1 - a)
+    p = np.pad(gray, pad, mode="edge")
+    win = np.lib.stride_tricks.sliding_window_view(p, k, axis=axis)
+    return win @ weights
+
+
+def _gaussian_mean(gray: np.ndarray, block: int) -> np.ndarray:
+    w = _gaussian_kernel(block)
+    g = _sep_filter(gray.astype(np.float64), w, axis=0)
+    g = _sep_filter(g, w, axis=1)
+    return np.floor(g + 0.5)
+
+
+def adaptive_threshold(gray: np.ndarray, block: int, c: float,
+                       method: str = "mean", invert: bool = True) -> np.ndarray:
+    """OpenCV-style adaptiveThreshold with maxval=255.
+
+    ``invert=True``  → THRESH_BINARY_INV: dst=255 where src <= T else 0
+    ``invert=False`` → THRESH_BINARY:     dst=255 where src >  T else 0
+    with T = localmean(block) - c.
+    """
+    mean = _box_mean(gray, block) if method == "mean" else _gaussian_mean(gray, block)
+    t = mean - c
+    if invert:
+        out = (gray.astype(np.float64) <= t)
+    else:
+        out = (gray.astype(np.float64) > t)
+    return out.astype(np.uint8) * np.uint8(255)
+
+
+def binarize_for_lines(gray: np.ndarray) -> np.ndarray:
+    """ImagePdfUtils.binarizeForLines (ImagePdfUtils.java:95-99):
+    adaptive MEAN_C, BINARY_INV, block=15, C=10."""
+    return adaptive_threshold(gray, 15, 10, method="mean", invert=True)
+
+
+# ---------------------------------------------------------------------------
+# Line projection / dedupe (lattice)
+# ---------------------------------------------------------------------------
+
+def project_lines(bin_img: np.ndarray, horizontal: bool) -> np.ndarray:
+    """Positions whose white-pixel coverage exceeds 35%
+    (LatticeParser.java:268-291: strict ``sum > len*0.35``).
+
+    The reference's O(W*H) per-pixel Java loop is one vectorized
+    reduction here."""
+    m = bin_img > 0
+    if horizontal:
+        cov = m.sum(axis=1)
+        return np.where(cov > bin_img.shape[1] * 0.35)[0]
+    cov = m.sum(axis=0)
+    return np.where(cov > bin_img.shape[0] * 0.35)[0]
+
+
+def dedupe_positions(xs: np.ndarray, tol: int) -> list[int]:
+    """Sort then drop neighbors within tol (LatticeParser.java:297-307:
+    keep v when |v-last| > tol)."""
+    if len(xs) == 0:
+        return []
+    xs = np.sort(np.asarray(xs))
+    out = [int(xs[0])]
+    last = int(xs[0])
+    for v in xs[1:]:
+        v = int(v)
+        if abs(v - last) > tol:
+            out.append(v)
+            last = v
+    return out
+
+
+def remove_rules(bin_inv: np.ndarray) -> np.ndarray:
+    """OcrStreamParser.removeRules (OcrStreamParser.java:215-231):
+    open with (max(w/30,35),1) and (1,max(h/24,30)) kernels, OR the rule
+    masks, subtract from the text mask (binary ⇒ AND NOT)."""
+    h, w = bin_inv.shape
+    h_kw = max(w // 30, 35)
+    v_kh = max(h // 24, 30)
+    h_lines = morph_open_binary(bin_inv, h_kw, 1)
+    v_lines = morph_open_binary(bin_inv, 1, v_kh)
+    rules = (h_lines > 0) | (v_lines > 0)
+    no_lines = (bin_inv > 0) & ~rules
+    return no_lines.astype(np.uint8) * np.uint8(255)
+
+
+def resize2x(gray: np.ndarray) -> np.ndarray:
+    """2x upscale used before per-cell OCR (LatticeParser.java:211,
+    INTER_CUBIC there). Pixel-exact cubic interpolation is irrelevant to
+    extraction semantics (only the OCR engine sees the pixels), so this
+    uses bilinear 2x which preserves the geometry contract."""
+    h, w = gray.shape
+    g = gray.astype(np.float64)
+    # interleave rows/cols with midpoint averages
+    rows = np.empty((2 * h, w), dtype=np.float64)
+    rows[0::2] = g
+    rows[1::2] = np.vstack([(g[:-1] + g[1:]) / 2.0, g[-1:]])
+    out = np.empty((2 * h, 2 * w), dtype=np.float64)
+    out[:, 0::2] = rows
+    out[:, 1::2] = np.hstack([(rows[:, :-1] + rows[:, 1:]) / 2.0, rows[:, -1:]])
+    return np.floor(out + 0.5).astype(np.uint8)

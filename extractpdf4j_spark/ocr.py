@@ -1,0 +1,133 @@
+"""OCR backend seam.
+
+The reference shells out to Tesseract (helpers/Ocr.java): TSV word mode
+with a PSM heuristic sweep (Ocr.java:28-72 tries PSM 6,4,11,3 and keeps
+the run with the most words) and a plain-text mode for lattice cell
+fallback (Ocr.java:78-96). This sandbox has no Tesseract binary and no
+pytesseract, so the engine defines a backend protocol with two
+implementations:
+
+* :class:`EmbeddedWordsBackend` — the deterministic stand-in: media
+  payloads carry the word layer a real OCR pass would produce (generated
+  by the fixture module); ``words`` filters blanks exactly like
+  Ocr.java:228-229, and ``cell_text`` returns the words whose boxes fall
+  inside the requested ROI (what Tesseract would read off the crop).
+  This keeps the whole extraction dataflow real — only the
+  pixels→characters step is substituted.
+
+* :class:`PytesseractBackend` — the production path, import-gated; raises
+  a clearly-marked NotImplementedError when pytesseract is absent.
+
+The PSM sweep is preserved in :func:`ocr_words_heuristic` so the adaptive
+physical-strategy behavior (the reference's only cost-based choice,
+SURVEY.md §4) survives with a real backend.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from .docmodel import OCR_WORD_COLS, PagePayload
+
+
+class OcrBackend:
+    """Protocol: produce TSV-style words for a page, or plain text for a
+    cell crop."""
+
+    def words(self, payload: PagePayload, image: np.ndarray, psm: int) -> pd.DataFrame:
+        raise NotImplementedError
+
+    def cell_text(self, payload: PagePayload, cell_img: np.ndarray,
+                  bbox: tuple[int, int, int, int]) -> str:
+        raise NotImplementedError
+
+
+class EmbeddedWordsBackend(OcrBackend):
+    """Deterministic OCR stand-in reading the payload's embedded word layer."""
+
+    def words(self, payload: PagePayload, image: np.ndarray, psm: int) -> pd.DataFrame:
+        w = payload.words
+        # Ocr.java:228-229 drops rows with empty/blank trimmed text;
+        # OcrStreamParser.java:149 filters blanks again post-hoc.
+        txt = w["text"].astype(str).str.strip()
+        out = w[txt != ""].copy()
+        out["text"] = txt[txt != ""]
+        return out.reset_index(drop=True)
+
+    def cell_text(self, payload: PagePayload, cell_img: np.ndarray,
+                  bbox: tuple[int, int, int, int]) -> str:
+        """Words whose box centers fall inside bbox=(x, y, w, h) in page
+        raster coordinates, reading order (top then left), joined by a
+        single space — what Tesseract PSM 6 reads off the crop."""
+        x, y, bw, bh = bbox
+        w = payload.words
+        if len(w) == 0:
+            return ""
+        cx = w["left"].to_numpy() + w["width"].to_numpy() / 2.0
+        cy = w["top"].to_numpy() + w["height"].to_numpy() / 2.0
+        inside = (cx >= x) & (cx < x + bw) & (cy >= y) & (cy < y + bh)
+        sel = w[inside]
+        if len(sel) == 0:
+            return ""
+        sel = sel.sort_values(["top", "left"], kind="stable")
+        toks = [t for t in sel["text"].astype(str).str.strip() if t]
+        return " ".join(toks)
+
+
+class PytesseractBackend(OcrBackend):
+    """Real Tesseract via pytesseract (absent in this sandbox)."""
+
+    def __init__(self) -> None:
+        try:
+            import pytesseract  # noqa: F401
+            self._pt = pytesseract
+        except ImportError as e:  # pragma: no cover - environment-dependent
+            raise NotImplementedError(
+                "pytesseract is not installed in this environment; "
+                "use EmbeddedWordsBackend or install tesseract+pytesseract"
+            ) from e
+
+    def words(self, payload: PagePayload, image: np.ndarray, psm: int) -> pd.DataFrame:  # pragma: no cover
+        df = self._pt.image_to_data(
+            image, lang="eng",
+            config=f"--oem 1 --psm {psm} -c preserve_interword_spaces=1 -c user_defined_dpi=300",
+            output_type=self._pt.Output.DATAFRAME,
+        )
+        df = df[df["level"] == 5]
+        df = df.rename(columns={"block_num": "block", "par_num": "par",
+                                "line_num": "line", "word_num": "word"})
+        df["text"] = df["text"].astype(str).str.strip()
+        df = df[df["text"] != ""]
+        return df[OCR_WORD_COLS].reset_index(drop=True)
+
+    def cell_text(self, payload: PagePayload, cell_img: np.ndarray,
+                  bbox: tuple[int, int, int, int]) -> str:  # pragma: no cover
+        return str(self._pt.image_to_string(cell_img, config="--psm 6")).strip()
+
+
+@dataclass
+class OcrStats:
+    cells_ocred: int = 0
+
+
+def default_backend() -> OcrBackend:
+    """Prefer real Tesseract when importable, else the deterministic fake."""
+    try:
+        return PytesseractBackend()
+    except NotImplementedError:
+        return EmbeddedWordsBackend()
+
+
+def ocr_words_heuristic(backend: OcrBackend, payload: PagePayload,
+                        image: np.ndarray, psms=(6, 4, 11, 3)) -> pd.DataFrame:
+    """PSM sweep keeping the run with most words (Ocr.java:28-45; strict
+    ``>`` so the first PSM wins ties)."""
+    best = pd.DataFrame({c: [] for c in OCR_WORD_COLS})
+    for psm in psms:
+        cur = backend.words(payload, image, psm)
+        if len(cur) > len(best):
+            best = cur
+    return best

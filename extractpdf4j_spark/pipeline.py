@@ -1,0 +1,404 @@
+"""The Spark extraction pipeline: interleaved documents → extracted spans.
+
+Dataflow (all DataFrame ops; the only Python is Arrow-batched kernels):
+
+    documents(doc_id, spans)                    media(media_ref, payload)
+        |  explode spans (native, codegen)          |
+        |  text spans → (doc_id, page, glyph_blob)  |
+        |  media spans → (doc_id, page, media_ref) ─┤ equi-join on media_ref
+        |                                           |
+        +── full-outer join on (doc_id, page) ──────+
+        |   [page-range filter — the reference's only pruning,
+        |    PageRange.java:15 / BaseParser.java:126-139 — pushed to the
+        |    scan as a native filter]
+        |
+        repartition(hash(doc_id, page))     ← page-level units kill doc-size
+        |                                     skew (a 500-page scan becomes
+        |                                     500 independent tasks' worth)
+        mapInPandas(extract_partition)      ← stage 1: per-page strategy
+        |                                     fan-out (stream/lattice/ocr),
+        |                                     vectorized numpy kernels
+        groupBy(doc_id).applyInPandas       ← stage 2: per-doc scoring,
+        |                                     argmax + tie-break, span
+        |                                     re-serialization, metrics
+        write parquet (combined extracted+metrics, append by run)
+
+Checkpoint/resume: each run appends per-document rows keyed by run_id and
+partition lineage; ``run_extraction(resume=True)`` anti-joins documents
+already present in the output against the input before stage 1
+(SURVEY.md §4 — resumable restarts per the north rule).
+
+Why two stages: the reference's hybrid selects ONE strategy per document
+from scores averaged over all its pages (HybridParser.java:235-264), so
+page-level extraction must regroup per document once. The regrouped rows
+are tiny (cell text + bounds), so the stage-2 shuffle is negligible next
+to stage 1's raster decode.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, IntegerType,
+                               LongType, StringType, StructField, StructType)
+
+from .config import ExtractConfig, MODE_LATTICE, MODE_OCRSTREAM, MODE_STREAM
+from .docmodel import decode_glyph_blob, decode_media_payload, serialize_tables
+from .kernels.lattice import lattice_extract_page
+from .kernels.ocrstream import ocrstream_extract_page
+from .kernels.stream import stream_extract_page
+from .ocr import default_backend
+from .pagerange import is_all, parse_pages
+from .scoring import pick_strategy, score_cells_vectorized
+from .table import Table
+from . import __version__
+
+# ---------------------------------------------------------------------------
+# Schemas
+# ---------------------------------------------------------------------------
+
+SPAN_STRUCT = StructType([
+    StructField("kind", StringType()),
+    StructField("text", StringType()),
+    StructField("media_ref", StringType()),
+    StructField("offset", IntegerType()),
+])
+
+DOCUMENTS_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("spans", ArrayType(SPAN_STRUCT)),
+])
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_ref", StringType()),
+    StructField("doc_id", StringType()),
+    StructField("page", IntegerType()),
+    StructField("payload", BinaryType()),
+])
+
+PAGE_RESULT_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("page", IntegerType()),
+    StructField("strategy", StringType()),
+    StructField("cells_json", StringType()),
+    StructField("col_bounds", ArrayType(DoubleType())),
+    StructField("row_bounds", ArrayType(DoubleType())),
+    StructField("ocr_fallbacks", IntegerType()),
+    StructField("headers_found", IntegerType()),
+    StructField("errors", IntegerType()),
+    StructField("wall_ms", LongType()),
+])
+
+COMBINED_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("spans_json", StringType()),
+    StructField("status", StringType()),
+    StructField("strategy", StringType()),
+    StructField("tables_found", LongType()),
+    StructField("cells_parsed", LongType()),
+    StructField("ocr_fallbacks", LongType()),
+    StructField("score", DoubleType()),
+    StructField("wall_ms", LongType()),
+    StructField("partition_id", IntegerType()),
+])
+
+PAGE_MARKER = "_page"
+
+STATUS_OK = "ok"
+STATUS_NO_TABLES = "no_tables"
+STATUS_HEADERS_MISSING = "headers_missing"
+STATUS_BELOW_MIN_SCORE = "below_min_score"
+STATUS_ERROR = "error"
+
+
+# ---------------------------------------------------------------------------
+# Stage 0: native span explode → page work units
+# ---------------------------------------------------------------------------
+
+def build_page_work(docs: DataFrame, media: DataFrame | None,
+                    cfg: ExtractConfig) -> DataFrame:
+    """Explode interleaved spans into per-page work rows
+    (doc_id, page, glyph_blob, payload) using only native ops so Catalyst
+    prunes/pushes everything up to the kernel boundary."""
+    spans = docs.select("doc_id", F.explode("spans").alias("s"))
+
+    # try_cast: a malformed span header becomes page NULL → routed to an
+    # 'error' status row, never a job-killing ANSI cast exception.
+    text_pages = (
+        spans.filter(F.col("s.kind") == "text")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.regexp_extract(F.col("s.text"), r"^p=(\d+)", 1).try_cast("int"),
+                F.lit(-1)).alias("page"),
+            F.when(F.instr(F.col("s.text"), "\n") > 0,
+                   F.expr("substring(s.text, instr(s.text, '\\n')+1, length(s.text))"))
+            .otherwise(F.lit("")).alias("glyph_blob"),
+        )
+    )
+
+    media_pages = spans.filter(F.col("s.kind") == "media").select(
+        "doc_id", F.col("s.media_ref").alias("media_ref"))
+    if media is not None:
+        media_pages = media_pages.join(
+            media.select("media_ref", "page", "payload"), "media_ref", "inner"
+        ).select("doc_id", "page", "payload")
+    else:
+        media_pages = media_pages.select(
+            "doc_id", F.lit(None).cast("int").alias("page"),
+            F.lit(None).cast("binary").alias("payload"))
+
+    work = text_pages.join(media_pages, ["doc_id", "page"], "full_outer")
+
+    pages = parse_pages(cfg.pages)
+    if not is_all(pages):
+        # The reference's only pruning (PageRange → page filter, op 3).
+        work = work.filter(F.col("page").isin(pages))
+    return work
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: per-page strategy fan-out (Arrow-batched kernel)
+# ---------------------------------------------------------------------------
+
+def _make_extract_pages(cfg: ExtractConfig):
+    strategies = cfg.strategies()
+
+    def extract_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = default_backend()
+        cols = [f.name for f in PAGE_RESULT_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for t in pdf.itertuples(index=False):
+                t0 = time.perf_counter()
+                doc_id = t.doc_id
+                # page arrives as float NaN when NULL (unresolved media
+                # ref with no media table) — route to the error marker
+                page = (int(t.page)
+                        if t.page is not None and t.page == t.page else -1)
+                ocr_fb = 0
+                headers_found = 0
+                errors = 0
+                # per-page isolation: a corrupt document must never kill
+                # the job — it becomes an 'error' status in metrics
+                try:
+                    if page < 0:
+                        raise ValueError("malformed text span header")
+                    glyphs = (decode_glyph_blob(page, t.glyph_blob)
+                              if isinstance(t.glyph_blob, str) and t.glyph_blob
+                              else None)
+                    payload = (decode_media_payload(t.payload)
+                               if t.payload is not None else None)
+                    for strat in strategies:
+                        if strat == MODE_STREAM:
+                            table = (stream_extract_page(
+                                glyphs.x, glyphs.y, glyphs.w, glyphs.tokens,
+                                cfg.strip_text) if glyphs is not None
+                                else Table([], [], []))
+                        elif strat == MODE_LATTICE:
+                            table, n_ocr = lattice_extract_page(
+                                payload, glyphs, backend,
+                                cfg.min_cell_w, cfg.min_cell_h)
+                            ocr_fb += n_ocr
+                        else:
+                            table, found = ocrstream_extract_page(
+                                payload, backend, cfg.required_headers)
+                            headers_found |= int(found)
+                        if table.nrows > 0:
+                            rows.append((doc_id, page, strat,
+                                         json.dumps(table.cells),
+                                         table.col_bounds, table.row_bounds,
+                                         0, 0, 0, 0))
+                except Exception:
+                    errors = 1
+                wall = int((time.perf_counter() - t0) * 1000)
+                rows.append((doc_id, page, PAGE_MARKER, "", [], [],
+                             ocr_fb, headers_found, errors, wall))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return extract_pages
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: per-document selection + span serialization + metrics
+# ---------------------------------------------------------------------------
+
+def _make_assemble_doc(cfg: ExtractConfig):
+    strategies = cfg.strategies()
+    hybrid = len(strategies) > 1
+
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id = key[0]
+        markers = pdf[pdf["strategy"] == PAGE_MARKER]
+        ocr_fallbacks = int(markers["ocr_fallbacks"].sum())
+        headers_found = bool((markers["headers_found"] > 0).any())
+        errors = int(markers["errors"].sum())
+        wall_ms = int(markers["wall_ms"].sum())
+        tc = TaskContext.get()
+        partition_id = tc.partitionId() if tc is not None else -1
+
+        per_strategy: dict[str, list[tuple[int, Table]]] = {}
+        for strat in strategies:
+            sub = pdf[pdf["strategy"] == strat].sort_values("page")
+            tables = [(int(r.page), Table(json.loads(r.cells_json),
+                                          list(r.col_bounds),
+                                          list(r.row_bounds)))
+                      for r in sub.itertuples(index=False)]
+            per_strategy[strat] = tables
+
+        # required-headers gate: the reference returns an empty result for
+        # the WHOLE ocrstream parse when the headers never appear
+        # (OcrStreamParser.java:107-112) — never a process kill.
+        if (cfg.required_headers and MODE_OCRSTREAM in per_strategy
+                and not headers_found):
+            per_strategy[MODE_OCRSTREAM] = []
+
+        def avg_score(tables: list[tuple[int, Table]]) -> float:
+            if not tables:
+                return 0.0
+            return float(np.mean([score_cells_vectorized(t.cells)
+                                  for _, t in tables]))
+
+        scores = {s: avg_score(per_strategy.get(s, [])) for s in strategies}
+
+        if all(len(v) == 0 for v in per_strategy.values()):
+            if errors > 0:
+                status = STATUS_ERROR
+            elif (cfg.required_headers and not headers_found
+                    and strategies == (MODE_OCRSTREAM,)):
+                status = STATUS_HEADERS_MISSING
+            else:
+                status = STATUS_NO_TABLES
+            return _one_row(doc_id, [], status, "", 0, 0,
+                            ocr_fallbacks, 0.0, wall_ms, partition_id)
+
+        if hybrid:
+            winner = pick_strategy(scores.get(MODE_STREAM, 0.0),
+                                   scores.get(MODE_LATTICE, 0.0),
+                                   scores.get(MODE_OCRSTREAM, 0.0))
+        else:
+            winner = strategies[0]
+        best = max(scores.values())
+        if best < cfg.min_score:
+            # HybridParser.java:251-255 service semantics: empty result.
+            return _one_row(doc_id, [], STATUS_BELOW_MIN_SCORE, winner, 0, 0,
+                            ocr_fallbacks, best, wall_ms, partition_id)
+
+        tables = per_strategy[winner]
+        spans = serialize_tables([(p, winner, t) for p, t in tables])
+        cells_parsed = sum(t.nrows * t.ncols for _, t in tables)
+        return _one_row(doc_id, spans, STATUS_OK, winner, len(tables),
+                        cells_parsed, ocr_fallbacks, scores[winner],
+                        wall_ms, partition_id)
+
+    return assemble
+
+
+def _one_row(doc_id, spans, status, strategy, tables_found, cells_parsed,
+             ocr_fallbacks, score, wall_ms, partition_id) -> pd.DataFrame:
+    return pd.DataFrame([{
+        "doc_id": doc_id,
+        "spans_json": json.dumps(spans),
+        "status": status,
+        "strategy": strategy,
+        "tables_found": tables_found,
+        "cells_parsed": cells_parsed,
+        "ocr_fallbacks": ocr_fallbacks,
+        "score": float(score),
+        "wall_ms": wall_ms,
+        "partition_id": partition_id,
+    }])
+
+
+# ---------------------------------------------------------------------------
+# Job driver
+# ---------------------------------------------------------------------------
+
+def extract(docs: DataFrame, media: DataFrame | None = None,
+            cfg: ExtractConfig = ExtractConfig(),
+            num_partitions: int | None = None) -> DataFrame:
+    """The full extraction plan (lazy). Returns the combined per-document
+    DataFrame: extracted spans (as JSON, see :func:`with_spans`) plus
+    metrics columns."""
+    work = build_page_work(docs, media, cfg)
+    if num_partitions:
+        # Explicit page-hash salting: unique (doc_id, page) keys spread a
+        # giant document across the cluster instead of one task.
+        work = work.repartition(num_partitions, F.col("doc_id"), F.col("page"))
+    page_results = work.mapInPandas(_make_extract_pages(cfg),
+                                    schema=PAGE_RESULT_SCHEMA)
+    combined = (page_results
+                .groupBy("doc_id")
+                .applyInPandas(_make_assemble_doc(cfg), schema=COMBINED_SCHEMA))
+    # Completeness: documents with zero surviving page-work rows (empty
+    # spans array, or every page filtered by the page range) must still
+    # appear — both for parity (BaseParser.finalizeResults "no tables")
+    # and so checkpoint/resume terminates instead of re-reading them
+    # forever.
+    # anti-join against the cheap native `work` plan (NOT `combined`,
+    # which would re-run the extraction kernels a second time)
+    missing = (docs.select("doc_id")
+               .join(work.select("doc_id").distinct(), "doc_id", "left_anti")
+               .select("doc_id",
+                       F.lit("[]").alias("spans_json"),
+                       F.lit(STATUS_NO_TABLES).alias("status"),
+                       F.lit("").alias("strategy"),
+                       F.lit(0).cast("long").alias("tables_found"),
+                       F.lit(0).cast("long").alias("cells_parsed"),
+                       F.lit(0).cast("long").alias("ocr_fallbacks"),
+                       F.lit(0.0).alias("score"),
+                       F.lit(0).cast("long").alias("wall_ms"),
+                       F.lit(-1).alias("partition_id")))
+    return combined.unionByName(missing)
+
+
+def with_spans(combined: DataFrame) -> DataFrame:
+    """documents_extracted view: parse spans_json natively (JVM-side
+    from_json, no Python) into the canonical spans array."""
+    return combined.select(
+        "doc_id",
+        F.from_json("spans_json", ArrayType(SPAN_STRUCT)).alias("spans"))
+
+
+def metrics_view(combined: DataFrame) -> DataFrame:
+    return combined.select("doc_id", "status", "strategy", "tables_found",
+                           "cells_parsed", "ocr_fallbacks", "score",
+                           "wall_ms", "partition_id", "run_id", "lineage")
+
+
+def run_extraction(spark: SparkSession, docs: DataFrame,
+                   media: DataFrame | None, cfg: ExtractConfig,
+                   out_dir: str, run_id: str, resume: bool = True,
+                   num_partitions: int | None = None) -> DataFrame:
+    """Execute the job with checkpoint/resume and lineage.
+
+    Appends per-document rows to ``{out_dir}/combined``. With
+    ``resume=True``, documents already present (any terminal status, from
+    any earlier run of the same out_dir) are anti-joined away before the
+    kernels run — a restart re-processes only missing documents (the
+    metrics table doubles as the checkpoint, SURVEY.md §4)."""
+    target = f"{out_dir}/combined"
+    if resume:
+        try:
+            done = spark.read.parquet(target).select("doc_id").distinct()
+            docs = docs.join(done, "doc_id", "left_anti")
+        except Exception:
+            pass  # first run: nothing to resume from
+
+    lineage = json.dumps({
+        "run_id": run_id,
+        "engine_version": __version__,
+        "config_hash": cfg.config_hash(),
+    })
+    combined = (extract(docs, media, cfg, num_partitions)
+                .withColumn("run_id", F.lit(run_id))
+                .withColumn("lineage", F.lit(lineage)))
+    combined.write.mode("append").parquet(target)
+    return spark.read.parquet(target)

@@ -1,0 +1,163 @@
+"""Local-mode Spark end-to-end: fixture corpus → extracted spans + metrics,
+checkpoint/resume, and span-sequence equality against the hybrid oracle."""
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from extractpdf4j_spark.config import ExtractConfig
+from extractpdf4j_spark.docmodel import decode_media_payload, decode_text_span
+from extractpdf4j_spark.fixtures import FixtureBuilder
+from extractpdf4j_spark.ocr import EmbeddedWordsBackend
+from extractpdf4j_spark.pipeline import (DOCUMENTS_SCHEMA, MEDIA_SCHEMA,
+                                         extract, run_extraction, with_spans)
+
+import oracle
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    fb = FixtureBuilder(seed=42).standard_corpus()
+    docs_pdf, media_pdf = fb.to_pandas()
+    docs = spark.createDataFrame(docs_pdf, schema=DOCUMENTS_SCHEMA)
+    media = spark.createDataFrame(media_pdf, schema=MEDIA_SCHEMA)
+    return docs.cache(), media.cache(), docs_pdf, media_pdf
+
+
+def oracle_results(docs_pdf, media_pdf):
+    payloads = {m: decode_media_payload(p)
+                for m, p in zip(media_pdf["media_ref"], media_pdf["payload"])}
+    backend = EmbeddedWordsBackend()
+    out = {}
+    for t in docs_pdf.itertuples(index=False):
+        pages = {}
+        for s in t.spans:
+            if s["kind"] == "text":
+                g = decode_text_span(s["text"])
+                pages.setdefault(g.page, [None, None])[0] = g
+            else:
+                p = payloads[s["media_ref"]]
+                pages.setdefault(p.page, [None, None])[1] = p
+        page_list = [(pg, g, p) for pg, (g, p) in sorted(pages.items())]
+        out[t.doc_id] = oracle.oracle_hybrid_doc(page_list, backend)
+    return out
+
+
+def test_e2e_span_equality(spark, corpus):
+    """The correctness gate: per-document span-sequence equality
+    (kind, text, media_ref, order) between the Spark pipeline and the
+    reference-semantics oracle on every fixture family."""
+    docs, media, docs_pdf, media_pdf = corpus
+    combined = extract(docs, media, ExtractConfig(), num_partitions=4)
+    rows = {r["doc_id"]: r for r in combined.collect()}
+    want = oracle_results(docs_pdf, media_pdf)
+
+    assert set(rows) == set(want)
+    for doc_id, (want_spans, want_status, want_strategy) in want.items():
+        got = rows[doc_id]
+        got_spans = json.loads(got["spans_json"])
+        assert got["status"] == want_status, doc_id
+        if want_status == "ok":
+            assert got["strategy"] == want_strategy, doc_id
+        assert [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in got_spans] == \
+               [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in want_spans], doc_id
+
+
+def test_e2e_statuses_and_metrics(spark, corpus):
+    docs, media, _, _ = corpus
+    combined = extract(docs, media, ExtractConfig(), num_partitions=4)
+    rows = {r["doc_id"]: r for r in combined.collect()}
+    assert rows["empty-1"]["status"] == "no_tables"
+    assert rows["stmt-1"]["strategy"] == "stream"
+    # digital ruled doc: clean text layer → stream legitimately outscores
+    assert rows["ruled-1"]["strategy"] == "stream"
+    # scanned ruled doc with mis-grouped OCR lines → lattice wins
+    assert rows["scan-1"]["strategy"] == "lattice"
+    assert rows["ocrw-1"]["strategy"] == "ocrstream"
+    assert rows["tie-1"]["strategy"] == "lattice"  # exact tie → lattice
+    assert rows["sparse-1"]["ocr_fallbacks"] > 0
+    assert all(r["wall_ms"] >= 0 for r in rows.values())
+    assert rows["stmt-1"]["cells_parsed"] > 0
+
+
+def test_spans_view_schema(spark, corpus):
+    docs, media, _, _ = corpus
+    combined = extract(docs, media, ExtractConfig(), num_partitions=2)
+    view = with_spans(combined)
+    row = view.filter(F.col("doc_id") == "stmt-1").collect()[0]
+    kinds = {s["kind"] for s in row["spans"]}
+    assert kinds <= {"text", "media"}
+    offsets = [s["offset"] for s in row["spans"]]
+    assert offsets == sorted(offsets)
+
+
+def test_page_range_filter(spark, corpus):
+    """Op 3: page pruning — page 2 only of a 2-page doc."""
+    docs, media, _, _ = corpus
+    cfg = ExtractConfig(pages="2")
+    combined = extract(docs.filter(F.col("doc_id") == "stmt-2"), media, cfg)
+    row = combined.collect()[0]
+    spans = json.loads(row["spans_json"])
+    assert row["tables_found"] == 1
+    assert all(s["media_ref"].startswith("table:stream:p2")
+               for s in spans if s["kind"] == "media")
+
+
+def test_min_score_gate(spark, corpus):
+    docs, media, _, _ = corpus
+    cfg = ExtractConfig(min_score=0.99)
+    combined = extract(docs.filter(F.col("doc_id") == "stmt-1"), media, cfg)
+    row = combined.collect()[0]
+    assert row["status"] == "below_min_score"
+    assert json.loads(row["spans_json"]) == []
+
+
+def test_resume_checkpoint(spark, corpus, tmp_path):
+    """Kill-and-restart semantics: second run only processes missing
+    documents; no duplicates, no missing."""
+    docs, media, docs_pdf, _ = corpus
+    out = str(tmp_path / "out")
+    half = docs.filter(F.col("doc_id").startswith("stmt"))
+    run_extraction(spark, half, media, ExtractConfig(), out, run_id="r1")
+
+    res = run_extraction(spark, docs, media, ExtractConfig(), out, run_id="r2")
+    got = res.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 1 for r in got)          # no duplicates
+    assert {r["doc_id"] for r in got} == set(docs_pdf["doc_id"])
+    runs = {r["doc_id"]: r["run_id"] for r in res.collect()}
+    assert runs["stmt-1"] == "r1"                     # not re-processed
+    assert runs["ruled-1"] == "r2"
+    lineage = json.loads(res.collect()[0]["lineage"])
+    assert lineage["config_hash"] == ExtractConfig().config_hash()
+
+
+def test_malformed_documents_never_kill_the_job(spark):
+    """Corrupt inputs become 'error'/'no_tables' status rows — a 100 TB
+    job must survive any single bad document (SURVEY.md §7 risk:
+    System.exit semantics become data, never process death)."""
+    from extractpdf4j_spark.pipeline import DOCUMENTS_SCHEMA
+    docs = [
+        ("bad-header", [{"kind": "text", "text": "NOT-A-HEADER\n1|2|3",
+                         "media_ref": "", "offset": 0}]),
+        ("bad-mediaref", [{"kind": "media", "text": "",
+                           "media_ref": "missing", "offset": 0}]),
+        ("empty-spans", []),
+        ("bad-glyphs", [{"kind": "text", "text": "p=1\nno-pipes-here",
+                         "media_ref": "", "offset": 0}]),
+        ("good", [{"kind": "text",
+                   "text": "p=1\n10.0|700.0|20.0|8.0|hello\n40.0|700.0|20.0|8.0|world",
+                   "media_ref": "", "offset": 0}]),
+    ]
+    df = spark.createDataFrame(docs, schema=DOCUMENTS_SCHEMA)
+    out = {r["doc_id"]: r for r in
+           extract(df, None, ExtractConfig()).collect()}
+    assert out["bad-header"]["status"] == "error"
+    assert out["bad-mediaref"]["status"] == "error"
+    assert out["empty-spans"]["status"] == "no_tables"
+    assert out["bad-glyphs"]["status"] == "error"
+    assert out["good"]["status"] == "ok"
+    assert len(out) == 5
