@@ -37,20 +37,25 @@ import numpy as np
 def _window_count(mask01: np.ndarray, k: int, axis: int, pad_value: int) -> np.ndarray:
     """Count of set pixels in a length-k window along ``axis`` with OpenCV
     center anchor a=k//2 (window for output i covers [i-a, i+k-1-a]),
-    padded with ``pad_value`` (0 or 1)."""
+    padded with ``pad_value`` (0 or 1). O(N) independent of k
+    (cumulative sums + sliced views, no copies beyond the output)."""
     if k <= 1:
         return mask01.astype(np.int32)
     a = k // 2
     pad = [(0, 0), (0, 0)]
-    pad[axis] = (a, k - 1 - a)
+    pad[axis] = (a + 1, k - 1 - a)   # +1 leading zero slot for the diff
     p = np.pad(mask01, pad, mode="constant", constant_values=pad_value)
+    if pad_value:
+        # the extra leading slot must be zero for the running sum diff
+        if axis == 0:
+            p[0, :] = 0
+        else:
+            p[:, 0] = 0
     c = np.cumsum(p, axis=axis, dtype=np.int32)
-    zero = np.zeros_like(np.take(c, [0], axis=axis))
-    c = np.concatenate([zero, c], axis=axis)
     n = mask01.shape[axis]
-    hi = np.take(c, np.arange(k, k + n), axis=axis)
-    lo = np.take(c, np.arange(0, n), axis=axis)
-    return hi - lo
+    if axis == 0:
+        return c[k:k + n, :] - c[0:n, :]
+    return c[:, k:k + n] - c[:, 0:n]
 
 
 def erode_binary(bin_img: np.ndarray, kw: int, kh: int) -> np.ndarray:
@@ -83,19 +88,21 @@ def morph_open_binary(bin_img: np.ndarray, kw: int, kh: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _box_mean(gray: np.ndarray, block: int) -> np.ndarray:
-    """Box-filter mean with replicate borders, rounded to uint8 like
-    OpenCV's boxFilter path inside adaptiveThreshold."""
+    """Box-filter mean with replicate borders, rounded like OpenCV's
+    boxFilter path inside adaptiveThreshold. All-integer arithmetic:
+    window sums are exact in int64 and floor(s/b²+0.5) is
+    (2s+b²)//(2b²) for non-negative s — no float temporaries."""
     a = block // 2
-    p = np.pad(gray.astype(np.float64), ((a, block - 1 - a), (a, block - 1 - a)),
-               mode="edge")
-    c = p.cumsum(axis=0).cumsum(axis=1)
+    p = np.pad(gray, ((a, block - 1 - a), (a, block - 1 - a)), mode="edge")
+    c = p.cumsum(axis=0, dtype=np.int64).cumsum(axis=1, dtype=np.int64)
     c = np.pad(c, ((1, 0), (1, 0)), mode="constant")
     h, w = gray.shape
     s = (c[block:block + h, block:block + w]
          - c[0:h, block:block + w]
          - c[block:block + h, 0:w]
          + c[0:h, 0:w])
-    return np.floor(s / (block * block) + 0.5)
+    b2 = block * block
+    return (2 * s + b2) // (2 * b2)
 
 
 def _gaussian_kernel(ksize: int) -> np.ndarray:
@@ -118,8 +125,10 @@ def _sep_filter(gray: np.ndarray, weights: np.ndarray, axis: int) -> np.ndarray:
 
 
 def _gaussian_mean(gray: np.ndarray, block: int) -> np.ndarray:
-    w = _gaussian_kernel(block)
-    g = _sep_filter(gray.astype(np.float64), w, axis=0)
+    # float32 halves the bandwidth of the two separable passes; the
+    # result feeds a +/-15 threshold so sub-1e-3 rounding is immaterial
+    w = _gaussian_kernel(block).astype(np.float32)
+    g = _sep_filter(gray.astype(np.float32), w, axis=0)
     g = _sep_filter(g, w, axis=1)
     return np.floor(g + 0.5)
 

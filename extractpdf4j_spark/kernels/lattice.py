@@ -118,13 +118,17 @@ def lattice_extract_page(payload: PagePayload | None, glyphs: GlyphRuns | None,
                 w, h = cols_x[c + 1] - x, rows_y[r + 1] - y
                 if w < min_cell_w or h < min_cell_h:
                     continue
-                roi = gray[y:y + h, x:x + w]
-                up = imageops.resize2x(roi)
-                binimg = imageops.adaptive_threshold(up, 35, 15,
-                                                     method="gaussian",
-                                                     invert=False)
-                if binimg.mean() < 128:
-                    binimg = np.uint8(255) - binimg
+                if backend.reads_pixels:
+                    # crop prep exists to help a pixel-reading OCR engine
+                    roi = gray[y:y + h, x:x + w]
+                    up = imageops.resize2x(roi)
+                    binimg = imageops.adaptive_threshold(up, 35, 15,
+                                                         method="gaussian",
+                                                         invert=False)
+                    if binimg.mean() < 128:
+                        binimg = np.uint8(255) - binimg
+                else:
+                    binimg = None
                 grid[r][c] = backend.cell_text(payload, binimg, (x, y, w, h))
                 ocr_cells += 1
 

@@ -187,7 +187,13 @@ def ocrstream_extract_page(payload: PagePayload | None, backend: OcrBackend,
     if payload is None:
         return Table([], [], []), False
 
-    cleaned = preprocess_page(payload.image)
+    # rule removal / rebinarization exist to help a pixel-reading OCR
+    # engine; every downstream use of `cleaned` is shape-preserving, so a
+    # pixel-free backend sees identical output without the image work
+    if backend.reads_pixels:
+        cleaned = preprocess_page(payload.image)
+    else:
+        cleaned = payload.image
     words = backend.words(payload, cleaned, psm)
     txt = words["text"].astype(str).str.strip() if len(words) else pd.Series([], dtype=str)
     words = words[txt != ""] if len(words) else words

@@ -35,18 +35,29 @@ from .docmodel import OCR_WORD_COLS, PagePayload
 
 class OcrBackend:
     """Protocol: produce TSV-style words for a page, or plain text for a
-    cell crop."""
+    cell crop.
+
+    ``reads_pixels`` tells kernels whether this backend actually consumes
+    image pixels. The reference's image preprocessing (rule removal,
+    upscale, re-binarization — OcrStreamParser.java:117-144,
+    LatticeParser.java:207-231) exists purely to help Tesseract read the
+    raster; a backend that doesn't look at pixels lets the kernel skip
+    that work without changing any output."""
+
+    reads_pixels = True
 
     def words(self, payload: PagePayload, image: np.ndarray, psm: int) -> pd.DataFrame:
         raise NotImplementedError
 
-    def cell_text(self, payload: PagePayload, cell_img: np.ndarray,
+    def cell_text(self, payload: PagePayload, cell_img: np.ndarray | None,
                   bbox: tuple[int, int, int, int]) -> str:
         raise NotImplementedError
 
 
 class EmbeddedWordsBackend(OcrBackend):
     """Deterministic OCR stand-in reading the payload's embedded word layer."""
+
+    reads_pixels = False
 
     def words(self, payload: PagePayload, image: np.ndarray, psm: int) -> pd.DataFrame:
         w = payload.words

