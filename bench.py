@@ -42,6 +42,9 @@ def make_spark(cores: int, shuffle_partitions: int | None = None):
             .appName(f"extractpdf4j-bench-{cores}")
             .config("spark.sql.shuffle.partitions", str(sp))
             .config("spark.sql.adaptive.enabled", "true")
+            # size-based coalescing collapses small-bytes/heavy-CPU page
+            # rows onto few cores — keep AQE (skew joins) but not that
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
             .config("spark.driver.memory", "48g")
@@ -49,19 +52,45 @@ def make_spark(cores: int, shuffle_partitions: int | None = None):
             .getOrCreate())
 
 
-def run_extraction_bench(spark, sf_dir: str, cores: int) -> tuple[float, int]:
+def _replicate(docs, media, times: int):
+    """Replicate the corpus with distinct doc_ids/media_refs (native ops)
+    — used by --scaling so the job runs long enough that the scheduler
+    floor doesn't masquerade as poor scaling."""
+    from pyspark.sql import functions as F
+    if times <= 1:
+        return docs, media
+    r = F.explode(F.array(*[F.lit(i) for i in range(times)])).alias("rep")
+    docs_r = (docs.select(r, "doc_id", "spans")
+              .select(F.concat_ws("#", "doc_id", "rep").alias("doc_id"),
+                      F.transform("spans", lambda s: F.struct(
+                          s.kind.alias("kind"), s.text.alias("text"),
+                          F.when(s.media_ref == "", "")
+                          .otherwise(F.concat_ws("#", s.media_ref, F.col("rep")))
+                          .alias("media_ref"),
+                          s.offset.alias("offset"))).alias("spans")))
+    media_r = (media.select(r, "media_ref", "doc_id", "page", "payload")
+               .select(F.concat_ws("#", "media_ref", "rep").alias("media_ref"),
+                       F.concat_ws("#", "doc_id", "rep").alias("doc_id"),
+                       "page", "payload"))
+    return docs_r, media_r
+
+
+def run_extraction_bench(spark, sf_dir: str, cores: int,
+                         replicate: int = 1) -> tuple[float, int]:
     """Timed end-to-end hybrid extraction. Returns (seconds, n_docs)."""
     from extractpdf4j_spark.config import ExtractConfig
     from extractpdf4j_spark.corpusgen import ensure_fixture_corpus
     from extractpdf4j_spark.pipeline import extract
 
     docs, media = ensure_fixture_corpus(spark, sf_dir)  # cached on disk
+    docs, media = _replicate(docs, media, replicate)
     docs = docs.cache()
     n_docs = docs.count()
     media.cache().count()
 
     t0 = time.perf_counter()
-    combined = extract(docs, media, ExtractConfig(), num_partitions=cores * 2)
+    combined = extract(docs, media, ExtractConfig(),
+                       num_partitions=cores * 2)
     n_out = combined.count()
     dt = time.perf_counter() - t0
     assert n_out == n_docs, (n_out, n_docs)
@@ -83,18 +112,19 @@ def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def headline(sf_dir: str, cores: int) -> dict:
+def headline(sf_dir: str, cores: int, replicate: int = 1,
+             with_queries: bool = True) -> dict:
     spark = make_spark(cores)
     try:
         # warm-up run primes JVM/Python workers and the corpus cache
-        run_extraction_bench(spark, sf_dir, cores)
+        run_extraction_bench(spark, sf_dir, cores, replicate)
         times = []
         n_docs = 0
-        for _ in range(2):
-            dt, n_docs = run_extraction_bench(spark, sf_dir, cores)
+        for _ in range(3):
+            dt, n_docs = run_extraction_bench(spark, sf_dir, cores, replicate)
             times.append(dt)
         best = min(times)
-        queries = run_query_bench(spark, sf_dir)
+        queries = run_query_bench(spark, sf_dir) if with_queries else {}
         return {
             "metric": "extraction_wall_sec",
             "value": round(best, 3),
@@ -109,16 +139,20 @@ def headline(sf_dir: str, cores: int) -> dict:
         spark.stop()
 
 
-def scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+def scaling(sf_dir: str, lo: int = 8, hi: int = 32,
+            replicate: int = 4) -> dict:
     """Run the same job at two parallelism levels in separate JVMs.
 
     Efficiency for an N→4N *core* scale-up at fixed input =
-    speedup / (hi/lo) where speedup = T_lo / T_hi.
+    speedup / (hi/lo) where speedup = T_lo / T_hi. The input is the
+    sf corpus replicated ``replicate``x (identical at both levels) so
+    the measurement reflects scaling, not the per-job scheduler floor.
     """
     out = {}
     for cores in (lo, hi):
         r = subprocess.run(
-            [sys.executable, __file__, "--one", str(cores)],
+            [sys.executable, __file__, "--one", str(cores),
+             "--replicate", str(replicate)],
             capture_output=True, text=True, env={**os.environ},
             cwd=REPO, timeout=3600)
         if r.returncode != 0:
@@ -145,9 +179,11 @@ def main():
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--one", type=int, default=None,
                     help="internal: headline at N cores only")
+    ap.add_argument("--replicate", type=int, default=1)
     args = ap.parse_args()
     if args.one:
-        print(json.dumps(headline(SF_DIR, args.one)))
+        print(json.dumps(headline(SF_DIR, args.one, args.replicate,
+                                  with_queries=False)))
     elif args.scaling:
         print(json.dumps(scaling(SF_DIR)))
     else:

@@ -567,8 +567,172 @@ GROUP BY 1 ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# 16. MinHash signatures (training-pipeline dedup; functions/dedup.py)
+# ---------------------------------------------------------------------------
+
+# Shared shingle construction notes: Spark's concat_ws skips NULLs and
+# element_at beyond the array yields NULL, exactly like DuckDB's
+# concat_ws/list-index — so partial shingles of short docs agree.
+DUCK_SHINGLES = r"""
+toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           concat_ws(' ', t[i + 1], t[i + 2], t[i + 3]) AS sh
+    FROM toks, unnest(generate_series(0, greatest(len(t) - 3, 0))) AS u(i)
+),
+shf AS (SELECT doc_id, sh FROM sh WHERE sh <> '')
+"""
+
+
+def q_minhash_sig(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.dedup import minhash_signatures
+    d = _docs(spark, sf)
+    return minhash_signatures(d, k=8).orderBy("doc_id")
+
+
+SQL_MINHASH_SIG = f"""
+WITH {DUCK_SHINGLES}
+SELECT doc_id,
+       min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
+       min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3,
+       min(md5('4:' || sh)) AS h4, min(md5('5:' || sh)) AS h5,
+       min(md5('6:' || sh)) AS h6, min(md5('7:' || sh)) AS h7
+FROM shf GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.dedup import minhash_duplicates
+    d = _docs(spark, sf)
+    return (minhash_duplicates(d, k=8, bands=4, threshold=0.25)
+            .orderBy("a", "b"))
+
+
+SQL_MINHASH_PAIRS = f"""
+WITH {DUCK_SHINGLES},
+sigs AS (
+    SELECT doc_id,
+           min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
+           min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3,
+           min(md5('4:' || sh)) AS h4, min(md5('5:' || sh)) AS h5,
+           min(md5('6:' || sh)) AS h6, min(md5('7:' || sh)) AS h7
+    FROM shf GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, 0 AS band_id, h0 || h1 AS band_val FROM sigs
+    UNION ALL SELECT doc_id, 1, h2 || h3 FROM sigs
+    UNION ALL SELECT doc_id, 2, h4 || h5 FROM sigs
+    UNION ALL SELECT doc_id, 3, h6 || h7 FROM sigs
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+)
+SELECT p.a, p.b,
+       ((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END
+       + CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END
+       + CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END
+       + CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END
+       + CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END
+       + CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END
+       + CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END
+       + CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) / 8.0) AS est_jaccard
+FROM pairs p JOIN sigs sa ON p.a = sa.doc_id JOIN sigs sb ON p.b = sb.doc_id
+WHERE ((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END
+       + CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END
+       + CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END
+       + CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END
+       + CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END
+       + CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END
+       + CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END
+       + CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END) / 8.0) >= 0.25
+ORDER BY a, b
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.dedup import (minhash_signatures, lsh_candidate_pairs,
+                                  ngram_jaccard_pairs)
+    d = _docs(spark, sf)
+    sigs = minhash_signatures(d, k=8)
+    pairs = lsh_candidate_pairs(sigs, k=8, bands=4)
+    return ngram_jaccard_pairs(d, pairs).orderBy("a", "b")
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {DUCK_SHINGLES},
+sigs AS (
+    SELECT doc_id,
+           min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
+           min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3,
+           min(md5('4:' || sh)) AS h4, min(md5('5:' || sh)) AS h5,
+           min(md5('6:' || sh)) AS h6, min(md5('7:' || sh)) AS h7
+    FROM shf GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, 0 AS band_id, h0 || h1 AS band_val FROM sigs
+    UNION ALL SELECT doc_id, 1, h2 || h3 FROM sigs
+    UNION ALL SELECT doc_id, 2, h4 || h5 FROM sigs
+    UNION ALL SELECT doc_id, 3, h6 || h7 FROM sigs
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+inter AS (
+    SELECT p.a, p.b, count(*) AS ninter
+    FROM pairs p
+    JOIN shf sa ON sa.doc_id = p.a
+    JOIN shf sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+    GROUP BY p.a, p.b
+)
+SELECT p.a, p.b,
+       round(coalesce(i.ninter, 0) * 1.0
+             / (ca.n + cb.n - coalesce(i.ninter, 0)), 6) AS jaccard
+FROM pairs p
+JOIN counts ca ON ca.doc_id = p.a
+JOIN counts cb ON cb.doc_id = p.b
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+ORDER BY p.a, p.b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Rows-only queries (not SQL-expressible: the extraction pipeline itself)
 # ---------------------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bit SimHash per document (rows-only: hex→int conv is not
+    portable to the DuckDB dialect)."""
+    from .functions.dedup import simhash64
+    return simhash64(_docs(spark, sf)).orderBy("doc_id")
+
+
+def q_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only; the exact brute-force
+    variant q_ann_cosine carries the oracle)."""
+    from .functions.similarity import lsh_bucketed_topk
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return lsh_bucketed_topk(e, query_id=0, k=10)
+
+
+def q_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-query top-k neighbor join for the first 3 vectors (rows-only)."""
+    from .functions.similarity import knn_join
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = (e.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return knn_join(e, q, k=5).orderBy("query_id", "rank")
+
 
 def q_extract_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """Full hybrid extraction over the derived interleaved corpus;
@@ -621,6 +785,12 @@ QUERIES = {
     "q_fingerprint": q_fingerprint,
     "q_ann_cosine": q_ann_cosine,
     "q_page_filter": q_page_filter,
+    "q_minhash_sig": q_minhash_sig,
+    "q_minhash_pairs": q_minhash_pairs,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_simhash": q_simhash,
+    "q_lsh_ann": q_lsh_ann,
+    "q_knn_join": q_knn_join,
     "q_extract_metrics": q_extract_metrics,
     "q_extract_spans": q_extract_spans,
 }
@@ -641,5 +811,11 @@ ORACLES = {
     "q_fingerprint": SQL_FINGERPRINT,
     "q_ann_cosine": SQL_ANN_COSINE,
     "q_page_filter": SQL_PAGE_FILTER,
-    # q_extract_metrics / q_extract_spans: not SQL-expressible → rows-only
+    "q_minhash_sig": SQL_MINHASH_SIG,
+    "q_minhash_pairs": SQL_MINHASH_PAIRS,
+    "q_ngram_jaccard": SQL_NGRAM_JACCARD,
+    # rows-only (no SQL-expressible oracle): q_simhash (hex→int conv not
+    # portable), q_lsh_ann / q_knn_join (hyperplane literals / window
+    # top-k covered by q_ann_cosine's oracle), q_extract_metrics /
+    # q_extract_spans (the extraction pipeline itself)
 }

@@ -1,0 +1,23 @@
+"""Training-data pipeline operators over document/embedding tables.
+
+These are first-class engine components beyond the reference's extraction
+surface: deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard),
+similarity search (brute-force + LSH-bucketed cosine), text analysis
+(language-ID, quality, token counts, fingerprints), and multimodal column
+plumbing. All are DataFrame programs (JVM-side expressions wherever
+possible; Arrow-vectorized UDFs only where built-ins can't express the
+semantics).
+"""
+
+from .dedup import (exact_duplicates, minhash_signatures, lsh_candidate_pairs,
+                    minhash_duplicates, ngram_jaccard_pairs, simhash64,
+                    simhash_duplicates)
+from .similarity import cosine_topk, lsh_bucketed_topk
+from .textstats import add_text_stats, language_id, fingerprint
+
+__all__ = [
+    "exact_duplicates", "minhash_signatures", "lsh_candidate_pairs",
+    "minhash_duplicates", "ngram_jaccard_pairs", "simhash64",
+    "simhash_duplicates", "cosine_topk", "lsh_bucketed_topk",
+    "add_text_stats", "language_id", "fingerprint",
+]

@@ -1,0 +1,218 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All hot paths are JVM-side expressions (split/transform/md5/conv/bitwise →
+whole-stage codegen); there is no Python in any per-row path. Hashing is
+md5-based so results are deterministic across engines (the DuckDB oracles
+in entry_queries reuse the same construction).
+
+Scale notes (100 TB):
+* signatures are one map-side-combinable aggregation per document,
+* candidate generation is an equi-join on (band_id, band_value) — skewed
+  bands (e.g. the empty-document signature) are the classic hot key; we
+  drop buckets larger than ``max_bucket`` the way production dedup
+  pipelines cap posting lists,
+* pair verification joins are on doc_id (unique) — broadcast the
+  signature table when small, sort-merge otherwise (left to AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenize / shingle
+# ---------------------------------------------------------------------------
+
+
+def _tokens(text_col):
+    return F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
+
+
+def shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles as an array column (native)."""
+    toks = _tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]))
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup on whitespace-normalized text.
+    Returns (text_hash, n_docs, keeper_doc_id) for groups with >1 doc."""
+    norm = F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return (df.select(F.col(id_col), norm.alias("text_hash"))
+            .groupBy("text_hash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(id_col).alias("keeper_doc_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 8,
+                       shingle_n: int = 3) -> DataFrame:
+    """k-component MinHash signature per document.
+
+    Component i = lexicographic min over shingles of md5(i || ':' ||
+    shingle) — one groupBy with k min() aggregates (map-side partial
+    aggregation; a single pass over the exploded shingles).
+    """
+    sh = (df.select(F.col(id_col), F.explode(shingles(F.col(text_col),
+                                                      shingle_n)).alias("sh"))
+          .filter(F.col("sh") != ""))
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+            for i in range(k)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        k: int = 8, bands: int = 4,
+                        max_bucket: int = 1000) -> DataFrame:
+    """Band the signatures and emit candidate pairs (a < b) sharing any
+    band. Buckets larger than ``max_bucket`` are dropped (hot-key guard)."""
+    rows_per_band = k // bands
+    band_cols = [
+        F.struct(F.lit(b).alias("band_id"),
+                 F.concat(*[F.col(f"h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)]).alias("band_val"))
+        for b in range(bands)
+    ]
+    banded = (sigs.select(F.col(id_col), F.explode(F.array(*band_cols))
+                          .alias("band"))
+              .select(id_col, "band.band_id", "band.band_val"))
+    sized = (banded.groupBy("band_id", "band_val")
+             .agg(F.count("*").alias("bucket_n")))
+    banded = (banded.join(sized, ["band_id", "band_val"])
+              .filter(F.col("bucket_n") <= max_bucket))
+    a = banded.select(F.col("band_id"), F.col("band_val"),
+                      F.col(id_col).alias("a"))
+    b = banded.select(F.col("band_id"), F.col("band_val"),
+                      F.col(id_col).alias("b"))
+    return (a.join(b, ["band_id", "band_val"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def minhash_duplicates(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 8, bands: int = 4,
+                       threshold: float = 0.8) -> DataFrame:
+    """Near-duplicate pairs with estimated Jaccard >= threshold.
+    Estimate = fraction of equal signature components."""
+    sigs = minhash_signatures(df, text_col, id_col, k).cache()
+    pairs = lsh_candidate_pairs(sigs, id_col, k, bands)
+    sa = sigs.select(F.col(id_col).alias("a"),
+                     *[F.col(f"h{i}").alias(f"a_h{i}") for i in range(k)])
+    sb = sigs.select(F.col(id_col).alias("b"),
+                     *[F.col(f"h{i}").alias(f"b_h{i}") for i in range(k)])
+    j = pairs.join(sa, "a").join(sb, "b")
+    eq = sum((F.col(f"a_h{i}") == F.col(f"b_h{i}")).cast("int")
+             for i in range(k))
+    return (j.select("a", "b", (eq / float(k)).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 3) -> DataFrame:
+    """True n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| via native
+    array_intersect / array_union on distinct shingle arrays."""
+    sh = df.select(F.col(id_col),
+                   shingles(F.col(text_col), shingle_n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    j = pairs.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return j.select("a", "b", F.round(jac, 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document, entirely in JVM expressions.
+
+    Token hash = md5 hex; two 32-bit halves via conv(hex,16,10). Per bit
+    position the classic ±1 vote sum, sign → bit. The 64 votes are 64
+    codegen'd aggregate expressions in ONE groupBy pass (no Python).
+    Returns (doc_id, simhash_hi, simhash_lo) as two unsigned 32-bit
+    values stored in longs.
+    """
+    toks = (df.select(F.col(id_col), F.explode(_tokens(F.col(text_col)))
+                      .alias("tok"))
+            .filter(F.col("tok") != ""))
+    h = F.md5(F.col("tok"))
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    toks = toks.select(id_col, hi.alias("hi"), lo.alias("lo"))
+    votes = []
+    for j in range(32):
+        votes.append(F.sum(
+            (F.shiftright(F.col("hi"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v_hi_{j}"))
+        votes.append(F.sum(
+            (F.shiftright(F.col("lo"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v_lo_{j}"))
+    agg = toks.groupBy(id_col).agg(*votes)
+    sim_hi = sum((F.col(f"v_hi_{j}") >= 0).cast("long") * (1 << j)
+                 for j in range(32))
+    sim_lo = sum((F.col(f"v_lo_{j}") >= 0).cast("long") * (1 << j)
+                 for j in range(32))
+    return agg.select(F.col(id_col), sim_hi.alias("simhash_hi"),
+                      sim_lo.alias("simhash_lo"))
+
+
+def simhash_duplicates(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance.
+
+    Candidate generation bands the 64 bits into four 16-bit keys (any
+    pair within Hamming<=3-per-band distance shares at least one exact
+    band for max_hamming<=6 by pigeonhole when distributed); verification
+    uses bit_count(xor) on both halves.
+    """
+    sims = simhash64(df, text_col, id_col).cache()
+    bands = [
+        (F.col("simhash_hi").bitwiseAND(F.lit(0xFFFF))).alias("b0"),
+        (F.shiftright("simhash_hi", 16).bitwiseAND(F.lit(0xFFFF))).alias("b1"),
+        (F.col("simhash_lo").bitwiseAND(F.lit(0xFFFF))).alias("b2"),
+        (F.shiftright("simhash_lo", 16).bitwiseAND(F.lit(0xFFFF))).alias("b3"),
+    ]
+    banded = (sims.select(F.col(id_col), *bands)
+              .select(id_col, F.explode(F.array(
+                  *[F.struct(F.lit(i).alias("band_id"),
+                             F.col(f"b{i}").alias("band_val"))
+                    for i in range(4)])).alias("band"))
+              .select(id_col, "band.band_id", "band.band_val"))
+    a = banded.select("band_id", "band_val", F.col(id_col).alias("a"))
+    b = banded.select("band_id", "band_val", F.col(id_col).alias("b"))
+    pairs = (a.join(b, ["band_id", "band_val"])
+             .filter(F.col("a") < F.col("b")).select("a", "b").distinct())
+    sa = sims.select(F.col(id_col).alias("a"),
+                     F.col("simhash_hi").alias("a_hi"),
+                     F.col("simhash_lo").alias("a_lo"))
+    sb = sims.select(F.col(id_col).alias("b"),
+                     F.col("simhash_hi").alias("b_hi"),
+                     F.col("simhash_lo").alias("b_lo"))
+    j = pairs.join(sa, "a").join(sb, "b")
+    ham = (F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+           + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo"))))
+    return (j.select("a", "b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

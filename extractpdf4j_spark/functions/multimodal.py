@@ -1,0 +1,104 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed through Arrow-batched mapInPandas.
+
+The container has no image/audio codecs (no PIL/cv2/ffmpeg), so the
+decode step is STUBBED: ``decode_image`` raises a clearly-marked
+NotImplementedError unless a deterministic fake decoder is requested. The
+Spark-side plumbing — schema, batch shape, partitioning, UDF signature —
+is real and tested; swapping in a real codec touches exactly one
+function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
+                               LongType, StringType, StructField, StructType)
+
+MEDIA_ASSET_SCHEMA = StructType([
+    StructField("asset_id", StringType()),
+    StructField("doc_id", StringType()),
+    StructField("kind", StringType()),          # image | audio | video
+    StructField("mime", StringType()),
+    StructField("width", IntegerType()),        # -1 when n/a
+    StructField("height", IntegerType()),
+    StructField("duration_ms", LongType()),     # -1 when n/a
+    StructField("payload", BinaryType()),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("asset_id", StringType()),
+    StructField("doc_id", StringType()),
+    StructField("kind", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("feature", ArrayType(FloatType())),
+])
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an encoded image payload to an HxWx3 uint8 array.
+
+    Real path requires an image codec (PIL/cv2) that this container lacks
+    — STUB. ``fake=True`` returns a deterministic 8x8 pseudo-image derived
+    from the payload hash so downstream plumbing can be exercised."""
+    if fake:
+        h = hashlib.sha256(payload).digest()
+        base = np.frombuffer((h * 6)[:192], dtype=np.uint8)
+        return base.reshape(8, 8, 3)
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decoding requires PIL/cv2, not present in this "
+            "environment; pass fake=True for the deterministic stub"
+        ) from e
+    import io
+    from PIL import Image
+    return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+
+
+def _feature_from_bytes(payload: bytes, dim: int = 16) -> list[float]:
+    """Deterministic hash-derived feature vector (stands in for a real
+    embedding model; same contract: payload -> fixed-dim float list)."""
+    h = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[:dim * 4],
+                        dtype=np.uint32)
+    return (raw.astype(np.float64) / np.float64(2**32)).astype(np.float32).tolist()
+
+
+def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
+    """Arrow-batched feature extraction over the opaque payload column.
+
+    Real deployments replace ``_feature_from_bytes`` with decode +
+    model-forward inside the same batch loop; the dataflow (repartition →
+    mapInPandas → array<float> column) is the production shape."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "doc_id": pdf["doc_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0).astype("int64"),
+                "feature": pdf["payload"].map(
+                    lambda b: _feature_from_bytes(b if b is not None else b"", dim)),
+            })
+            yield out
+
+    return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Native frame-sampling plan for video assets: one row per planned
+    frame timestamp (the decode of those frames is the stubbed step)."""
+    v = assets.filter(F.col("kind") == "video")
+    ts = F.sequence(F.lit(0).cast("long"),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0)).cast("long"),
+                    F.lit(every_ms).cast("long"))
+    return (v.select("asset_id", "doc_id",
+                     F.explode(ts).alias("frame_ts_ms")))

@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline; the scale path is
+LSH-bucketed search with deterministic random hyperplanes. Dot products
+use native higher-order functions (zip_with + aggregate → JVM, sequential
+fold, no Python).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(embeddings: DataFrame, query_id: int, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact brute-force cosine top-k against one stored vector.
+    The single-row query side is broadcast; ties break on id."""
+    e = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("emb"))
+    q = (e.filter(F.col(id_col) == query_id)
+         .select(F.col("emb").alias("qemb")))
+    j = e.crossJoin(F.broadcast(q))
+    cos = _dot(F.col("emb"), F.col("qemb")) / (
+        F.sqrt(_dot(F.col("emb"), F.col("emb")))
+        * F.sqrt(_dot(F.col("qemb"), F.col("qemb"))))
+    return (j.select(id_col, F.round(cos, 6).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))
+
+
+def knn_join(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "query_id") -> DataFrame:
+    """Top-k neighbors for EVERY query vector (broadcast the query side,
+    per-query window top-k). Exact; O(N*Q) — the LSH variant below is the
+    candidate-pruned version for large Q."""
+    e = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("emb"))
+    q = queries.select(F.col(qid_col), _as_double(F.col(vec_col)).alias("qemb"))
+    j = e.crossJoin(F.broadcast(q))
+    cos = _dot(F.col("emb"), F.col("qemb")) / (
+        F.sqrt(_dot(F.col("emb"), F.col("emb")))
+        * F.sqrt(_dot(F.col("qemb"), F.col("qemb"))))
+    j = j.select(qid_col, id_col, F.round(cos, 6).alias("cosine"))
+    w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(),
+                                            F.col(id_col))
+    return (j.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 — reproducible across runs
+    and engines, no RNG state to ship."""
+    planes = []
+    for p in range(n_planes):
+        comps = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            comps.append(1.0 if int(h[:2], 16) % 2 == 0 else -1.0)
+        planes.append(comps)
+    return planes
+
+
+def lsh_bucket(vec_col, n_planes: int, dim: int, seed: int = 42):
+    """Bucket id = sign bits of the vector against n_planes hyperplanes
+    (native expressions over literal plane arrays)."""
+    planes = _hyperplanes(n_planes, dim, seed)
+    bucket = F.lit(0).cast("long")
+    for p, comps in enumerate(planes):
+        plane = F.array(*[F.lit(c) for c in comps])
+        bit = (_dot(vec_col, plane) >= 0).cast("long")
+        bucket = bucket + bit * (1 << p)
+    return bucket
+
+
+def lsh_bucketed_topk(embeddings: DataFrame, query_id: int, k: int = 10,
+                      n_planes: int = 8, dim: int = 64,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Approximate cosine top-k: candidates share the query's hyperplane
+    bucket; exact cosine within the bucket.
+
+    At 100 TB the bucket column is precomputed and the table is
+    partitioned/bucketed by it, turning the probe into partition pruning;
+    here we compute it on the fly.
+    """
+    e = embeddings.select(F.col(id_col),
+                          _as_double(F.col(vec_col)).alias("emb"))
+    e = e.withColumn("bucket", lsh_bucket(F.col("emb"), n_planes, dim))
+    q = (e.filter(F.col(id_col) == query_id)
+         .select(F.col("emb").alias("qemb"), F.col("bucket").alias("qbucket")))
+    j = e.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+    cos = _dot(F.col("emb"), F.col("qemb")) / (
+        F.sqrt(_dot(F.col("emb"), F.col("emb")))
+        * F.sqrt(_dot(F.col("qemb"), F.col("qemb"))))
+    return (j.select(id_col, F.round(cos, 6).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))

@@ -37,10 +37,16 @@ import numpy as np
 def _window_count(mask01: np.ndarray, k: int, axis: int, pad_value: int) -> np.ndarray:
     """Count of set pixels in a length-k window along ``axis`` with OpenCV
     center anchor a=k//2 (window for output i covers [i-a, i+k-1-a]),
-    padded with ``pad_value`` (0 or 1). O(N) independent of k
-    (cumulative sums + sliced views, no copies beyond the output)."""
+    padded with ``pad_value`` (0 or 1). O(N) independent of k.
+
+    Uses uint16 cumulative sums with NATURAL OVERFLOW: the running total
+    wraps mod 2^16, but window differences c[i+k]-c[i] computed in uint16
+    arithmetic are exact because every true window sum (<= k <= 255) fits.
+    Halving the accumulator width matters — at 32 cores these kernels are
+    memory-bandwidth-bound, not compute-bound."""
     if k <= 1:
-        return mask01.astype(np.int32)
+        return mask01.astype(np.uint16)
+    assert k < 65536
     a = k // 2
     pad = [(0, 0), (0, 0)]
     pad[axis] = (a + 1, k - 1 - a)   # +1 leading zero slot for the diff
@@ -51,7 +57,7 @@ def _window_count(mask01: np.ndarray, k: int, axis: int, pad_value: int) -> np.n
             p[0, :] = 0
         else:
             p[:, 0] = 0
-    c = np.cumsum(p, axis=axis, dtype=np.int32)
+    c = np.cumsum(p, axis=axis, dtype=np.uint16)  # overflow-exact windows
     n = mask01.shape[axis]
     if axis == 0:
         return c[k:k + n, :] - c[0:n, :]
@@ -87,20 +93,34 @@ def morph_open_binary(bin_img: np.ndarray, kw: int, kh: int) -> np.ndarray:
 # Adaptive thresholding
 # ---------------------------------------------------------------------------
 
+def _window_sum_u16(arr: np.ndarray, k: int, axis: int) -> np.ndarray:
+    """Exact length-k windowed sum along ``axis`` with replicate borders,
+    via overflow-modular uint16 cumsum (valid while true window sums fit
+    in 16 bits). Returns uint16, same shape as input."""
+    a = k // 2
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (a + 1, k - 1 - a)
+    p = np.pad(arr, pad, mode="edge")
+    if axis == 0:
+        p[0, :] = 0
+    else:
+        p[:, 0] = 0
+    c = np.cumsum(p, axis=axis, dtype=np.uint16)
+    n = arr.shape[axis]
+    if axis == 0:
+        return c[k:k + n, :] - c[0:n, :]
+    return c[:, k:k + n] - c[:, 0:n]
+
+
 def _box_mean(gray: np.ndarray, block: int) -> np.ndarray:
     """Box-filter mean with replicate borders, rounded like OpenCV's
-    boxFilter path inside adaptiveThreshold. All-integer arithmetic:
-    window sums are exact in int64 and floor(s/b²+0.5) is
-    (2s+b²)//(2b²) for non-negative s — no float temporaries."""
-    a = block // 2
-    p = np.pad(gray, ((a, block - 1 - a), (a, block - 1 - a)), mode="edge")
-    c = p.cumsum(axis=0, dtype=np.int64).cumsum(axis=1, dtype=np.int64)
-    c = np.pad(c, ((1, 0), (1, 0)), mode="constant")
-    h, w = gray.shape
-    s = (c[block:block + h, block:block + w]
-         - c[0:h, block:block + w]
-         - c[block:block + h, 0:w]
-         + c[0:h, 0:w])
+    boxFilter path inside adaptiveThreshold. Separable 16-bit windowed
+    sums (block<=15 ⇒ row sums <=3825, 2-D sums <=57375 — both exact in
+    uint16 via the overflow trick); floor(s/b²+0.5) = (2s+b²)//(2b²).
+    Bandwidth, not FLOPs, bounds these kernels at high core counts."""
+    assert block * block * 255 < 65536, "block too large for u16 scheme"
+    s1 = _window_sum_u16(gray, block, axis=1)
+    s = _window_sum_u16(s1, block, axis=0).astype(np.int32)
     b2 = block * block
     return (2 * s + b2) // (2 * b2)
 
@@ -141,12 +161,20 @@ def adaptive_threshold(gray: np.ndarray, block: int, c: float,
     ``invert=False`` → THRESH_BINARY:     dst=255 where src >  T else 0
     with T = localmean(block) - c.
     """
+    if method == "mean" and float(c).is_integer():
+        # fused integer compare: g <= floor((2s+b²)/(2b²)) - c  ⟺
+        # (g+c)·2b² <= 2s+b² — skips the division and float temporaries
+        s1 = _window_sum_u16(gray, block, axis=1)
+        s = _window_sum_u16(s1, block, axis=0).astype(np.int32)
+        b2 = block * block
+        lhs = (gray.astype(np.int32) + int(c)) * (2 * b2)
+        rhs = 2 * s + b2
+        out = (lhs <= rhs) if invert else (lhs > rhs)
+        return out.astype(np.uint8) * np.uint8(255)
     mean = _box_mean(gray, block) if method == "mean" else _gaussian_mean(gray, block)
-    t = mean - c
-    if invert:
-        out = (gray.astype(np.float64) <= t)
-    else:
-        out = (gray.astype(np.float64) > t)
+    t = (mean - c).astype(np.int16)  # mean-c ∈ [-c, 255]; int16 halves traffic
+    g = gray.astype(np.int16)
+    out = (g <= t) if invert else (g > t)
     return out.astype(np.uint8) * np.uint8(255)
 
 
@@ -159,6 +187,38 @@ def binarize_for_lines(gray: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # Line projection / dedupe (lattice)
 # ---------------------------------------------------------------------------
+
+def project_open_lines(bin_img: np.ndarray, k: int, horizontal: bool) -> np.ndarray:
+    """Fused morphological-open + projection line detector.
+
+    Semantically identical to ``erode+dilate with a (k,1)/(1,k) kernel
+    then project_lines`` (LatticeParser.java:150-161,268-291), but
+    exploits two exact properties: a 1-D opening along an axis touches no
+    other rows/columns, and opening only REMOVES pixels — so any line
+    whose raw coverage is already below 35% can never pass. We therefore
+    open only the candidate rows/columns (usually a handful), collapsing
+    the full-image morphology to O(candidates * length)."""
+    m = bin_img > 0
+    if horizontal:
+        cov = m.sum(axis=1)
+        cand = np.where(cov > bin_img.shape[1] * 0.35)[0]
+        if len(cand) == 0:
+            return cand
+        sub = m[cand].astype(np.uint8)
+        er = (_window_count(sub, k, axis=1, pad_value=1) == k).astype(np.uint8)
+        op = _window_count(er, k, axis=1, pad_value=0) > 0
+        keep = op.sum(axis=1) > bin_img.shape[1] * 0.35
+        return cand[keep]
+    cov = m.sum(axis=0)
+    cand = np.where(cov > bin_img.shape[0] * 0.35)[0]
+    if len(cand) == 0:
+        return cand
+    sub = np.ascontiguousarray(m[:, cand].T).astype(np.uint8)
+    er = (_window_count(sub, k, axis=1, pad_value=1) == k).astype(np.uint8)
+    op = _window_count(er, k, axis=1, pad_value=0) > 0
+    keep = op.sum(axis=1) > bin_img.shape[0] * 0.35
+    return cand[keep]
+
 
 def project_lines(bin_img: np.ndarray, horizontal: bool) -> np.ndarray:
     """Positions whose white-pixel coverage exceeds 35%

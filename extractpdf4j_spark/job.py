@@ -1,0 +1,102 @@
+"""spark-submit job entry point.
+
+The cluster-deploy surface mandated by the north rule::
+
+    python -m extractpdf4j_spark.package         # builds dist/extractpdf4j_spark.zip
+    spark-submit --py-files dist/extractpdf4j_spark.zip \
+        extractpdf4j_spark/job.py \
+        --documents s3://bucket/documents \
+        --media s3://bucket/media \
+        --out s3://bucket/extracted \
+        --mode hybrid --pages all --run-id run-2026-08-16 \
+        --partitions 4096
+
+Replaces the reference's three entry points (CLI Main.java:156-225,
+library quickstart README.md:82-95, HTTP service PdfExtractController)
+with one batch job: the CLI flags mirror Main.java's options
+(--mode/--pages/--dpi/--min-score/--strip-text), plus the scale duties
+(partitions, resume, run-id lineage).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="extractpdf4j-spark",
+        description="PySpark table extraction over interleaved documents")
+    p.add_argument("--documents", required=True,
+                   help="path/table of documents(doc_id, spans)")
+    p.add_argument("--media", default=None,
+                   help="path/table of media(media_ref, doc_id, page, payload)")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--mode", default="hybrid",
+                   choices=["stream", "lattice", "ocrstream", "hybrid"])
+    p.add_argument("--pages", default="all",
+                   help='"all", "1", "2-5", "1,3-4" (PageRange.java:15 format)')
+    p.add_argument("--dpi", type=float, default=300.0)
+    p.add_argument("--min-score", type=float, default=0.0)
+    p.add_argument("--no-strip-text", action="store_true")
+    p.add_argument("--required-headers", default="",
+                   help="comma list; empty disables the gate")
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--csv-out", default=None,
+                   help="optional per-table CSV sink directory")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    from .config import ExtractConfig
+    from .pipeline import run_extraction, with_spans, metrics_view
+    from .sinks import write_tables_csv
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = (SparkSession.builder
+             .appName("extractpdf4j-spark")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+             .getOrCreate())
+
+    cfg = ExtractConfig(
+        mode=args.mode,
+        pages=args.pages,
+        strip_text=not args.no_strip_text,
+        lattice_dpi=args.dpi,
+        min_score=args.min_score,
+        required_headers=tuple(
+            h.strip() for h in args.required_headers.split(",") if h.strip()),
+    )
+    run_id = args.run_id or f"run-{int(time.time())}"
+
+    docs = spark.read.parquet(args.documents)
+    media = spark.read.parquet(args.media) if args.media else None
+
+    combined = run_extraction(spark, docs, media, cfg, args.out, run_id,
+                              resume=not args.no_resume,
+                              num_partitions=args.partitions)
+    n = combined.count()
+    ok = combined.filter(combined.status == "ok").count()
+    print(f"[extractpdf4j-spark] run_id={run_id} documents={n} ok={ok}")
+
+    if args.csv_out:
+        write_tables_csv(with_spans(combined), args.csv_out)
+
+    metrics_view(combined).groupBy("status").count().show()
+    if not preexisting:  # don't tear down a caller-owned session
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

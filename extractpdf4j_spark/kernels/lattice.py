@@ -43,17 +43,18 @@ OCR_FILL_GATE = 0.25  # LatticeParser.java:192
 
 
 def detect_grid(gray: np.ndarray) -> tuple[list[int], list[int]]:
-    """Steps 1-5: ruling-line positions (rowsY, colsX) incl. border close."""
+    """Steps 1-5: ruling-line positions (rowsY, colsX) incl. border close.
+
+    Uses the fused open+project fast path (imageops.project_open_lines)
+    — exact semantics of the reference's full-image erode/dilate then
+    projection, verified against the literal oracle."""
     bw = imageops.binarize_for_lines(gray)
     scale = max(1, gray.shape[1] // 1000)
     k = max(10 * scale, 10)
-    horizontal = imageops.dilate_binary(imageops.erode_binary(bw, k, 1), k, 1)
-    vertical = imageops.dilate_binary(imageops.erode_binary(bw, 1, k), 1, k)
-
     rows_y = imageops.dedupe_positions(
-        imageops.project_lines(horizontal, horizontal=True), DEDUPE_TOL)
+        imageops.project_open_lines(bw, k, horizontal=True), DEDUPE_TOL)
     cols_x = imageops.dedupe_positions(
-        imageops.project_lines(vertical, horizontal=False), DEDUPE_TOL)
+        imageops.project_open_lines(bw, k, horizontal=False), DEDUPE_TOL)
 
     h, w = gray.shape
     if not rows_y or rows_y[0] > BORDER_TOL:

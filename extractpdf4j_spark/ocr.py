@@ -72,20 +72,35 @@ class EmbeddedWordsBackend(OcrBackend):
                   bbox: tuple[int, int, int, int]) -> str:
         """Words whose box centers fall inside bbox=(x, y, w, h) in page
         raster coordinates, reading order (top then left), joined by a
-        single space — what Tesseract PSM 6 reads off the crop."""
+        single space — what Tesseract PSM 6 reads off the crop.
+
+        Word arrays are extracted and reading-order-sorted once per page
+        (a stable sort of the subset equals the subset of the stable
+        sort), so each of the potentially many per-cell calls is pure
+        numpy masking."""
+        arrs = getattr(payload, "_ocr_sorted", None)
+        if arrs is None:
+            w = payload.words
+            if len(w) == 0:
+                arrs = None
+            else:
+                left = w["left"].to_numpy(np.float64)
+                top = w["top"].to_numpy(np.float64)
+                cx = left + w["width"].to_numpy(np.float64) / 2.0
+                cy = top + w["height"].to_numpy(np.float64) / 2.0
+                order = np.lexsort((left, top))  # stable (top, left)
+                texts = np.array([str(t).strip() for t in w["text"]],
+                                 dtype=object)[order]
+                arrs = (cx[order], cy[order], texts)
+            payload._ocr_sorted = arrs  # PagePayload is a mutable dataclass
+        if arrs is None:
+            return ""
+        cx, cy, texts = arrs
         x, y, bw, bh = bbox
-        w = payload.words
-        if len(w) == 0:
-            return ""
-        cx = w["left"].to_numpy() + w["width"].to_numpy() / 2.0
-        cy = w["top"].to_numpy() + w["height"].to_numpy() / 2.0
         inside = (cx >= x) & (cx < x + bw) & (cy >= y) & (cy < y + bh)
-        sel = w[inside]
-        if len(sel) == 0:
+        if not inside.any():
             return ""
-        sel = sel.sort_values(["top", "left"], kind="stable")
-        toks = [t for t in sel["text"].astype(str).str.strip() if t]
-        return " ".join(toks)
+        return " ".join(t for t in texts[inside] if t)
 
 
 class PytesseractBackend(OcrBackend):

@@ -145,6 +145,12 @@ def build_page_work(docs: DataFrame, media: DataFrame | None,
         )
     )
 
+    if cfg.strategies() == (MODE_STREAM,):
+        # stream-only jobs never touch rasters: skip the payload join
+        # entirely (Catalyst can't know the UDF ignores the column)
+        return _page_filter(text_pages.withColumn(
+            "payload", F.lit(None).cast("binary")), cfg)
+
     media_pages = spans.filter(F.col("s.kind") == "media").select(
         "doc_id", F.col("s.media_ref").alias("media_ref"))
     if media is not None:
@@ -157,12 +163,50 @@ def build_page_work(docs: DataFrame, media: DataFrame | None,
             F.lit(None).cast("binary").alias("payload"))
 
     work = text_pages.join(media_pages, ["doc_id", "page"], "full_outer")
+    return _page_filter(work, cfg)
 
+
+def _page_filter(work: DataFrame, cfg: ExtractConfig) -> DataFrame:
     pages = parse_pages(cfg.pages)
     if not is_all(pages):
         # The reference's only pruning (PageRange → page filter, op 3).
-        work = work.filter(F.col("page").isin(pages))
+        # NULL-page rows (unresolved media refs) survive to surface as
+        # 'error' statuses rather than silently disappearing.
+        work = work.filter(F.col("page").isNull() | F.col("page").isin(pages))
     return work
+
+
+def build_work_ids(docs: DataFrame, media: DataFrame | None,
+                   cfg: ExtractConfig) -> DataFrame:
+    """doc_ids that produce at least one page-work row — the same
+    coverage as :func:`build_page_work` but WITHOUT the payload column,
+    so the missing-documents anti-join never re-runs the heavy join
+    (column pruning keeps the media side to (media_ref, page))."""
+    spans = docs.select("doc_id", F.explode("spans").alias("s"))
+    text_ids = spans.filter(F.col("s.kind") == "text").select(
+        "doc_id",
+        F.coalesce(F.regexp_extract(F.col("s.text"), r"^p=(\d+)", 1)
+                   .try_cast("int"), F.lit(-1)).alias("page"))
+    if cfg.strategies() == (MODE_STREAM,):
+        ids = text_ids
+        pages = parse_pages(cfg.pages)
+        if not is_all(pages):
+            ids = ids.filter(F.col("page").isNull() | F.col("page").isin(pages))
+        return ids.select("doc_id").distinct()
+
+    media_ids = spans.filter(F.col("s.kind") == "media").select(
+        "doc_id", F.col("s.media_ref").alias("media_ref"))
+    if media is not None:
+        media_ids = media_ids.join(media.select("media_ref", "page"),
+                                   "media_ref", "inner").select("doc_id", "page")
+    else:
+        media_ids = media_ids.select("doc_id",
+                                     F.lit(None).cast("int").alias("page"))
+    ids = text_ids.unionByName(media_ids)
+    pages = parse_pages(cfg.pages)
+    if not is_all(pages):
+        ids = ids.filter(F.col("page").isNull() | F.col("page").isin(pages))
+    return ids.select("doc_id").distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -347,26 +391,34 @@ def extract(docs: DataFrame, media: DataFrame | None = None,
     work = build_page_work(docs, media, cfg)
     if num_partitions:
         # Explicit page-hash salting: unique (doc_id, page) keys spread a
-        # giant document across the cluster instead of one task.
+        # giant document across the cluster instead of one task. When
+        # omitted, the full-outer join's own (doc_id, page) hash shuffle
+        # already distributes pages — run the session with
+        # spark.sql.adaptive.coalescePartitions.enabled=false so AQE's
+        # SIZE-based coalescing doesn't collapse these small-bytes /
+        # heavy-CPU rows onto a few cores (measured 3x regression).
         work = work.repartition(num_partitions, F.col("doc_id"), F.col("page"))
     page_results = work.mapInPandas(_make_extract_pages(cfg),
                                     schema=PAGE_RESULT_SCHEMA)
     # one explicit hash shuffle co-locates each document's page rows, then
     # stage 2 runs partition-wise (see _make_assemble_partition)
-    n_sel = num_partitions or 200
-    combined = (page_results
-                .repartition(n_sel, F.col("doc_id"))
-                .mapInPandas(_make_assemble_partition(cfg),
-                             schema=COMBINED_SCHEMA))
+    sel_parts = [F.col("doc_id")]
+    if num_partitions:
+        combined_repart = page_results.repartition(num_partitions, *sel_parts)
+    else:
+        combined_repart = page_results.repartition(*sel_parts)
+    combined = combined_repart.mapInPandas(_make_assemble_partition(cfg),
+                                           schema=COMBINED_SCHEMA)
     # Completeness: documents with zero surviving page-work rows (empty
     # spans array, or every page filtered by the page range) must still
     # appear — both for parity (BaseParser.finalizeResults "no tables")
     # and so checkpoint/resume terminates instead of re-reading them
     # forever.
-    # anti-join against the cheap native `work` plan (NOT `combined`,
-    # which would re-run the extraction kernels a second time)
+    # anti-join against the payload-free coverage plan (NOT `combined`,
+    # which would re-run the kernels, and NOT `work`, which would
+    # re-shuffle the payload bytes)
     missing = (docs.select("doc_id")
-               .join(work.select("doc_id").distinct(), "doc_id", "left_anti")
+               .join(build_work_ids(docs, media, cfg), "doc_id", "left_anti")
                .select("doc_id",
                        F.lit("[]").alias("spans_json"),
                        F.lit(STATUS_NO_TABLES).alias("status"),

@@ -74,6 +74,10 @@ def test_rows_only_queries(spark):
     assert len(srows) > 0
     assert set(spans.columns) == {"doc_id", "kind", "text", "media_ref", "offset"}
 
+    assert QUERIES["q_simhash"](spark, SF).count() > 0
+    assert QUERIES["q_lsh_ann"](spark, SF).count() >= 1
+    assert QUERIES["q_knn_join"](spark, SF).count() == 15  # 3 queries x k=5
+
 
 def test_entry_smoke(spark):
     import sys

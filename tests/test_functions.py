@@ -1,0 +1,144 @@
+"""Tests for the training-data pipeline operators (functions/)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_duplicates_finds_planted_dup(spark):
+    from extractpdf4j_spark.functions import exact_duplicates
+    df = spark.createDataFrame(
+        [(1, "the same doc"), (2, "THE  same   DOC"), (3, "another doc")],
+        ["doc_id", "text"])
+    out = exact_duplicates(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2
+    assert out[0]["keeper_doc_id"] == 1
+
+
+def test_minhash_dedup_near_duplicates(spark):
+    from extractpdf4j_spark.functions import minhash_duplicates
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("sigma", "sigmaX")           # 1-word change
+    far = "totally different content with none of the original words at all"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], ["doc_id", "text"])
+    out = {(r["a"], r["b"]): r["est_jaccard"]
+           for r in minhash_duplicates(df, threshold=0.5).collect()}
+    assert (1, 4) in out and out[(1, 4)] == 1.0      # exact dup
+    assert (1, 2) in out                             # near dup
+    assert (1, 3) not in out and (3, 4) not in out   # unrelated
+
+
+def test_ngram_jaccard_exact_on_pairs(spark):
+    from extractpdf4j_spark.functions import (minhash_signatures,
+                                              lsh_candidate_pairs,
+                                              ngram_jaccard_pairs)
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")],
+        ["doc_id", "text"])
+    sigs = minhash_signatures(df)
+    pairs = lsh_candidate_pairs(sigs)
+    out = {(r["a"], r["b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(df, pairs).collect()}
+    assert out.get((1, 2)) == 1.0
+
+
+def test_simhash_near_duplicates(spark):
+    from extractpdf4j_spark.functions import simhash64, simhash_duplicates
+    base = " ".join(f"w{i}" for i in range(60))
+    near = base.replace("w30", "CHANGED")
+    far = " ".join(f"q{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    sims = {r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
+            for r in simhash64(df).collect()}
+    assert all(0 <= v < 2**32 for pair in sims.values() for v in pair)
+    dups = {(r["a"], r["b"]): r["hamming"]
+            for r in simhash_duplicates(df, max_hamming=10).collect()}
+    assert (1, 2) in dups
+    assert (1, 3) not in dups
+
+
+def test_cosine_topk_self_first(spark, emb):
+    from extractpdf4j_spark.functions import cosine_topk
+    out = cosine_topk(emb, query_id=0, k=5).collect()
+    assert out[0]["vec_id"] == 0
+    assert out[0]["cosine"] == pytest.approx(1.0)
+    cosines = [r["cosine"] for r in out]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_bucketed_topk_contains_self(spark, emb):
+    from extractpdf4j_spark.functions import lsh_bucketed_topk
+    out = lsh_bucketed_topk(emb, query_id=0, k=5).collect()
+    assert out[0]["vec_id"] == 0
+    assert 1 <= len(out) <= 5
+
+
+def test_knn_join_per_query_topk(spark, emb):
+    from extractpdf4j_spark.functions.similarity import knn_join
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = knn_join(emb, queries, k=3).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2}
+    for qid, rows in per_q.items():
+        assert len(rows) == 3
+        assert rows[0]["vec_id"] == qid  # self is nearest
+
+
+def test_text_stats_and_langid(spark, docs):
+    from extractpdf4j_spark.functions import add_text_stats, language_id, fingerprint
+    out = add_text_stats(docs.limit(20)).collect()
+    for r in out:
+        assert r["n_tokens"] > 0
+        assert 0.0 <= r["quality"] <= 1.0
+    lang = language_id(docs.limit(20)).collect()
+    assert all(r["pred_lang"] in ("en", "de", "fr") for r in lang)
+    fp = fingerprint(docs.limit(5)).collect()
+    assert all(len(r["fingerprint"]) == 32 for r in fp)
+
+
+def test_multimodal_plumbing(spark):
+    from extractpdf4j_spark.functions.multimodal import (
+        MEDIA_ASSET_SCHEMA, decode_image, extract_features, frame_sample_plan)
+    assets = spark.createDataFrame(
+        [("a1", "d1", "image", "image/png", 64, 64, -1, b"\x89PNGfake"),
+         ("a2", "d1", "video", "video/mp4", 640, 480, 3500, b"\x00mp4fake"),
+         ("a3", "d2", "audio", "audio/wav", -1, -1, 2000, b"RIFFfake")],
+        schema=MEDIA_ASSET_SCHEMA)
+    feats = extract_features(assets, dim=16).collect()
+    assert len(feats) == 3
+    for r in feats:
+        assert len(r["feature"]) == 16
+        assert r["n_bytes"] > 0
+    # determinism
+    feats2 = extract_features(assets, dim=16).collect()
+    assert ([r["feature"] for r in sorted(feats, key=lambda r: r["asset_id"])]
+            == [r["feature"] for r in sorted(feats2, key=lambda r: r["asset_id"])])
+
+    frames = frame_sample_plan(assets, every_ms=1000).collect()
+    assert {r["frame_ts_ms"] for r in frames} == {0, 1000, 2000, 3000}
+
+    # decode is stubbed: real path raises, fake path is deterministic
+    with pytest.raises(NotImplementedError):
+        decode_image(b"payload")
+    img = decode_image(b"payload", fake=True)
+    assert img.shape == (8, 8, 3)
+    assert (img == decode_image(b"payload", fake=True)).all()

@@ -1,0 +1,89 @@
+"""spark-submit job surface + CSV sink tests."""
+
+import glob
+import os
+
+import pytest
+
+from extractpdf4j_spark.pipeline import DOCUMENTS_SCHEMA, MEDIA_SCHEMA
+from extractpdf4j_spark.fixtures import FixtureBuilder
+
+
+@pytest.fixture(scope="module")
+def fixture_parquet(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("job")
+    fb = FixtureBuilder(seed=42)
+    fb.stmt_text("stmt-1")
+    fb.stmt_text("stmt-2", n_rows=4)
+    fb.ocr_words("ocrw-1")
+    docs_pdf, media_pdf = fb.to_pandas()
+    docs = spark.createDataFrame(docs_pdf, schema=DOCUMENTS_SCHEMA)
+    media = spark.createDataFrame(media_pdf, schema=MEDIA_SCHEMA)
+    docs.write.parquet(str(root / "documents"))
+    media.write.parquet(str(root / "media"))
+    return root
+
+
+def test_job_main_end_to_end(spark, fixture_parquet, capsys):
+    from extractpdf4j_spark.job import main
+    out = str(fixture_parquet / "out")
+    rc = main([
+        "--documents", str(fixture_parquet / "documents"),
+        "--media", str(fixture_parquet / "media"),
+        "--out", out,
+        "--mode", "hybrid", "--pages", "all",
+        "--run-id", "test-run", "--partitions", "4",
+        "--csv-out", str(fixture_parquet / "csv"),
+    ])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "run_id=test-run" in captured
+    assert "documents=3" in captured
+    assert os.path.isdir(f"{out}/combined")
+    assert glob.glob(str(fixture_parquet / "csv") + "/doc_id=*/")
+
+
+def test_job_resume_cli(spark, fixture_parquet, capsys):
+    """Second invocation resumes: 0 new docs processed, output stable."""
+    from extractpdf4j_spark.job import main
+    out = str(fixture_parquet / "out")
+    rc = main([
+        "--documents", str(fixture_parquet / "documents"),
+        "--out", out, "--run-id", "test-run-2",
+    ])
+    assert rc == 0
+    combined = spark.read.parquet(f"{out}/combined")
+    per_doc = combined.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 1 for r in per_doc)
+    # all docs still carry the first run's id (nothing re-processed)
+    assert {r["run_id"] for r in combined.select("run_id").collect()} == {"test-run"}
+
+
+def test_csv_sink_round_trip(spark, fixture_parquet):
+    """The CSV sink reproduces the reference quoting (CsvExporter.java)."""
+    from extractpdf4j_spark.pipeline import with_spans
+    combined = spark.read.parquet(str(fixture_parquet / "out" / "combined"))
+    csv_tables = spark.read.parquet(str(fixture_parquet / "csv"))
+    rows = csv_tables.collect()
+    assert len(rows) >= 3
+    for r in rows:
+        assert r["csv"].count("\n") >= 1       # multi-row tables
+        ncols0 = None
+        # same column count per line outside quoted regions for stmt docs
+    # spot check one known cell from stmt-1 appears
+    ext = with_spans(combined).filter("doc_id = 'stmt-1'").collect()[0]
+    some_cell = next(s["text"] for s in ext["spans"]
+                     if s["kind"] == "text" and s["text"])
+    joined = "\n".join(r["csv"] for r in rows)
+    assert some_cell.split(" ")[0] in joined
+
+
+def test_package_zip(tmp_path):
+    from extractpdf4j_spark.package import build_zip
+    import zipfile
+    out = build_zip("dist")
+    with zipfile.ZipFile(out) as z:
+        names = z.namelist()
+    assert "extractpdf4j_spark/pipeline.py" in names
+    assert "extractpdf4j_spark/kernels/stream.py" in names
+    assert not any("__pycache__" in n for n in names)
