@@ -331,14 +331,14 @@ FROM raw ORDER BY id
 
 def q_fuzzy_header(spark: SparkSession, sf: str) -> DataFrame:
     p = spark.read.parquet(f"{sf}/part.parquet")
+    targets = ["date", "description", "debit", "credit", "balance",
+               "steel", "brass", "copper"]
     words = (p.select(F.explode(F.split(F.lower(F.col("p_type")), " "))
                       .alias("word"))
-             .filter(F.col("word") != ""))
-    targets = spark.createDataFrame(
-        [("date",), ("description",), ("debit",), ("credit",), ("balance",),
-         ("steel",), ("brass",), ("copper",)], ["target"])
-    j = words.crossJoin(targets).filter(
-        F.levenshtein(F.col("word"), F.col("target")) <= 1)
+             .filter(F.col("word") != "")
+             .select("word", F.explode(F.array(*[F.lit(t) for t in targets]))
+                     .alias("target")))
+    j = words.filter(F.levenshtein(F.col("word"), F.col("target")) <= 1)
     return (j.groupBy("target").agg(F.count("*").alias("n_matches"))
             .orderBy("target"))
 

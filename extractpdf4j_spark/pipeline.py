@@ -123,90 +123,78 @@ STATUS_ERROR = "error"
 # Stage 0: native span explode → page work units
 # ---------------------------------------------------------------------------
 
+# Page sentinels routed through stage 1 (never kernel-executed):
+PAGE_MALFORMED = -1     # unparseable text-span header → 'error'
+PAGE_NO_CONTENT = -2    # document with an empty spans array
+PAGE_FILTERED = -3      # media page outside the page-range selection
+
+
 def build_page_work(docs: DataFrame, media: DataFrame | None,
                     cfg: ExtractConfig) -> DataFrame:
     """Explode interleaved spans into per-page work rows
     (doc_id, page, glyph_blob, payload) using only native ops so Catalyst
-    prunes/pushes everything up to the kernel boundary."""
-    spans = docs.select("doc_id", F.explode("spans").alias("s"))
+    prunes/pushes everything up to the kernel boundary.
 
-    # try_cast: a malformed span header becomes page NULL → routed to an
-    # 'error' status row, never a job-killing ANSI cast exception.
-    text_pages = (
-        spans.filter(F.col("s.kind") == "text")
-        .select(
-            "doc_id",
-            F.coalesce(
-                F.regexp_extract(F.col("s.text"), r"^p=(\d+)", 1).try_cast("int"),
-                F.lit(-1)).alias("page"),
-            F.when(F.instr(F.col("s.text"), "\n") > 0,
-                   F.expr("substring(s.text, instr(s.text, '\\n')+1, length(s.text))"))
-            .otherwise(F.lit("")).alias("glyph_blob"),
-        )
-    )
+    Completeness by construction: ``explode_outer`` keeps empty-span
+    documents (page NO_CONTENT sentinel), and the page-range filter
+    BLANKS unselected content instead of dropping rows — every input
+    document reaches stage 2 exactly once with no side anti-join plan.
+    """
+    pages = parse_pages(cfg.pages)
+    filtered = not is_all(pages)
+
+    spans = docs.select("doc_id", F.explode_outer("spans").alias("s"))
+
+    # try_cast: a malformed span header becomes the MALFORMED sentinel →
+    # an 'error' status row, never a job-killing ANSI cast exception.
+    # Empty-span documents surface as kind NULL → NO_CONTENT.
+    page_col = F.when(
+        F.col("s").isNull(), F.lit(PAGE_NO_CONTENT)
+    ).otherwise(
+        F.coalesce(F.regexp_extract(F.col("s.text"), r"^p=(\d+)", 1)
+                   .try_cast("int"), F.lit(PAGE_MALFORMED)))
+    blob_col = F.when(
+        F.instr(F.col("s.text"), "\n") > 0,
+        F.expr("substring(s.text, instr(s.text, '\\n')+1, length(s.text))")
+    ).otherwise(F.lit(""))
+    if filtered:
+        # reference pruning (PageRange, op 3): unselected pages keep their
+        # presence row but ship no glyph bytes through the shuffle
+        blob_col = F.when(page_col.isin(pages), blob_col)
+
+    text_pages = (spans.filter(F.col("s").isNull()
+                               | (F.col("s.kind") == "text"))
+                  .select("doc_id", page_col.alias("page"),
+                          blob_col.alias("glyph_blob")))
 
     if cfg.strategies() == (MODE_STREAM,):
         # stream-only jobs never touch rasters: skip the payload join
         # entirely (Catalyst can't know the UDF ignores the column)
-        return _page_filter(text_pages.withColumn(
-            "payload", F.lit(None).cast("binary")), cfg)
+        return text_pages.withColumn("payload", F.lit(None).cast("binary"))
 
     media_pages = spans.filter(F.col("s.kind") == "media").select(
         "doc_id", F.col("s.media_ref").alias("media_ref"))
     if media is not None:
-        media_pages = media_pages.join(
-            media.select("media_ref", "page", "payload"), "media_ref", "inner"
-        ).select("doc_id", "page", "payload")
+        m = media.select("media_ref", "page", "payload")
+        if filtered:
+            # partition/predicate pruning on the media table: payloads of
+            # unselected pages are never read or shuffled
+            m = m.filter(F.col("page").isin(pages))
+        media_pages = (media_pages.join(m, "media_ref", "left")
+                       .select("doc_id",
+                               # unresolved ref: 'error' under pages=all,
+                               # indistinguishable from pruned otherwise
+                               F.coalesce(F.col("page"),
+                                          F.lit(PAGE_FILTERED if filtered
+                                                else PAGE_MALFORMED))
+                               .alias("page"),
+                               "payload"))
     else:
         media_pages = media_pages.select(
-            "doc_id", F.lit(None).cast("int").alias("page"),
+            "doc_id", F.lit(PAGE_MALFORMED).alias("page"),
             F.lit(None).cast("binary").alias("payload"))
 
-    work = text_pages.join(media_pages, ["doc_id", "page"], "full_outer")
-    return _page_filter(work, cfg)
-
-
-def _page_filter(work: DataFrame, cfg: ExtractConfig) -> DataFrame:
-    pages = parse_pages(cfg.pages)
-    if not is_all(pages):
-        # The reference's only pruning (PageRange → page filter, op 3).
-        # NULL-page rows (unresolved media refs) survive to surface as
-        # 'error' statuses rather than silently disappearing.
-        work = work.filter(F.col("page").isNull() | F.col("page").isin(pages))
-    return work
-
-
-def build_work_ids(docs: DataFrame, media: DataFrame | None,
-                   cfg: ExtractConfig) -> DataFrame:
-    """doc_ids that produce at least one page-work row — the same
-    coverage as :func:`build_page_work` but WITHOUT the payload column,
-    so the missing-documents anti-join never re-runs the heavy join
-    (column pruning keeps the media side to (media_ref, page))."""
-    spans = docs.select("doc_id", F.explode("spans").alias("s"))
-    text_ids = spans.filter(F.col("s.kind") == "text").select(
-        "doc_id",
-        F.coalesce(F.regexp_extract(F.col("s.text"), r"^p=(\d+)", 1)
-                   .try_cast("int"), F.lit(-1)).alias("page"))
-    if cfg.strategies() == (MODE_STREAM,):
-        ids = text_ids
-        pages = parse_pages(cfg.pages)
-        if not is_all(pages):
-            ids = ids.filter(F.col("page").isNull() | F.col("page").isin(pages))
-        return ids.select("doc_id").distinct()
-
-    media_ids = spans.filter(F.col("s.kind") == "media").select(
-        "doc_id", F.col("s.media_ref").alias("media_ref"))
-    if media is not None:
-        media_ids = media_ids.join(media.select("media_ref", "page"),
-                                   "media_ref", "inner").select("doc_id", "page")
-    else:
-        media_ids = media_ids.select("doc_id",
-                                     F.lit(None).cast("int").alias("page"))
-    ids = text_ids.unionByName(media_ids)
-    pages = parse_pages(cfg.pages)
-    if not is_all(pages):
-        ids = ids.filter(F.col("page").isNull() | F.col("page").isin(pages))
-    return ids.select("doc_id").distinct()
+    return text_pages.join(media_pages, ["doc_id", "page"], "full_outer")
 
 
 # ---------------------------------------------------------------------------
@@ -234,6 +222,12 @@ def _make_extract_pages(cfg: ExtractConfig):
                 # per-page isolation: a corrupt document must never kill
                 # the job — it becomes an 'error' status in metrics
                 try:
+                    if page == PAGE_NO_CONTENT or page == PAGE_FILTERED:
+                        # presence-only sentinel rows: marker, no kernels
+                        wall = int((time.perf_counter() - t0) * 1000)
+                        rows.append((doc_id, page, PAGE_MARKER, "", [], [],
+                                     0.0, 0, 0, 0, wall))
+                        continue
                     if page < 0:
                         raise ValueError("malformed text span header")
                     glyphs = (decode_glyph_blob(page, t.glyph_blob)
@@ -409,27 +403,11 @@ def extract(docs: DataFrame, media: DataFrame | None = None,
         combined_repart = page_results.repartition(*sel_parts)
     combined = combined_repart.mapInPandas(_make_assemble_partition(cfg),
                                            schema=COMBINED_SCHEMA)
-    # Completeness: documents with zero surviving page-work rows (empty
-    # spans array, or every page filtered by the page range) must still
-    # appear — both for parity (BaseParser.finalizeResults "no tables")
-    # and so checkpoint/resume terminates instead of re-reading them
-    # forever.
-    # anti-join against the payload-free coverage plan (NOT `combined`,
-    # which would re-run the kernels, and NOT `work`, which would
-    # re-shuffle the payload bytes)
-    missing = (docs.select("doc_id")
-               .join(build_work_ids(docs, media, cfg), "doc_id", "left_anti")
-               .select("doc_id",
-                       F.lit("[]").alias("spans_json"),
-                       F.lit(STATUS_NO_TABLES).alias("status"),
-                       F.lit("").alias("strategy"),
-                       F.lit(0).cast("long").alias("tables_found"),
-                       F.lit(0).cast("long").alias("cells_parsed"),
-                       F.lit(0).cast("long").alias("ocr_fallbacks"),
-                       F.lit(0.0).alias("score"),
-                       F.lit(0).cast("long").alias("wall_ms"),
-                       F.lit(-1).alias("partition_id")))
-    return combined.unionByName(missing)
+    # Completeness holds by construction: explode_outer + presence
+    # sentinels mean every input document reaches stage 2 exactly once
+    # (BaseParser.finalizeResults "no tables" parity, and resume
+    # termination) — no side anti-join plan, no extra scan of docs.
+    return combined
 
 
 def with_spans(combined: DataFrame) -> DataFrame:
