@@ -46,6 +46,9 @@ def make_spark(cores: int, shuffle_partitions: int | None = None):
             # rows onto few cores — keep AQE (skew joins) but not that
             .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            # 64-row batches measured best at local[32]: larger batches
+            # (512) raised T32 ~15% — coarse batches pipeline worse across
+            # the 2x-partition task set
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
             .config("spark.driver.memory", "48g")
             .config("spark.ui.enabled", "false")
@@ -190,7 +193,7 @@ def main():
         print(json.dumps(headline(SF_DIR, args.one, args.replicate,
                                   with_queries=False)))
     elif args.scaling:
-        print(json.dumps(scaling(SF_DIR)))
+        print(json.dumps(scaling(SF_DIR, replicate=max(args.replicate, 4))))
     else:
         print(json.dumps(headline(SF_DIR, CPUS)))
 

@@ -9,7 +9,7 @@ idiomatic PySpark pipeline:
   are implemented as **vectorized numpy kernels** driven from Arrow-batched
   ``mapInPandas`` / ``applyInPandas`` UDFs (no per-row Python),
 * the hybrid orchestrator (score + argmax with the reference's exact
-  tie-break order) runs as a per-document ``applyInPandas`` stage,
+  tie-break order) runs as a doc-hash-partitioned ``mapInPandas`` stage,
 * input is an Iceberg-style table of interleaved text+media documents
   ``documents(doc_id string, spans array<struct<kind,text,media_ref,offset>>)``,
 * output is the ordered-span re-serialization of the winning tables plus a

@@ -178,6 +178,29 @@ def adaptive_threshold(gray: np.ndarray, block: int, c: float,
     return out.astype(np.uint8) * np.uint8(255)
 
 
+def _binarize_region_rows(gray: np.ndarray, y0: int, y1: int) -> np.ndarray:
+    """Rows [y0, y1) of ``binarize_for_lines(gray)`` — exact, including
+    the replicate-border semantics relative to the FULL image."""
+    block, c = 15, 10
+    a = block // 2
+    h, w = gray.shape
+    lo = max(0, y0 - a)
+    hi = min(h, y1 + (block - 1 - a))
+    g = gray[lo:hi]
+    top_pad = a - (y0 - lo)
+    bot_pad = (block - 1 - a) - (hi - y1)
+    if top_pad or bot_pad:
+        g = np.pad(g, ((top_pad, bot_pad), (0, 0)), mode="edge")
+    s1 = _window_sum_u16(g, block, axis=1)          # horizontal window sums
+    zero = np.zeros((1, w), dtype=np.uint16)
+    c2 = np.cumsum(np.vstack([zero, s1]), axis=0, dtype=np.uint16)
+    n = y1 - y0
+    b2 = block * block
+    s = (c2[block:block + n] - c2[0:n]).astype(np.int32)
+    lhs = (gray[y0:y1].astype(np.int32) + c) * (2 * b2)
+    return np.where(lhs <= 2 * s + b2, 255, 0).astype(np.uint8)
+
+
 def binarize_for_lines(gray: np.ndarray) -> np.ndarray:
     """ImagePdfUtils.binarizeForLines (ImagePdfUtils.java:95-99):
     adaptive MEAN_C, BINARY_INV, block=15, C=10.
@@ -187,31 +210,82 @@ def binarize_for_lines(gray: np.ndarray) -> np.ndarray:
     per-page CPU through DRAM contention (measured 248→503 kernel-CPU
     seconds on the bench corpus). Bit-identical to
     ``adaptive_threshold(gray, 15, 10, 'mean', invert=True)``."""
-    block, c = 15, 10
-    a = block // 2
     h, w = gray.shape
     if h == 0 or w == 0:
         return np.zeros((h, w), dtype=np.uint8)
     out = np.empty((h, w), dtype=np.uint8)
-    b2 = block * block
-    strip = 128
-    zero = np.zeros((1, w), dtype=np.uint16)
-    for y0 in range(0, h, strip):
-        y1 = min(h, y0 + strip)
-        lo = max(0, y0 - a)
-        hi = min(h, y1 + (block - 1 - a))
-        g = gray[lo:hi]
-        top_pad = a - (y0 - lo)
-        bot_pad = (block - 1 - a) - (hi - y1)
-        if top_pad or bot_pad:
-            g = np.pad(g, ((top_pad, bot_pad), (0, 0)), mode="edge")
-        s1 = _window_sum_u16(g, block, axis=1)      # horizontal window sums
-        c2 = np.cumsum(np.vstack([zero, s1]), axis=0, dtype=np.uint16)
-        n = y1 - y0
-        s = (c2[block:block + n] - c2[0:n]).astype(np.int32)
-        lhs = (gray[y0:y1].astype(np.int32) + c) * (2 * b2)
-        out[y0:y1] = np.where(lhs <= 2 * s + b2, 255, 0).astype(np.uint8)
+    for y0 in range(0, h, 128):
+        y1 = min(h, y0 + 128)
+        out[y0:y1] = _binarize_region_rows(gray, y0, y1)
     return out
+
+
+def _open_count_rows(sub01: np.ndarray, k: int) -> np.ndarray:
+    """Per-row set-pixel count after a 1-D opening of width k (the
+    erode+dilate pair with OpenCV border semantics)."""
+    er = (_window_count(sub01, k, axis=1, pad_value=1) == k).astype(np.uint8)
+    op = _window_count(er, k, axis=1, pad_value=0) > 0
+    return op.sum(axis=1)
+
+
+def detect_line_positions(gray: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Fused binarize → morphological-open → projection for BOTH axes,
+    without ever materializing the full binarized image.
+
+    Pass A streams binarize strips accumulating raw per-row/per-column
+    coverage; passes B/C re-binarize only the candidate rows/columns
+    (opening removes pixels, so sub-35% raw coverage can never pass) and
+    apply the exact 1-D opening there. Bit-identical to
+    ``project_open_lines(binarize_for_lines(gray), k, ...)`` for both
+    axes — pinned by tests against the literal oracle."""
+    h, w = gray.shape
+    row_cov = np.empty(h, dtype=np.int64)
+    col_cov = np.zeros(w, dtype=np.int64)
+    for y0 in range(0, h, 128):
+        y1 = min(h, y0 + 128)
+        bw = _binarize_region_rows(gray, y0, y1)
+        m = bw > 0
+        row_cov[y0:y1] = m.sum(axis=1)
+        col_cov += m.sum(axis=0)
+
+    rows_out = np.empty(0, dtype=np.int64)
+    cand_r = np.where(row_cov > w * 0.35)[0]
+    if len(cand_r):
+        # contiguous candidate runs re-binarize as one slab each
+        subs = []
+        start = 0
+        for i in range(1, len(cand_r) + 1):
+            if i == len(cand_r) or cand_r[i] != cand_r[i - 1] + 1:
+                r0, r1 = int(cand_r[start]), int(cand_r[i - 1]) + 1
+                subs.append(((_binarize_region_rows(gray, r0, r1) > 0)
+                             .astype(np.uint8)))
+                start = i
+        sub = np.vstack(subs)
+        keep = _open_count_rows(sub, k) > w * 0.35
+        rows_out = cand_r[keep]
+
+    cols_out = np.empty(0, dtype=np.int64)
+    cand_c = np.where(col_cov > h * 0.35)[0]
+    if len(cand_c):
+        # column slab = row slab of a transposed NARROW slice (15x15 box
+        # mean and the pixelwise threshold are symmetric); only the ±7
+        # neighbor columns are copied, never the whole image
+        a = 7  # block 15 // 2
+        subs = []
+        start = 0
+        for i in range(1, len(cand_c) + 1):
+            if i == len(cand_c) or cand_c[i] != cand_c[i - 1] + 1:
+                c0, c1 = int(cand_c[start]), int(cand_c[i - 1]) + 1
+                s0 = max(0, c0 - a)
+                slab_t = np.ascontiguousarray(gray[:, s0:min(w, c1 + a)].T)
+                subs.append(((_binarize_region_rows(slab_t, c0 - s0,
+                                                    c1 - s0) > 0)
+                             .astype(np.uint8)))
+                start = i
+        sub = np.vstack(subs)
+        keep = _open_count_rows(sub, k) > h * 0.35
+        cols_out = cand_c[keep]
+    return rows_out, cols_out
 
 
 # ---------------------------------------------------------------------------

@@ -45,16 +45,15 @@ OCR_FILL_GATE = 0.25  # LatticeParser.java:192
 def detect_grid(gray: np.ndarray) -> tuple[list[int], list[int]]:
     """Steps 1-5: ruling-line positions (rowsY, colsX) incl. border close.
 
-    Uses the fused open+project fast path (imageops.project_open_lines)
-    — exact semantics of the reference's full-image erode/dilate then
-    projection, verified against the literal oracle."""
-    bw = imageops.binarize_for_lines(gray)
+    Uses the fully fused binarize→open→project fast path
+    (imageops.detect_line_positions) — exact semantics of the reference's
+    binarize + full-image erode/dilate + projection, verified against the
+    literal oracle."""
     scale = max(1, gray.shape[1] // 1000)
     k = max(10 * scale, 10)
-    rows_y = imageops.dedupe_positions(
-        imageops.project_open_lines(bw, k, horizontal=True), DEDUPE_TOL)
-    cols_x = imageops.dedupe_positions(
-        imageops.project_open_lines(bw, k, horizontal=False), DEDUPE_TOL)
+    rows_pos, cols_pos = imageops.detect_line_positions(gray, k)
+    rows_y = imageops.dedupe_positions(rows_pos, DEDUPE_TOL)
+    cols_x = imageops.dedupe_positions(cols_pos, DEDUPE_TOL)
 
     h, w = gray.shape
     if not rows_y or rows_y[0] > BORDER_TOL:

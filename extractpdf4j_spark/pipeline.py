@@ -18,7 +18,7 @@ Dataflow (all DataFrame ops; the only Python is Arrow-batched kernels):
         mapInPandas(extract_partition)      ← stage 1: per-page strategy
         |                                     fan-out (stream/lattice/ocr),
         |                                     vectorized numpy kernels
-        groupBy(doc_id).applyInPandas       ← stage 2: per-doc scoring,
+        repartition(doc_id) + mapInPandas   ← stage 2: per-doc scoring,
         |                                     argmax + tie-break, span
         |                                     re-serialization, metrics
         write parquet (combined extracted+metrics, append by run)

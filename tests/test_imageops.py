@@ -56,3 +56,14 @@ def test_window_count_anchor_and_pads():
     assert er.astype(int).tolist() == [[1, 0, 0, 0, 1, 0, 0, 0]]
     di = imageops._window_count(m, 3, axis=1, pad_value=0) > 0
     assert di.astype(int).tolist() == [[1, 1, 1, 1, 1, 1, 1, 0]]
+
+
+def test_detect_line_positions_matches_unfused_path():
+    for img in rand_imgs():
+        for k in (5, 10, 25):
+            bw = imageops.binarize_for_lines(img)
+            want_r = list(imageops.project_open_lines(bw, k, True))
+            want_c = list(imageops.project_open_lines(bw, k, False))
+            got_r, got_c = imageops.detect_line_positions(img, k)
+            assert list(got_r) == want_r, k
+            assert list(got_c) == want_c, k
