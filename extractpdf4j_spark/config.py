@@ -42,6 +42,14 @@ class ExtractConfig:
     min_cell_h: float = 10.0
     required_headers: tuple[str, ...] = ()
     ocr_psms: tuple[int, ...] = (6, 4, 11, 3)
+    # documented-but-unimplemented in the reference
+    # (docs/advanced-usage/columns.md:42-46, table-areas.md:55-69 — no
+    # implementation exists there); here they are working opt-ins:
+    # explicit stream column boundaries (x positions, points), and
+    # table regions (x1,y1,x2,y2 in points, origin bottom-left) that
+    # confine the stream parser's glyphs
+    columns: tuple[float, ...] = ()
+    table_areas: tuple[tuple[float, float, float, float], ...] = ()
     # scale knobs (no reference analog — Spark-side physical tuning)
     arrow_batch_docs: int = 128
     shuffle_partitions: int | None = None

@@ -331,8 +331,10 @@ FROM raw ORDER BY id
 
 def q_fuzzy_header(spark: SparkSession, sf: str) -> DataFrame:
     p = spark.read.parquet(f"{sf}/part.parquet")
+    # statement headers incl. OCR-typo forms, plus near-misses of the
+    # corpus's own p_type vocabulary so matches exist at every sf
     targets = ["date", "description", "debit", "credit", "balance",
-               "steel", "brass", "copper"]
+               "promo", "smal", "largo", "econony", "standard"]
     words = (p.select(F.explode(F.split(F.lower(F.col("p_type")), " "))
                       .alias("word"))
              .filter(F.col("word") != "")
@@ -349,7 +351,7 @@ WITH words AS (
 ),
 targets AS (
     SELECT unnest(['date','description','debit','credit','balance',
-                   'steel','brass','copper']) AS target
+                   'promo','smal','largo','econony','standard']) AS target
 )
 SELECT target, count(*) AS n_matches
 FROM words, targets
@@ -363,9 +365,18 @@ GROUP BY target ORDER BY target
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
-    d = _docs(spark, sf)
-    norm = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    return (d.select(F.col("doc_id"), norm.alias("text_hash"))
+    # the synthetic corpus has no exact duplicates, so plant them
+    # deterministically (every 7th doc re-enters under a shifted id,
+    # whitespace-mangled) — the hash-groupBy must recover exactly those
+    d = _docs(spark, sf).select("doc_id", "text")
+    dups = (d.filter(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                    F.concat(F.lit("  "),
+                             F.regexp_replace("text", " ", "  "))
+                    .alias("text")))
+    full = d.unionByName(dups)
+    norm = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    return (full.select(F.col("doc_id"), norm.alias("text_hash"))
             .groupBy("text_hash")
             .agg(F.count("*").alias("n_docs"),
                  F.min("doc_id").alias("keeper_doc_id"))
@@ -374,10 +385,17 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_DEDUP_EXACT = r"""
-SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_hash,
+WITH full_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           '  ' || replace(text, ' ', '  ') AS text
+    FROM documents WHERE doc_id % 7 = 0
+)
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_hash,
        count(*) AS n_docs,
        min(doc_id) AS keeper_doc_id
-FROM documents
+FROM full_docs
 GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash
 """
 

@@ -44,8 +44,21 @@ def java_round(a: np.ndarray) -> np.ndarray:
 
 
 def stream_extract_page(x: np.ndarray, y: np.ndarray, w: np.ndarray,
-                        tokens: np.ndarray, strip_text: bool = True) -> Table:
-    """Extract one page's table from glyph-run arrays."""
+                        tokens: np.ndarray, strip_text: bool = True,
+                        columns: tuple[float, ...] = (),
+                        table_areas: tuple = ()) -> Table:
+    """Extract one page's table from glyph-run arrays.
+
+    ``columns``/``table_areas`` implement the reference's documented-only
+    features (docs/advanced-usage/columns.md, table-areas.md — no Java
+    implementation exists): explicit column boundaries replace the gap
+    histogram, and table areas confine the glyphs to given (x1,y1,x2,y2)
+    regions (points, origin bottom-left) before parsing."""
+    if table_areas:
+        keep = np.zeros(len(x), dtype=bool)
+        for (x1, y1, x2, y2) in table_areas:
+            keep |= (x >= x1) & (x <= x2) & (y >= y1) & (y <= y2)
+        x, y, w, tokens = x[keep], y[keep], w[keep], tokens[keep]
     n = len(x)
     if n == 0:
         return Table([], [0.0, 1e9], [])
@@ -66,17 +79,23 @@ def stream_extract_page(x: np.ndarray, y: np.ndarray, w: np.ndarray,
     row_id = np.cumsum(row_start) - 1
     nrows = row_id[-1] + 1
 
-    # 4) column-bound inference over adjacent glyphs WITHIN each row
+    # 4) column bounds: explicit user columns, else gap-histogram
+    # inference over adjacent glyphs WITHIN each row
     right = xs + ws
     gap = xs[1:] - right[:-1]
     same_row = row_id[1:] == row_id[:-1]
-    vote_mask = same_row & (gap > BOUND_GAP)
-    if vote_mask.any():
-        mid = right[:-1][vote_mask] + gap[vote_mask] / 2.0
-        keys = np.unique(java_round(mid / BOUND_BIN))
-        bounds = np.concatenate(([0.0], keys * BOUND_BIN, [1e9]))
+    if columns:
+        bounds = np.concatenate(([0.0], np.sort(np.asarray(columns,
+                                                           dtype=np.float64)),
+                                 [1e9]))
     else:
-        bounds = np.array([0.0, 1e9])
+        vote_mask = same_row & (gap > BOUND_GAP)
+        if vote_mask.any():
+            mid = right[:-1][vote_mask] + gap[vote_mask] / 2.0
+            keys = np.unique(java_round(mid / BOUND_BIN))
+            bounds = np.concatenate(([0.0], keys * BOUND_BIN, [1e9]))
+        else:
+            bounds = np.array([0.0, 1e9])
     ncols = len(bounds) - 1
 
     # 3) span merge: break at row change or in-row gap > 6.0

@@ -239,7 +239,8 @@ def _make_extract_pages(cfg: ExtractConfig):
                         if strat == MODE_STREAM:
                             table = (stream_extract_page(
                                 glyphs.x, glyphs.y, glyphs.w, glyphs.tokens,
-                                cfg.strip_text) if glyphs is not None
+                                cfg.strip_text, cfg.columns,
+                                cfg.table_areas) if glyphs is not None
                                 else Table([], [], []))
                         elif strat == MODE_LATTICE:
                             table, n_ocr = lattice_extract_page(

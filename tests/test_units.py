@@ -195,3 +195,28 @@ def test_normalize_amount_confusions_and_cents_bug():
 def test_normalize_date():
     assert normalize_date("12Jul  2025") == "12 Jul 2025"
     assert normalize_date(" 3 Aug ") == "3 Aug"
+
+
+def test_explicit_columns_override_inference():
+    """docs/advanced-usage/columns.md feature (doc-only in the reference):
+    explicit x boundaries replace the gap histogram."""
+    x = np.array([10.0, 100.0, 200.0])
+    y = np.array([50.0, 50.0, 50.0])
+    w = np.array([10.0, 10.0, 10.0])
+    toks = np.array(["a", "b", "c"], dtype=object)
+    t = stream_extract_page(x, y, w, toks, columns=(150.0, 60.0))
+    assert t.col_bounds == [0.0, 60.0, 150.0, 1e9]
+    assert t.cells == [["a", "b", "c"]]
+
+
+def test_table_areas_confine_glyphs():
+    """docs/advanced-usage/table-areas.md feature: glyphs outside every
+    region are excluded before parsing."""
+    x = np.array([10.0, 100.0, 400.0])
+    y = np.array([50.0, 50.0, 700.0])
+    w = np.array([10.0, 10.0, 10.0])
+    toks = np.array(["in1", "in2", "out"], dtype=object)
+    t = stream_extract_page(x, y, w, toks,
+                            table_areas=((0.0, 0.0, 300.0, 100.0),))
+    flat = [v for row in t.cells for v in row if v]
+    assert flat == ["in1", "in2"]
