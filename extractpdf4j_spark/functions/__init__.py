@@ -10,8 +10,8 @@ semantics).
 """
 
 from .dedup import (exact_duplicates, minhash_signatures, lsh_candidate_pairs,
-                    minhash_duplicates, ngram_jaccard_pairs, simhash64,
-                    simhash_duplicates)
+                    minhash_duplicates, ngram_jaccard_pairs, shingle_rows,
+                    simhash64, simhash_duplicates)
 from .similarity import cosine_topk, lsh_bucketed_topk
 from .textstats import add_text_stats, language_id, fingerprint
 

@@ -17,7 +17,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # ---------------------------------------------------------------------------
 # Tokenize / shingle
@@ -28,13 +28,26 @@ def _tokens(text_col):
     return F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
 
 
-def shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingles as an array column (native)."""
-    toks = _tokens(text_col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(
-        " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]))
-    return F.array_distinct(grams)
+def shingle_rows(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles as rows (id_col, sh).
+
+    posexplode + window leads — whole-stage codegen throughout. (A
+    higher-order ``transform`` lambda building the same shingles ran
+    interpreted at ~2.4 ms/doc, 30x slower.) Boundary semantics match the
+    DuckDB oracle: indices 0..max(len-n, 0); missing trailing tokens drop
+    out of concat_ws, so sub-n-token docs yield one partial shingle."""
+    toks = _tokens(F.col(text_col))
+    t = df.select(F.col(id_col), F.size(toks).alias("_ntok"),
+                  F.posexplode(toks).alias("_pos", "_tok"))
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    gram = F.concat_ws(" ", F.col("_tok"),
+                       *[F.lead("_tok", j).over(w) for j in range(1, n)])
+    out = (t.select(F.col(id_col), "_pos", "_ntok", gram.alias("sh"))
+           .filter(F.col("_pos") <= F.greatest(F.col("_ntok") - n, F.lit(0)))
+           .filter(F.col("sh") != "")
+           .select(id_col, "sh").distinct())
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -66,9 +79,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     shingle) — one groupBy with k min() aggregates (map-side partial
     aggregation; a single pass over the exploded shingles).
     """
-    sh = (df.select(F.col(id_col), F.explode(shingles(F.col(text_col),
-                                                      shingle_n)).alias("sh"))
-          .filter(F.col("sh") != ""))
+    sh = shingle_rows(df, text_col, id_col, shingle_n)
     aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
             for i in range(k)]
     return sh.groupBy(id_col).agg(*aggs)
@@ -127,16 +138,22 @@ def minhash_duplicates(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         shingle_n: int = 3) -> DataFrame:
-    """True n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| via native
-    array_intersect / array_union on distinct shingle arrays."""
-    sh = df.select(F.col(id_col),
-                   shingles(F.col(text_col), shingle_n).alias("sh"))
-    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
-    j = pairs.join(a, "a").join(b, "b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    """True n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| computed by
+    equi-joining the exploded distinct-shingle rows (all codegen) —
+    |A∪B| = |A| + |B| - |A∩B|."""
+    sh = shingle_rows(df, text_col, id_col, shingle_n).cache()
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    sa = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("s"))
+    sb = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("s"))
+    inter = (pairs.join(sa, "a").join(sb, ["b", "s"])
+             .groupBy("a", "b").agg(F.count("*").alias("ninter")))
+    ca = counts.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
+    cb = counts.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    j = (pairs.join(ca, "a").join(cb, "b")
+         .join(inter, ["a", "b"], "left")
+         .withColumn("ninter", F.coalesce(F.col("ninter"), F.lit(0))))
+    union = F.col("na") + F.col("nb") - F.col("ninter")
+    jac = F.when(union > 0, F.col("ninter") / union).otherwise(F.lit(0.0))
     return j.select("a", "b", F.round(jac, 6).alias("jaccard"))
 
 
