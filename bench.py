@@ -35,6 +35,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def make_spark(cores: int, shuffle_partitions: int | None = None):
+    # pin BLAS threading BEFORE workers fork: numpy's OpenBLAS spawns ~12
+    # threads per matmul; 32 python workers x that oversubscribes the box
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     from pyspark.sql import SparkSession
     sp = shuffle_partitions or max(cores * 2, 8)
     return (SparkSession.builder
