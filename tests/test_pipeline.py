@@ -161,3 +161,63 @@ def test_malformed_documents_never_kill_the_job(spark):
     assert out["bad-glyphs"]["status"] == "error"
     assert out["good"]["status"] == "ok"
     assert len(out) == 5
+
+
+def test_interleaved_multipage_doc(spark):
+    """A document interleaving a digital page and a scanned page: winner
+    selection is per-document across both pages' tables."""
+    fb = FixtureBuilder(seed=99)
+    # page 1: text layer; page 2: scanned with OCR words
+    from extractpdf4j_spark.fixtures import (layout_text_rows, STMT_COL_X,
+                                             statement_rows, blank_page,
+                                             layout_ocr_rows, words_df)
+    import random
+    rng = random.Random(1)
+    rows1 = statement_rows(rng, 6)
+    rows2 = statement_rows(rng, 5)
+    for r in rows2[1:]:
+        r[0] = r[0].replace(" ", "")
+    fb.add_doc("mix-1", [
+        {"runs": layout_text_rows(rows1, STMT_COL_X)},
+        {"image": blank_page(),
+         "words": words_df(layout_ocr_rows(rows2, [60, 160, 400, 520, 650],
+                                           right_edges={2: 450, 3: 575, 4: 760}))},
+    ])
+    docs_pdf, media_pdf = fb.to_pandas()
+    docs = spark.createDataFrame(docs_pdf, schema=DOCUMENTS_SCHEMA)
+    media = spark.createDataFrame(media_pdf, schema=MEDIA_SCHEMA)
+    row = extract(docs, media, ExtractConfig(), num_partitions=4).collect()[0]
+    assert row["status"] == "ok"
+    spans = json.loads(row["spans_json"])
+    table_refs = [s["media_ref"] for s in spans if s["kind"] == "media"]
+    # winner produced tables from the pages IT could parse; offsets ordered
+    assert len(table_refs) >= 1
+    offs = [s["offset"] for s in spans]
+    assert offs == sorted(offs)
+    # parity with the oracle on this interleaved doc
+    from extractpdf4j_spark.local import extract_document
+    payloads = dict(zip(media_pdf["media_ref"], media_pdf["payload"]))
+    want, wstatus, wstrat, _ = extract_document(
+        list(docs_pdf["spans"][0]), payloads, ExtractConfig())
+    assert row["strategy"] == wstrat
+    assert [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans] \
+        == [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in want]
+
+
+def test_big_doc_pages_spread_across_partitions(spark):
+    """Axis-A skew duty: a 40-page document's pages distribute across
+    stage-1 partitions instead of landing on one task."""
+    from pyspark.sql import functions as F
+    from extractpdf4j_spark.pipeline import build_page_work
+    fb = FixtureBuilder(seed=5)
+    fb.skew_big("big-1", n_pages=40)
+    for i in range(10):
+        fb.stmt_text(f"small-{i}", n_rows=3)
+    docs_pdf, media_pdf = fb.to_pandas()
+    docs = spark.createDataFrame(docs_pdf, schema=DOCUMENTS_SCHEMA)
+    work = build_page_work(docs, None, ExtractConfig()) \
+        .repartition(8, F.col("doc_id"), F.col("page"))
+    parts = (work.filter(F.col("doc_id") == "big-1")
+             .select(F.spark_partition_id().alias("p"))
+             .distinct().count())
+    assert parts >= 5  # 40 pages hash over 8 partitions
