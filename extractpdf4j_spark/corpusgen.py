@@ -33,7 +33,7 @@ GEN_SCHEMA = StructType([
     StructField("payload", BinaryType()),
 ])
 
-GEN_VERSION = "v3"  # bump to invalidate caches when generation changes
+GEN_VERSION = "v4"  # bump to invalidate caches when generation changes
 
 
 def _generate(batches):
@@ -62,7 +62,9 @@ def ensure_fixture_corpus(spark: SparkSession, sf_dir: str,
         raw = spark.read.parquet(f"{sf_dir}/documents.parquet") \
             .select("doc_id", "text")
         if limit:
-            raw = raw.limit(limit)
+            # deterministic subset (limit() without order is not stable
+            # across plans; the correctness gate re-runs must agree)
+            raw = raw.filter(F.col("doc_id") < limit)
         gen = raw.repartition(8).mapInPandas(_generate, schema=GEN_SCHEMA)
         gen.write.mode("overwrite").parquet(cache)
         with open(marker, "w") as f:
