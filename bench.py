@@ -123,6 +123,9 @@ def headline(sf_dir: str, cores: int, replicate: int = 1,
              with_queries: bool = True) -> dict:
     spark = make_spark(cores)
     try:
+        # queries first: the host throttles under sustained load, so they
+        # time on a cooler machine than after 4 extraction sweeps
+        queries = run_query_bench(spark, sf_dir) if with_queries else {}
         # warm-up run primes JVM/Python workers and the corpus cache
         run_extraction_bench(spark, sf_dir, cores, replicate)
         times = []
@@ -131,7 +134,6 @@ def headline(sf_dir: str, cores: int, replicate: int = 1,
             dt, n_docs = run_extraction_bench(spark, sf_dir, cores, replicate)
             times.append(dt)
         best = min(times)
-        queries = run_query_bench(spark, sf_dir) if with_queries else {}
         return {
             "metric": "extraction_wall_sec",
             "value": round(best, 3),
