@@ -106,8 +106,10 @@ marked AS (
     FROM glyphs
 ),
 numbered AS (
-    SELECT *, sum(brk) OVER (PARTITION BY line_id ORDER BY x, seq
-                             ROWS UNBOUNDED PRECEDING) AS span_id
+    -- CAST: DuckDB's windowed sum yields HUGEINT which crosses Arrow as
+    -- float64; Spark emits BIGINT — cast so the gate's value hash agrees.
+    SELECT *, CAST(sum(brk) OVER (PARTITION BY line_id ORDER BY x, seq
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_id
     FROM marked
 )
 SELECT line_id, span_id,
@@ -626,7 +628,10 @@ FROM shf GROUP BY doc_id ORDER BY doc_id
 def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from .functions.dedup import minhash_duplicates
     d = _docs(spark, sf)
-    return (minhash_duplicates(d, k=8, bands=4, threshold=0.25)
+    # max_bucket=None: the DuckDB oracle has no bucket cap, so the gate
+    # path must not cap either (the library default 1000 stays for prod)
+    return (minhash_duplicates(d, k=8, bands=4, threshold=0.25,
+                               max_bucket=None)
             .orderBy("a", "b"))
 
 
@@ -679,7 +684,7 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
                                   ngram_jaccard_pairs)
     d = _docs(spark, sf)
     sigs = minhash_signatures(d, k=8)
-    pairs = lsh_candidate_pairs(sigs, k=8, bands=4)
+    pairs = lsh_candidate_pairs(sigs, k=8, bands=4, max_bucket=None)
     return ngram_jaccard_pairs(d, pairs).orderBy("a", "b")
 
 

@@ -58,7 +58,8 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Hash-groupBy exact dedup on whitespace-normalized text.
     Returns (text_hash, n_docs, keeper_doc_id) for groups with >1 doc."""
-    norm = F.md5(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    norm = F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                         r"\s+", " ")))
     return (df.select(F.col(id_col), norm.alias("text_hash"))
             .groupBy("text_hash")
             .agg(F.count("*").alias("n_docs"),
@@ -87,9 +88,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         k: int = 8, bands: int = 4,
-                        max_bucket: int = 1000) -> DataFrame:
+                        max_bucket: int | None = 1000) -> DataFrame:
     """Band the signatures and emit candidate pairs (a < b) sharing any
-    band. Buckets larger than ``max_bucket`` are dropped (hot-key guard)."""
+    band. Buckets larger than ``max_bucket`` are dropped (hot-key guard);
+    pass ``max_bucket=None`` for exhaustive pairs (the correctness-gate
+    paths do, so the DuckDB oracles need no cap clause)."""
     rows_per_band = k // bands
     band_cols = [
         F.struct(F.lit(b).alias("band_id"),
@@ -100,10 +103,11 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     banded = (sigs.select(F.col(id_col), F.explode(F.array(*band_cols))
                           .alias("band"))
               .select(id_col, "band.band_id", "band.band_val"))
-    sized = (banded.groupBy("band_id", "band_val")
-             .agg(F.count("*").alias("bucket_n")))
-    banded = (banded.join(sized, ["band_id", "band_val"])
-              .filter(F.col("bucket_n") <= max_bucket))
+    if max_bucket is not None:
+        sized = (banded.groupBy("band_id", "band_val")
+                 .agg(F.count("*").alias("bucket_n")))
+        banded = (banded.join(sized, ["band_id", "band_val"])
+                  .filter(F.col("bucket_n") <= max_bucket))
     a = banded.select(F.col("band_id"), F.col("band_val"),
                       F.col(id_col).alias("a"))
     b = banded.select(F.col("band_id"), F.col("band_val"),
@@ -115,11 +119,12 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
 
 def minhash_duplicates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 8, bands: int = 4,
-                       threshold: float = 0.8) -> DataFrame:
+                       threshold: float = 0.8,
+                       max_bucket: int | None = 1000) -> DataFrame:
     """Near-duplicate pairs with estimated Jaccard >= threshold.
     Estimate = fraction of equal signature components."""
     sigs = minhash_signatures(df, text_col, id_col, k).cache()
-    pairs = lsh_candidate_pairs(sigs, id_col, k, bands)
+    pairs = lsh_candidate_pairs(sigs, id_col, k, bands, max_bucket)
     sa = sigs.select(F.col(id_col).alias("a"),
                      *[F.col(f"h{i}").alias(f"a_h{i}") for i in range(k)])
     sb = sigs.select(F.col(id_col).alias("b"),

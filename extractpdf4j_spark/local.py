@@ -53,7 +53,8 @@ def extract_document(spans: list[dict],
         for strat in cfg.strategies():
             if strat == MODE_STREAM:
                 t = (stream_extract_page(g.x, g.y, g.w, g.tokens,
-                                         cfg.strip_text)
+                                         cfg.strip_text, cfg.columns,
+                                         cfg.table_areas)
                      if g is not None else Table([], [], []))
             elif strat == MODE_LATTICE:
                 t, _ = lattice_extract_page(payload, g, backend,
@@ -71,6 +72,12 @@ def extract_document(spans: list[dict],
     scores = {s: (sum(score_cells_vectorized(t.cells) for _, t in v) / len(v)
                   if v else 0.0) for s, v in per.items()}
     if all(not v for v in per.values()):
+        # mirror the pipeline's status branch (pipeline.py _assemble_one):
+        # an ocrstream-only job whose required headers never appeared is
+        # 'headers_missing', not 'no_tables'
+        if (cfg.required_headers and not headers_found
+                and cfg.strategies() == (MODE_OCRSTREAM,)):
+            return [], "headers_missing", "", []
         return [], "no_tables", "", []
     if len(cfg.strategies()) > 1:
         winner = pick_strategy(scores.get(MODE_STREAM, 0.0),

@@ -126,7 +126,9 @@ STATUS_ERROR = "error"
 # Page sentinels routed through stage 1 (never kernel-executed):
 PAGE_MALFORMED = -1     # unparseable text-span header → 'error'
 PAGE_NO_CONTENT = -2    # document with an empty spans array
-PAGE_FILTERED = -3      # media page outside the page-range selection
+PAGE_FILTERED = -3      # media page outside the page-range selection /
+#                         media content ignored by a stream-only job
+PAGE_UNKNOWN_KIND = -4  # span kind neither 'text' nor 'media' (schema drift)
 
 
 def build_page_work(docs: DataFrame, media: DataFrame | None,
@@ -147,14 +149,18 @@ def build_page_work(docs: DataFrame, media: DataFrame | None,
 
     # try_cast: a malformed span header becomes the MALFORMED sentinel →
     # an 'error' status row, never a job-killing ANSI cast exception.
-    # Empty-span documents surface as kind NULL → NO_CONTENT.
+    # Empty-span documents surface as kind NULL → NO_CONTENT; a span kind
+    # that is neither 'text' nor 'media' gets a presence sentinel so the
+    # document still reaches stage 2 (completeness invariant).
     page_col = F.when(
         F.col("s").isNull(), F.lit(PAGE_NO_CONTENT)
+    ).when(
+        F.col("s.kind") != "text", F.lit(PAGE_UNKNOWN_KIND)
     ).otherwise(
         F.coalesce(F.regexp_extract(F.col("s.text"), r"^p=(\d+)", 1)
                    .try_cast("int"), F.lit(PAGE_MALFORMED)))
     blob_col = F.when(
-        F.instr(F.col("s.text"), "\n") > 0,
+        (F.col("s.kind") == "text") & (F.instr(F.col("s.text"), "\n") > 0),
         F.expr("substring(s.text, instr(s.text, '\\n')+1, length(s.text))")
     ).otherwise(F.lit(""))
     if filtered:
@@ -163,14 +169,22 @@ def build_page_work(docs: DataFrame, media: DataFrame | None,
         blob_col = F.when(page_col.isin(pages), blob_col)
 
     text_pages = (spans.filter(F.col("s").isNull()
-                               | (F.col("s.kind") == "text"))
+                               | (F.col("s.kind") != "media"))
                   .select("doc_id", page_col.alias("page"),
                           blob_col.alias("glyph_blob")))
 
     if cfg.strategies() == (MODE_STREAM,):
         # stream-only jobs never touch rasters: skip the payload join
-        # entirely (Catalyst can't know the UDF ignores the column)
-        return text_pages.withColumn("payload", F.lit(None).cast("binary"))
+        # entirely (Catalyst can't know the UDF ignores the column).
+        # Media spans still emit a FILTERED presence sentinel so an
+        # all-media document reaches stage 2 (and the resume checkpoint)
+        # instead of silently vanishing from the output.
+        media_presence = (spans.filter(F.col("s.kind") == "media")
+                          .select("doc_id",
+                                  F.lit(PAGE_FILTERED).alias("page"),
+                                  F.lit("").alias("glyph_blob")))
+        return (text_pages.unionByName(media_presence)
+                .withColumn("payload", F.lit(None).cast("binary")))
 
     media_pages = spans.filter(F.col("s.kind") == "media").select(
         "doc_id", F.col("s.media_ref").alias("media_ref"))
@@ -222,7 +236,8 @@ def _make_extract_pages(cfg: ExtractConfig):
                 # per-page isolation: a corrupt document must never kill
                 # the job — it becomes an 'error' status in metrics
                 try:
-                    if page == PAGE_NO_CONTENT or page == PAGE_FILTERED:
+                    if page in (PAGE_NO_CONTENT, PAGE_FILTERED,
+                                PAGE_UNKNOWN_KIND):
                         # presence-only sentinel rows: marker, no kernels
                         wall = int((time.perf_counter() - t0) * 1000)
                         rows.append((doc_id, page, PAGE_MARKER, "", [], [],

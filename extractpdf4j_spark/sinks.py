@@ -42,8 +42,8 @@ def tables_as_rows(extracted: DataFrame) -> DataFrame:
 
 
 def _csv_quote(col, sep: str):
-    needs = (F.col("value").contains(sep) | F.col("value").contains('"')
-             | F.col("value").contains("\n"))
+    needs = (col.contains(sep) | col.contains('"')
+             | col.contains("\n"))
     quoted = F.concat(F.lit('"'),
                       F.regexp_replace(col, '"', '""'), F.lit('"'))
     return F.when(needs, quoted).otherwise(col)

@@ -163,6 +163,40 @@ def test_malformed_documents_never_kill_the_job(spark):
     assert len(out) == 5
 
 
+def test_completeness_stream_only_and_unknown_kinds(spark):
+    """Every input document reaches stage 2 exactly once — including an
+    all-media document under a stream-only job (media content is ignored,
+    not the document) and documents carrying unknown span kinds
+    (schema drift → presence sentinel, not a silent drop)."""
+    docs = [
+        ("all-media", [{"kind": "media", "text": "", "media_ref": "m1",
+                        "offset": 0}]),
+        ("unknown-kind", [{"kind": "video", "text": "blob", "media_ref": "",
+                           "offset": 0}]),
+        ("mixed-unknown", [
+            {"kind": "text",
+             "text": "p=1\n10.0|700.0|20.0|8.0|hello\n40.0|700.0|20.0|8.0|world",
+             "media_ref": "", "offset": 0},
+            {"kind": "audio", "text": "", "media_ref": "a1", "offset": 1}]),
+    ]
+    df = spark.createDataFrame(docs, schema=DOCUMENTS_SCHEMA)
+
+    # stream-only: the all-media doc must still appear (as no_tables)
+    out = {r["doc_id"]: r for r in
+           extract(df, None, ExtractConfig(mode="stream")).collect()}
+    assert set(out) == {"all-media", "unknown-kind", "mixed-unknown"}
+    assert out["all-media"]["status"] == "no_tables"
+    assert out["unknown-kind"]["status"] == "no_tables"
+    assert out["mixed-unknown"]["status"] == "ok"
+
+    # hybrid (default): same completeness guarantee
+    out = {r["doc_id"]: r for r in
+           extract(df, None, ExtractConfig()).collect()}
+    assert set(out) == {"all-media", "unknown-kind", "mixed-unknown"}
+    assert out["unknown-kind"]["status"] == "no_tables"
+    assert out["mixed-unknown"]["status"] == "ok"
+
+
 def test_interleaved_multipage_doc(spark):
     """A document interleaving a digital page and a scanned page: winner
     selection is per-document across both pages' tables."""
