@@ -730,31 +730,128 @@ ORDER BY p.a, p.b
 
 
 # ---------------------------------------------------------------------------
-# Rows-only queries (not SQL-expressible: the extraction pipeline itself)
+# 17. SimHash (training-pipeline dedup; functions/dedup.py:simhash64)
 # ---------------------------------------------------------------------------
 
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """64-bit SimHash per document (rows-only: hex→int conv is not
-    portable to the DuckDB dialect)."""
+    """64-bit SimHash per document."""
     from .functions.dedup import simhash64
     return simhash64(_docs(spark, sf)).orderBy("doc_id")
 
 
+def _simhash_oracle_sql() -> str:
+    """DuckDB mirror of simhash64: md5 halves via '0x'-cast, 64 per-bit
+    ±1 vote sums, sign → bit. Generated so the 64 expressions stay in
+    lockstep with the Spark construction."""
+    votes = []
+    for j in range(32):
+        votes.append(f"sum(((hi >> {j}) & 1)*2 - 1) AS v_hi_{j}")
+        votes.append(f"sum(((lo >> {j}) & 1)*2 - 1) AS v_lo_{j}")
+    hi_bits = " + ".join(
+        f"CASE WHEN v_hi_{j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(32))
+    lo_bits = " + ".join(
+        f"CASE WHEN v_lo_{j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(32))
+    return rf"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id,
+           ('0x' || substring(md5(tok), 1, 8))::BIGINT AS hi,
+           ('0x' || substring(md5(tok), 9, 8))::BIGINT AS lo
+    FROM toks WHERE tok <> ''
+),
+votes AS (
+    SELECT doc_id, {', '.join(votes)}
+    FROM hashed GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({hi_bits} AS BIGINT) AS simhash_hi,
+       CAST({lo_bits} AS BIGINT) AS simhash_lo
+FROM votes ORDER BY doc_id
+"""
+
+
+SQL_SIMHASH = _simhash_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# 18. LSH-bucketed ANN + kNN join (functions/similarity.py)
+# ---------------------------------------------------------------------------
+
+DUCK_COSINE = ("round(list_dot_product(emb, qemb)"
+               " / (sqrt(list_dot_product(emb, emb))"
+               " * sqrt(list_dot_product(qemb, qemb))), 6)")
+
+
 def q_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only; the exact brute-force
-    variant q_ann_cosine carries the oracle)."""
+    """LSH-bucketed approximate top-k (hyperplanes are deterministic
+    md5-derived ±1 literals — inlined identically into the oracle)."""
     from .functions.similarity import lsh_bucketed_topk
     e = spark.read.parquet(f"{sf}/embeddings.parquet")
     return lsh_bucketed_topk(e, query_id=0, k=10)
 
 
+def _lsh_ann_oracle_sql(n_planes: int = 8, dim: int = 64,
+                        seed: int = 42) -> str:
+    from .functions.similarity import _hyperplanes
+    planes = _hyperplanes(n_planes, dim, seed)
+    bucket = " + ".join(
+        "CASE WHEN list_dot_product(emb, [{}]) >= 0 THEN {} ELSE 0 END".format(
+            ", ".join(f"{c:.1f}" for c in comps), 1 << p)
+        for p, comps in enumerate(planes))
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+b AS (
+    SELECT vec_id, emb, ({bucket}) AS bucket FROM e
+),
+q AS (SELECT emb AS qemb, bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT vec_id, {DUCK_COSINE} AS cosine
+FROM b, q WHERE bucket = qbucket
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+SQL_LSH_ANN = _lsh_ann_oracle_sql()
+
+
 def q_knn_join(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-query top-k neighbor join for the first 3 vectors (rows-only)."""
+    """Per-query top-k neighbor join for the first 3 vectors."""
     from .functions.similarity import knn_join
     e = spark.read.parquet(f"{sf}/embeddings.parquet")
     q = (e.filter(F.col("vec_id") < 3)
          .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return knn_join(e, q, k=5).orderBy("query_id", "rank")
+    # rank is int32 from row_number(); widen to match DuckDB's BIGINT so
+    # the driver's value hash agrees
+    return (knn_join(e, q, k=5)
+            .withColumn("rank", F.col("rank").cast("long"))
+            .orderBy("query_id", "rank"))
+
+
+SQL_KNN_JOIN = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 3),
+c AS (
+    SELECT query_id, vec_id, {DUCK_COSINE} AS cosine
+    FROM e, q
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+    FROM c
+)
+SELECT query_id, vec_id, cosine, rank
+FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (not SQL-expressible: the extraction pipeline itself)
+# ---------------------------------------------------------------------------
 
 
 def q_extract_metrics(spark: SparkSession, sf: str) -> DataFrame:
@@ -837,8 +934,9 @@ ORACLES = {
     "q_minhash_sig": SQL_MINHASH_SIG,
     "q_minhash_pairs": SQL_MINHASH_PAIRS,
     "q_ngram_jaccard": SQL_NGRAM_JACCARD,
-    # rows-only (no SQL-expressible oracle): q_simhash (hex→int conv not
-    # portable), q_lsh_ann / q_knn_join (hyperplane literals / window
-    # top-k covered by q_ann_cosine's oracle), q_extract_metrics /
+    "q_simhash": SQL_SIMHASH,
+    "q_lsh_ann": SQL_LSH_ANN,
+    "q_knn_join": SQL_KNN_JOIN,
+    # rows-only (no SQL-expressible oracle): q_extract_metrics /
     # q_extract_spans (the extraction pipeline itself)
 }

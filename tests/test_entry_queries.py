@@ -74,9 +74,8 @@ def test_rows_only_queries(spark):
     assert len(srows) > 0
     assert set(spans.columns) == {"doc_id", "kind", "text", "media_ref", "offset"}
 
-    assert QUERIES["q_simhash"](spark, SF).count() > 0
-    assert QUERIES["q_lsh_ann"](spark, SF).count() >= 1
-    assert QUERIES["q_knn_join"](spark, SF).count() == 15  # 3 queries x k=5
+    # q_simhash / q_lsh_ann / q_knn_join gained full oracles in round 2 —
+    # they are covered by test_query_matches_oracle now
 
 
 def test_entry_smoke(spark):
