@@ -593,6 +593,9 @@ GROUP BY 1 ORDER BY 1
 # Shared shingle construction notes: Spark's concat_ws skips NULLs and
 # element_at beyond the array yields NULL, exactly like DuckDB's
 # concat_ws/list-index — so partial shingles of short docs agree.
+# Shingles and signature components are 60-bit hashes (first 15 hex chars
+# of md5 → BIGINT) on BOTH engines, mirroring functions/dedup._hash60 —
+# 8-byte ints instead of hex strings through every shuffle.
 DUCK_SHINGLES = r"""
 toks AS (
     SELECT doc_id,
@@ -604,8 +607,16 @@ sh AS (
            concat_ws(' ', t[i + 1], t[i + 2], t[i + 3]) AS sh
     FROM toks, unnest(generate_series(0, greatest(len(t) - 3, 0))) AS u(i)
 ),
-shf AS (SELECT doc_id, sh FROM sh WHERE sh <> '')
+shf AS (
+    SELECT DISTINCT doc_id,
+           ('0x' || substring(md5(sh), 1, 15))::BIGINT AS shash
+    FROM sh WHERE sh <> ''
+)
 """
+
+_DUCK_MINHASH_COMPONENTS = ",\n       ".join(
+    f"min(('0x' || substring(md5('{i}:' || CAST(shash AS VARCHAR)), 1, 15))"
+    f"::BIGINT) AS h{i}" for i in range(8))
 
 
 def q_minhash_sig(spark: SparkSession, sf: str) -> DataFrame:
@@ -617,10 +628,7 @@ def q_minhash_sig(spark: SparkSession, sf: str) -> DataFrame:
 SQL_MINHASH_SIG = f"""
 WITH {DUCK_SHINGLES}
 SELECT doc_id,
-       min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
-       min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3,
-       min(md5('4:' || sh)) AS h4, min(md5('5:' || sh)) AS h5,
-       min(md5('6:' || sh)) AS h6, min(md5('7:' || sh)) AS h7
+       {_DUCK_MINHASH_COMPONENTS}
 FROM shf GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -639,17 +647,14 @@ SQL_MINHASH_PAIRS = f"""
 WITH {DUCK_SHINGLES},
 sigs AS (
     SELECT doc_id,
-           min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
-           min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3,
-           min(md5('4:' || sh)) AS h4, min(md5('5:' || sh)) AS h5,
-           min(md5('6:' || sh)) AS h6, min(md5('7:' || sh)) AS h7
+           {_DUCK_MINHASH_COMPONENTS}
     FROM shf GROUP BY doc_id
 ),
 banded AS (
-    SELECT doc_id, 0 AS band_id, h0 || h1 AS band_val FROM sigs
-    UNION ALL SELECT doc_id, 1, h2 || h3 FROM sigs
-    UNION ALL SELECT doc_id, 2, h4 || h5 FROM sigs
-    UNION ALL SELECT doc_id, 3, h6 || h7 FROM sigs
+    SELECT doc_id, 0 AS band_id, [h0, h1] AS band_val FROM sigs
+    UNION ALL SELECT doc_id, 1, [h2, h3] FROM sigs
+    UNION ALL SELECT doc_id, 2, [h4, h5] FROM sigs
+    UNION ALL SELECT doc_id, 3, [h6, h7] FROM sigs
 ),
 pairs AS (
     SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
@@ -692,17 +697,14 @@ SQL_NGRAM_JACCARD = f"""
 WITH {DUCK_SHINGLES},
 sigs AS (
     SELECT doc_id,
-           min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
-           min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3,
-           min(md5('4:' || sh)) AS h4, min(md5('5:' || sh)) AS h5,
-           min(md5('6:' || sh)) AS h6, min(md5('7:' || sh)) AS h7
+           {_DUCK_MINHASH_COMPONENTS}
     FROM shf GROUP BY doc_id
 ),
 banded AS (
-    SELECT doc_id, 0 AS band_id, h0 || h1 AS band_val FROM sigs
-    UNION ALL SELECT doc_id, 1, h2 || h3 FROM sigs
-    UNION ALL SELECT doc_id, 2, h4 || h5 FROM sigs
-    UNION ALL SELECT doc_id, 3, h6 || h7 FROM sigs
+    SELECT doc_id, 0 AS band_id, [h0, h1] AS band_val FROM sigs
+    UNION ALL SELECT doc_id, 1, [h2, h3] FROM sigs
+    UNION ALL SELECT doc_id, 2, [h4, h5] FROM sigs
+    UNION ALL SELECT doc_id, 3, [h6, h7] FROM sigs
 ),
 pairs AS (
     SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
@@ -715,7 +717,7 @@ inter AS (
     SELECT p.a, p.b, count(*) AS ninter
     FROM pairs p
     JOIN shf sa ON sa.doc_id = p.a
-    JOIN shf sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+    JOIN shf sb ON sb.doc_id = p.b AND sb.shash = sa.shash
     GROUP BY p.a, p.b
 )
 SELECT p.a, p.b,
