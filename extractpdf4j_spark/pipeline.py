@@ -132,7 +132,8 @@ PAGE_UNKNOWN_KIND = -4  # span kind neither 'text' nor 'media' (schema drift)
 
 
 def build_page_work(docs: DataFrame, media: DataFrame | None,
-                    cfg: ExtractConfig) -> DataFrame:
+                    cfg: ExtractConfig,
+                    num_partitions: int | None = None) -> DataFrame:
     """Explode interleaved spans into per-page work rows
     (doc_id, page, glyph_blob, payload) using only native ops so Catalyst
     prunes/pushes everything up to the kernel boundary.
@@ -141,6 +142,15 @@ def build_page_work(docs: DataFrame, media: DataFrame | None,
     documents (page NO_CONTENT sentinel), and the page-range filter
     BLANKS unselected content instead of dropping rows — every input
     document reaches stage 2 exactly once with no side anti-join plan.
+
+    Shuffle budget (the 100 TB concern — payload bytes dominate): page
+    resolution joins a payload-PRUNED projection of the media table, the
+    (doc_id, page) outer join pre-repartitions both sides so the explicit
+    ``num_partitions`` spread costs no extra exchange, and raster
+    payloads attach LAST via one media_ref equi-join — payload bytes
+    cross exactly ONE exchange end-to-end (they used to cross three).
+    Rows without a media_ref bypass that join through a union, so the
+    null-ref key never concentrates text-heavy corpora on one task.
     """
     pages = parse_pages(cfg.pages)
     filtered = not is_all(pages)
@@ -183,18 +193,24 @@ def build_page_work(docs: DataFrame, media: DataFrame | None,
                           .select("doc_id",
                                   F.lit(PAGE_FILTERED).alias("page"),
                                   F.lit("").alias("glyph_blob")))
-        return (text_pages.unionByName(media_presence)
-                .withColumn("payload", F.lit(None).cast("binary")))
+        out = (text_pages.unionByName(media_presence)
+               .withColumn("payload", F.lit(None).cast("binary")))
+        if num_partitions:
+            out = out.repartition(num_partitions, F.col("doc_id"),
+                                  F.col("page"))
+        return out
 
-    media_pages = spans.filter(F.col("s.kind") == "media").select(
+    media_refs = spans.filter(F.col("s.kind") == "media").select(
         "doc_id", F.col("s.media_ref").alias("media_ref"))
     if media is not None:
-        m = media.select("media_ref", "page", "payload")
+        # page resolution against a payload-pruned projection — the scan
+        # reads only (media_ref, page), never raster bytes
+        m_meta = media.select("media_ref", "page")
         if filtered:
-            # partition/predicate pruning on the media table: payloads of
-            # unselected pages are never read or shuffled
-            m = m.filter(F.col("page").isin(pages))
-        media_pages = (media_pages.join(m, "media_ref", "left")
+            # partition/predicate pruning on the media table: unselected
+            # pages are never read or shuffled (meta AND payload scans)
+            m_meta = m_meta.filter(F.col("page").isin(pages))
+        media_pages = (media_refs.join(m_meta, "media_ref", "left")
                        .select("doc_id",
                                # unresolved ref: 'error' under pages=all,
                                # indistinguishable from pruned otherwise
@@ -202,13 +218,39 @@ def build_page_work(docs: DataFrame, media: DataFrame | None,
                                           F.lit(PAGE_FILTERED if filtered
                                                 else PAGE_MALFORMED))
                                .alias("page"),
-                               "payload"))
+                               "media_ref"))
     else:
-        media_pages = media_pages.select(
-            "doc_id", F.lit(PAGE_MALFORMED).alias("page"),
-            F.lit(None).cast("binary").alias("payload"))
+        media_pages = media_refs.select(
+            "doc_id", F.lit(PAGE_MALFORMED).alias("page"), "media_ref")
 
-    return text_pages.join(media_pages, ["doc_id", "page"], "full_outer")
+    tp, mp = text_pages, media_pages
+    if num_partitions:
+        # pre-repartition BOTH join inputs to the target partitioning:
+        # the outer join then reuses it (no ENSURE_REQUIREMENTS exchange)
+        # and no separate repartition of the joined rows is needed —
+        # glyph blobs cross one exchange instead of two
+        tp = tp.repartition(num_partitions, F.col("doc_id"), F.col("page"))
+        mp = mp.repartition(num_partitions, F.col("doc_id"), F.col("page"))
+    work = tp.join(mp, ["doc_id", "page"], "full_outer")
+
+    if media is None:
+        return (work.drop("media_ref")
+                .withColumn("payload", F.lit(None).cast("binary")))
+
+    m_pay = media.select(F.col("media_ref").alias("_jref"), "payload")
+    if filtered:
+        m_pay = (media.filter(F.col("page").isin(pages))
+                 .select(F.col("media_ref").alias("_jref"), "payload"))
+    # Null-ref rows (text-only pages) would all hash to ONE partition in
+    # the payload join — salt them with a '\x00'-prefixed bucket (real
+    # refs never start with a NUL byte) so they spread while matching
+    # nothing; the left join then leaves payload NULL for them.
+    salt = F.concat(F.lit("\x00"),
+                    F.pmod(F.hash("doc_id", "page"), F.lit(64)).cast("string"))
+    work = (work.withColumn("_jref", F.coalesce(F.col("media_ref"), salt))
+            .drop("media_ref"))
+    return (work.join(m_pay, "_jref", "left")
+            .select("doc_id", "page", "glyph_blob", "payload"))
 
 
 # ---------------------------------------------------------------------------
@@ -398,16 +440,14 @@ def extract(docs: DataFrame, media: DataFrame | None = None,
     """The full extraction plan (lazy). Returns the combined per-document
     DataFrame: extracted spans (as JSON, see :func:`with_spans`) plus
     metrics columns."""
-    work = build_page_work(docs, media, cfg)
-    if num_partitions:
-        # Explicit page-hash salting: unique (doc_id, page) keys spread a
-        # giant document across the cluster instead of one task. When
-        # omitted, the full-outer join's own (doc_id, page) hash shuffle
-        # already distributes pages — run the session with
-        # spark.sql.adaptive.coalescePartitions.enabled=false so AQE's
-        # SIZE-based coalescing doesn't collapse these small-bytes /
-        # heavy-CPU rows onto a few cores (measured 3x regression).
-        work = work.repartition(num_partitions, F.col("doc_id"), F.col("page"))
+    # Explicit page-hash salting inside build_page_work: unique
+    # (doc_id, page) keys spread a giant document across the cluster
+    # instead of one task (rows carrying a media_ref distribute by the
+    # equally-unique ref hash instead). Run the session with
+    # spark.sql.adaptive.coalescePartitions.enabled=false so AQE's
+    # SIZE-based coalescing doesn't collapse these small-bytes /
+    # heavy-CPU rows onto a few cores (measured 3x regression).
+    work = build_page_work(docs, media, cfg, num_partitions)
     page_results = work.mapInPandas(_make_extract_pages(cfg),
                                     schema=PAGE_RESULT_SCHEMA)
     # one explicit hash shuffle co-locates each document's page rows, then
