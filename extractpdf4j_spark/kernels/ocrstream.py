@@ -61,31 +61,37 @@ def group_lines(words: pd.DataFrame) -> list[pd.DataFrame]:
     if len(words) == 0:
         return []
     # first-appearance order of (block,par,line), then sort lines by min
-    # top (stable), words inside each line by left (stable)
+    # top (stable), words inside each line by left (stable).
+    # groupby(sort=False) preserves first-appearance key order and
+    # intra-group row order — one pass instead of a mask per key.
     key = (words["block"].astype(str) + ":" + words["par"].astype(str)
            + ":" + words["line"].astype(str))
-    groups: dict[str, pd.DataFrame] = {}
-    for k in key:
-        if k not in groups:
-            groups[k] = None  # type: ignore[assignment]
-    for k in groups:
-        groups[k] = words[key == k]
-    lines = list(groups.values())
+    lines = [g for _, g in words.groupby(key.to_numpy(), sort=False)]
     lines.sort(key=lambda ln: int(ln["top"].min()))
     return [ln.sort_values("left", kind="stable") for ln in lines]
 
 
-def match_header(line: pd.DataFrame) -> dict[str, dict]:
+def _norms(line: pd.DataFrame) -> list[str]:
+    """Normalized word texts; uses the per-page precomputed ``_norm``
+    column when present (ocrstream_extract_page adds it once) so each
+    word is normalized once per page, not once per matching pass."""
+    if "_norm" in line.columns:
+        return line["_norm"].tolist()
+    return [normalize_alpha(str(t)) for t in line["text"]]
+
+
+def match_header(line: pd.DataFrame) -> dict[str, float]:
     """OcrStreamParser.matchHeader:282-296 — each word claims the first
-    unclaimed expected header it fuzzy-matches."""
-    out: dict[str, dict] = {}
-    for _, w in line.iterrows():
-        n = normalize_alpha(str(w["text"]))
+    unclaimed expected header it fuzzy-matches. Returns target → the
+    matched word's left edge (the only attribute downstream uses)."""
+    out: dict[str, float] = {}
+    lefts = line["left"].to_numpy()
+    for i, n in enumerate(_norms(line)):
         for target in EXPECTED_HEADERS:
             if target in out:
                 continue
             if fuzzy_header_match(n, target):
-                out[target] = w.to_dict()
+                out[target] = float(lefts[i])
                 break
     return out
 
@@ -93,8 +99,7 @@ def match_header(line: pd.DataFrame) -> dict[str, dict]:
 def looks_like_header(line: pd.DataFrame) -> bool:
     """OcrStreamParser.java:338-347 — >=3 words hitting any target."""
     hit = 0
-    for t in line["text"]:
-        n = normalize_alpha(str(t))
+    for n in _norms(line):
         for target in EXPECTED_HEADERS:
             if fuzzy_header_match(n, target):
                 hit += 1
@@ -114,7 +119,7 @@ def header_anchored_bounds(lines: list[pd.DataFrame], page_width: int) -> list[f
             break
         match = match_header(ln)
         if len(match) >= 4:
-            xs = [float(match[h]["left"]) for h in EXPECTED_HEADERS if h in match]
+            xs = [match[h] for h in EXPECTED_HEADERS if h in match]
             if len(xs) >= 3:
                 xs.sort()
                 bounds = [0.0]
@@ -166,8 +171,7 @@ def matches_required_headers(line: pd.DataFrame, required: tuple[str, ...]) -> b
     """OcrStreamParser.matchRequiredHeaders:301-313 (equality or
     editDistance<=1 — note: NO containment rule here)."""
     found: list[str] = []
-    for t in line["text"]:
-        n = normalize_alpha(str(t))
+    for n in _norms(line):
         for req in required:
             if req in found:
                 continue
@@ -200,6 +204,10 @@ def ocrstream_extract_page(payload: PagePayload | None, backend: OcrBackend,
     if len(words) == 0:
         return Table([], [], []), False
 
+    # normalize every word ONCE per page; the header-matching passes
+    # (required gate, anchor search, header-skip) reuse the cached column
+    words = words.assign(
+        _norm=[normalize_alpha(str(t)) for t in words["text"]])
     lines = group_lines(words)
 
     headers_found = False
@@ -227,8 +235,12 @@ def ocrstream_extract_page(payload: PagePayload | None, backend: OcrBackend,
         texts = ln["text"].astype(str).tolist()
         numeric = np.array([is_likely_numeric(t) for t in texts])
         cx = np.where(numeric, lefts + widths - 1, lefts + widths / 2.0)
+        # vectorized locate() with the clamp-to-last semantics of
+        # _locate_clamped (searchsorted over the sorted bounds)
+        cs = np.searchsorted(np.asarray(col_bounds), cx, side="right") - 1
+        cs[(cs < 0) | (cs > ncols - 1)] = ncols - 1
         for i, t in enumerate(texts):
-            c = _locate_clamped(col_bounds, float(cx[i]))
+            c = cs[i]
             row[c] = t if row[c] == "" else row[c] + " " + t
         row = [v.strip() for v in row]
         if any(v for v in row):

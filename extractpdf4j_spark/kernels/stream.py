@@ -107,17 +107,13 @@ def stream_extract_page(x: np.ndarray, y: np.ndarray, w: np.ndarray,
     span_x = xs[span_first]
     span_row = row_id[span_first]
     # concatenate tokens per span (no separator), then trim
-    # (StreamParser.java:198 sb.toString().trim())
-    span_text = np.empty(len(span_first), dtype=object)
-    sb: list[str] = []
-    cur = 0
-    for i in range(len(xs)):
-        if span_id[i] != cur:
-            span_text[cur] = "".join(sb).strip()
-            sb = []
-            cur = span_id[i]
-        sb.append(toks[i])
-    span_text[cur] = "".join(sb).strip()
+    # (StreamParser.java:198 sb.toString().trim()) — spans are contiguous
+    # index ranges, so join slices directly instead of appending per glyph
+    span_edges = np.append(span_first, len(toks))
+    span_text = np.array(
+        ["".join(toks[a:b]).strip()
+         for a, b in zip(span_edges[:-1], span_edges[1:])],
+        dtype=object)
 
     # 5) cell assignment with findCol clamp-to-last semantics
     col = np.searchsorted(bounds, span_x, side="right") - 1
