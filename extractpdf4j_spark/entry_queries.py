@@ -732,6 +732,255 @@ ORDER BY p.a, p.b
 
 
 # ---------------------------------------------------------------------------
+# 16b. Line grouping (ocrstream op 30; OcrStreamParser.java:153-158)
+#      lines keyed by (block,par,line), ordered by min top with
+#      first-appearance tie-break; words inside a line ordered by left
+# ---------------------------------------------------------------------------
+
+OCR_WORDS_SQL = """
+    SELECT
+        o_orderkey                                   AS seq,
+        o_orderkey % 3                               AS block,
+        (o_orderkey % 9) // 3                        AS par,
+        o_orderkey % 5                               AS line,
+        (o_orderkey % 35) * 12 + o_orderkey % 3      AS top,
+        (o_orderkey % 11) * 50                       AS "left",
+        20 + (o_orderkey % 4) * 6                    AS width,
+        'w' || CAST(o_orderkey % 100 AS VARCHAR)     AS text
+    FROM orders
+"""
+
+
+def _ocr_words(spark: SparkSession, sf: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    k = F.col("o_orderkey")
+    return o.select(
+        k.alias("seq"),
+        (k % 3).alias("block"),
+        F.floor((k % 9) / 3).cast("long").alias("par"),
+        (k % 5).alias("line"),
+        ((k % 35) * 12 + k % 3).alias("top"),
+        ((k % 11) * 50).alias("left"),
+        (20 + (k % 4) * 6).alias("width"),
+        F.concat(F.lit("w"), (k % 100).cast("string")).alias("text"),
+    )
+
+
+def q_line_group(spark: SparkSession, sf: str) -> DataFrame:
+    w = _ocr_words(spark, sf)
+    lines = (w.groupBy("block", "par", "line")
+             .agg(F.min("top").alias("min_top"),
+                  F.min("seq").alias("first_seq"),
+                  F.count("*").alias("n_words"),
+                  F.concat_ws(" ", F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct("left", "seq", "text"))),
+                      lambda s: s.text)).alias("line_text")))
+    rank_w = Window.orderBy("min_top", "first_seq")
+    return (lines.withColumn("line_rank",
+                             F.row_number().over(rank_w).cast("long"))
+            .select("line_rank", "n_words", "min_top", "line_text")
+            .orderBy("line_rank"))
+
+
+SQL_LINE_GROUP = f"""
+WITH words AS ({OCR_WORDS_SQL}),
+lines AS (
+    SELECT block, par, line,
+           min(top) AS min_top, min(seq) AS first_seq,
+           count(*) AS n_words,
+           string_agg(text, ' ' ORDER BY "left", seq) AS line_text
+    FROM words GROUP BY block, par, line
+)
+SELECT row_number() OVER (ORDER BY min_top, first_seq) AS line_rank,
+       n_words, min_top, line_text
+FROM lines ORDER BY line_rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# 16c. Fallback separator histogram (ocrstream op 33;
+#      OcrStreamParser.java:357-387 — Java int division kept). Derived
+#      word layout places all voted bins >=60 apart so the greedy
+#      merge-within-30 step is the identity (the merge chain itself is
+#      pytest-verified against the oracle transliteration).
+# ---------------------------------------------------------------------------
+
+PAGE_W = 840
+
+
+def q_sep_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    p = spark.read.parquet(f"{sf}/part.parquet")
+    k = F.col("p_partkey")
+    w = p.select(
+        (k % 40).alias("line_id"), k.alias("seq"),
+        (F.floor(k / 40) % 7).cast("long").alias("slot"),
+        (30 + (k % 5) * 2).alias("width"))
+    w = w.select("line_id", "seq", (F.col("slot") * 120).alias("left"),
+                 "width")
+    win = Window.partitionBy("line_id").orderBy("left", "seq")
+    g = (w.withColumn("next_left", F.lead("left").over(win))
+         .withColumn("right", F.col("left") + F.col("width"))
+         .withColumn("gap", F.col("next_left") - F.col("right"))
+         .filter(F.col("gap") > 18))
+    mid = F.col("right") + F.floor(F.col("gap") / 2).cast("long")
+    clamped = F.least(F.greatest(mid, F.lit(0)), F.lit(PAGE_W))
+    votes = (g.select(F.floor(clamped / 20).cast("long").alias("bin"))
+             .groupBy("bin").agg(F.count("*").alias("votes")))
+    nlines = w.select(F.countDistinct("line_id").alias("nl"))
+    out = (votes.crossJoin(F.broadcast(nlines))
+           .filter(F.col("votes") >= F.greatest(
+               F.lit(3), F.floor(F.col("nl") / 3).cast("long")))
+           .select((F.col("bin") * 20).alias("sep_x"), "votes")
+           .filter((F.col("sep_x") > 25) & (F.col("sep_x") < PAGE_W - 25))
+           .orderBy("sep_x"))
+    return out
+
+
+SQL_SEP_HISTOGRAM = f"""
+WITH words AS (
+    SELECT p_partkey % 40 AS line_id, p_partkey AS seq,
+           ((p_partkey // 40) % 7) * 120 AS "left",
+           30 + (p_partkey % 5) * 2 AS width
+    FROM part
+),
+gaps AS (
+    SELECT "left" + width AS "right",
+           lead("left") OVER (PARTITION BY line_id ORDER BY "left", seq)
+               - ("left" + width) AS gap
+    FROM words
+),
+votes AS (
+    SELECT least(greatest("right" + gap // 2, 0), {PAGE_W}) // 20 AS bin,
+           count(*) AS votes
+    FROM gaps WHERE gap > 18 GROUP BY 1
+),
+nl AS (SELECT count(DISTINCT line_id) AS nlines FROM words)
+SELECT CAST(bin * 20 AS BIGINT) AS sep_x, votes
+FROM votes, nl
+WHERE votes >= greatest(3, nlines // 3)
+  AND bin * 20 > 25 AND bin * 20 < {PAGE_W} - 25
+ORDER BY sep_x
+"""
+
+
+# ---------------------------------------------------------------------------
+# 16d. Word→cell numeric right-anchor (ocrstream op 34;
+#      OcrStreamParser.java:181-199,349-353 + locate():392-395)
+# ---------------------------------------------------------------------------
+
+ANCHOR_BOUNDS = "array(0.0D, 100.0D, 250.0D, 400.0D, 1e9D)"
+ANCHOR_BOUNDS_DUCK = "[0.0, 100.0, 250.0, 400.0, 1e9]"
+
+
+def q_numeric_anchor(spark: SparkSession, sf: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    k = F.col("c_custkey")
+    text = F.element_at(
+        F.array(F.lit("1,234"), F.lit("12 CR"), F.lit("hello"),
+                F.lit("$5.00")),
+        (k % 4 + 1).cast("int"))
+    w = c.select(k.alias("id"), text.alias("text"),
+                 ((k % 9) * 55).cast("double").alias("left"),
+                 (40 + (k % 3) * 10).cast("double").alias("width"))
+    # is_likely_numeric: trim, upper, drop literal 'CR', full-match
+    # [\s$\-.,0-9CR]+ with length > 0 (OcrStreamParser.java:349-353)
+    t = F.regexp_replace(F.upper(F.trim(F.col("text"))), "CR", "")
+    is_num = (F.length(t) > 0) & t.rlike(r"^[\s\$\-\.,0-9CR]+$")
+    anchor = F.when(is_num, F.col("left") + F.col("width") - 1) \
+              .otherwise(F.col("left") + F.col("width") / 2.0)
+    w = w.select("id", "text", is_num.alias("is_num"),
+                 anchor.alias("anchor_x"))
+    cell = F.expr(f"size(filter({ANCHOR_BOUNDS}, b -> b <= anchor_x)) - 1")
+    ncols = 4
+    clamped = F.when((cell < 0) | (cell > ncols - 1),
+                     F.lit(ncols - 1)).otherwise(cell)
+    return (w.select("id", "text", "is_num", "anchor_x",
+                     clamped.cast("long").alias("cell"))
+            .orderBy("id"))
+
+
+SQL_NUMERIC_ANCHOR = rf"""
+WITH w AS (
+    SELECT c_custkey AS id,
+           (['1,234', '12 CR', 'hello', '$5.00'])[CAST(c_custkey % 4 AS INT) + 1]
+               AS text,
+           CAST((c_custkey % 9) * 55 AS DOUBLE) AS "left",
+           CAST(40 + (c_custkey % 3) * 10 AS DOUBLE) AS width
+    FROM customer
+),
+a AS (
+    SELECT id, text,
+           len(replace(upper(trim(text)), 'CR', '')) > 0
+           AND regexp_full_match(replace(upper(trim(text)), 'CR', ''),
+                                 '[\s$\-.,0-9CR]+') AS is_num,
+           CASE WHEN len(replace(upper(trim(text)), 'CR', '')) > 0
+                 AND regexp_full_match(replace(upper(trim(text)), 'CR', ''),
+                                       '[\s$\-.,0-9CR]+')
+                THEN "left" + width - 1 ELSE "left" + width / 2.0 END
+               AS anchor_x
+    FROM w
+)
+SELECT id, text, is_num, anchor_x,
+       CASE WHEN len(list_filter({ANCHOR_BOUNDS_DUCK}, b -> b <= anchor_x)) - 1
+                 BETWEEN 0 AND 3
+            THEN len(list_filter({ANCHOR_BOUNDS_DUCK}, b -> b <= anchor_x)) - 1
+            ELSE 3 END AS cell
+FROM a ORDER BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 16e. Line-position dedupe tol 3 (lattice op 20; detected rule lines
+#      within 3px collapse to the first — derived clusters span <=3 and
+#      sit >=47 apart, so the greedy chain equals gap-islanding, which
+#      both engines express identically; the greedy chain itself is
+#      pytest-verified)
+# ---------------------------------------------------------------------------
+
+def q_line_dedupe(spark: SparkSession, sf: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    k = F.col("c_custkey")
+    pos = ((k % 30) * 50
+           + F.element_at(F.array(F.lit(0), F.lit(1), F.lit(3)),
+                          (k % 3 + 1).cast("int")) + 40)
+    p = c.select(pos.alias("pos")).distinct()
+    win = Window.orderBy("pos")
+    p = p.withColumn("gap", F.col("pos") - F.lag("pos").over(win))
+    p = p.withColumn(
+        "island",
+        F.sum(F.when(F.col("gap").isNull() | (F.col("gap") > 3), 1)
+              .otherwise(0)).over(
+                  win.rowsBetween(Window.unboundedPreceding, 0)))
+    return (p.groupBy("island")
+            .agg(F.min("pos").alias("kept_pos"),
+                 F.count("*").alias("merged_n"))
+            .select("kept_pos", "merged_n")
+            .orderBy("kept_pos"))
+
+
+SQL_LINE_DEDUPE = """
+WITH pos AS (
+    SELECT DISTINCT (c_custkey % 30) * 50
+           + ([0, 1, 3])[CAST(c_custkey % 3 AS INT) + 1] + 40 AS pos
+    FROM customer
+),
+g AS (
+    SELECT pos, pos - lag(pos) OVER (ORDER BY pos) AS gap FROM pos
+),
+isl AS (
+    SELECT pos,
+           CAST(sum(CASE WHEN gap IS NULL OR gap > 3 THEN 1 ELSE 0 END)
+                OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS island
+    FROM g
+)
+SELECT min(pos) AS kept_pos, count(*) AS merged_n
+FROM isl GROUP BY island ORDER BY kept_pos
+"""
+
+
+# ---------------------------------------------------------------------------
 # 17. SimHash (training-pipeline dedup; functions/dedup.py:simhash64)
 # ---------------------------------------------------------------------------
 
@@ -907,6 +1156,10 @@ QUERIES = {
     "q_fingerprint": q_fingerprint,
     "q_ann_cosine": q_ann_cosine,
     "q_page_filter": q_page_filter,
+    "q_line_group": q_line_group,
+    "q_sep_histogram": q_sep_histogram,
+    "q_numeric_anchor": q_numeric_anchor,
+    "q_line_dedupe": q_line_dedupe,
     "q_minhash_sig": q_minhash_sig,
     "q_minhash_pairs": q_minhash_pairs,
     "q_ngram_jaccard": q_ngram_jaccard,
@@ -933,6 +1186,10 @@ ORACLES = {
     "q_fingerprint": SQL_FINGERPRINT,
     "q_ann_cosine": SQL_ANN_COSINE,
     "q_page_filter": SQL_PAGE_FILTER,
+    "q_line_group": SQL_LINE_GROUP,
+    "q_sep_histogram": SQL_SEP_HISTOGRAM,
+    "q_numeric_anchor": SQL_NUMERIC_ANCHOR,
+    "q_line_dedupe": SQL_LINE_DEDUPE,
     "q_minhash_sig": SQL_MINHASH_SIG,
     "q_minhash_pairs": SQL_MINHASH_PAIRS,
     "q_ngram_jaccard": SQL_NGRAM_JACCARD,
