@@ -42,6 +42,12 @@ class ExtractConfig:
     min_cell_h: float = 10.0
     required_headers: tuple[str, ...] = ()
     ocr_psms: tuple[int, ...] = (6, 4, 11, 3)
+    # Tesseract config parity with the reference's tess.* system
+    # properties (Ocr.java:189-196): language ("eng", "eng+fra", ...),
+    # page segmentation mode, and OCR engine mode
+    tess_lang: str = "eng"
+    tess_psm: int = 6
+    tess_oem: int = 1
     # documented-but-unimplemented in the reference
     # (docs/advanced-usage/columns.md:42-46, table-areas.md:55-69 — no
     # implementation exists there); here they are working opt-ins:

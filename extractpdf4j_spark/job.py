@@ -29,10 +29,17 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="extractpdf4j-spark",
         description="PySpark table extraction over interleaved documents")
-    p.add_argument("--documents", required=True,
-                   help="path/table of documents(doc_id, spans)")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--documents",
+                     help="path/table of documents(doc_id, spans)")
+    src.add_argument("--pdf-input",
+                     help="directory/glob of raw PDF files (binaryFile scan "
+                          "+ pypdfium2 decode; see pdfio.py)")
     p.add_argument("--media", default=None,
                    help="path/table of media(media_ref, doc_id, page, payload)")
+    p.add_argument("--pdf-stage", default=None,
+                   help="with --pdf-input: parquet staging dir so PDF "
+                        "decode runs once for documents AND media")
     p.add_argument("--out", required=True, help="output directory")
     p.add_argument("--mode", default="hybrid",
                    choices=["stream", "lattice", "ocrstream", "hybrid"])
@@ -43,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-strip-text", action="store_true")
     p.add_argument("--required-headers", default="",
                    help="comma list; empty disables the gate")
+    # tesseract parity with the reference's tess.* sys-props (Ocr.java:189-196)
+    p.add_argument("--tess-lang", default="eng",
+                   help='tesseract language(s), e.g. "eng" or "eng+fra"')
+    p.add_argument("--tess-psm", type=int, default=6)
+    p.add_argument("--tess-oem", type=int, default=1)
     p.add_argument("--run-id", default=None)
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--no-resume", action="store_true")
@@ -76,11 +88,19 @@ def main(argv: list[str] | None = None) -> int:
         min_score=args.min_score,
         required_headers=tuple(
             h.strip() for h in args.required_headers.split(",") if h.strip()),
+        tess_lang=args.tess_lang,
+        tess_psm=args.tess_psm,
+        tess_oem=args.tess_oem,
     )
     run_id = args.run_id or f"run-{int(time.time())}"
 
-    docs = spark.read.parquet(args.documents)
-    media = spark.read.parquet(args.media) if args.media else None
+    if args.pdf_input:
+        from .pdfio import read_pdf_corpus
+        docs, media = read_pdf_corpus(spark, args.pdf_input,
+                                      stage_dir=args.pdf_stage)
+    else:
+        docs = spark.read.parquet(args.documents)
+        media = spark.read.parquet(args.media) if args.media else None
 
     combined = run_extraction(spark, docs, media, cfg, args.out, run_id,
                               resume=not args.no_resume,

@@ -29,7 +29,7 @@ def extract_document(spans: list[dict],
     """Extract one interleaved document. Returns (output_spans, status,
     strategy, tables) with the same semantics as the Spark pipeline's
     per-document result."""
-    backend = backend or default_backend()
+    backend = backend or default_backend(cfg.tess_lang, cfg.tess_oem)
     media_payloads = media_payloads or {}
 
     pages: dict[int, list] = {}
@@ -61,7 +61,8 @@ def extract_document(spans: list[dict],
                                             cfg.min_cell_w, cfg.min_cell_h)
             else:
                 t, found = ocrstream_extract_page(payload, backend,
-                                                  cfg.required_headers)
+                                                  cfg.required_headers,
+                                                  psm=cfg.tess_psm)
                 headers_found = headers_found or found
             if t.nrows > 0:
                 per[strat].append((page_no, t))

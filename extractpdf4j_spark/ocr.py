@@ -104,9 +104,13 @@ class EmbeddedWordsBackend(OcrBackend):
 
 
 class PytesseractBackend(OcrBackend):
-    """Real Tesseract via pytesseract (absent in this sandbox)."""
+    """Real Tesseract via pytesseract (absent in this sandbox).
 
-    def __init__(self) -> None:
+    ``lang``/``oem`` mirror the reference's ``tess.lang``/``tess.oem``
+    system properties (Ocr.java:189-196; multi-language values like
+    "eng+fra" pass through verbatim, OcrTest.java:96)."""
+
+    def __init__(self, lang: str = "eng", oem: int = 1) -> None:
         try:
             import pytesseract  # noqa: F401
             self._pt = pytesseract
@@ -115,11 +119,14 @@ class PytesseractBackend(OcrBackend):
                 "pytesseract is not installed in this environment; "
                 "use EmbeddedWordsBackend or install tesseract+pytesseract"
             ) from e
+        self.lang = lang
+        self.oem = oem
 
     def words(self, payload: PagePayload, image: np.ndarray, psm: int) -> pd.DataFrame:  # pragma: no cover
         df = self._pt.image_to_data(
-            image, lang="eng",
-            config=f"--oem 1 --psm {psm} -c preserve_interword_spaces=1 -c user_defined_dpi=300",
+            image, lang=self.lang,
+            config=(f"--oem {self.oem} --psm {psm} "
+                    "-c preserve_interword_spaces=1 -c user_defined_dpi=300"),
             output_type=self._pt.Output.DATAFRAME,
         )
         df = df[df["level"] == 5]
@@ -139,10 +146,11 @@ class OcrStats:
     cells_ocred: int = 0
 
 
-def default_backend() -> OcrBackend:
-    """Prefer real Tesseract when importable, else the deterministic fake."""
+def default_backend(lang: str = "eng", oem: int = 1) -> OcrBackend:
+    """Prefer real Tesseract when importable, else the deterministic fake.
+    ``lang``/``oem`` flow from ExtractConfig.tess_lang/tess_oem."""
     try:
-        return PytesseractBackend()
+        return PytesseractBackend(lang=lang, oem=oem)
     except NotImplementedError:
         return EmbeddedWordsBackend()
 

@@ -261,7 +261,7 @@ def _make_extract_pages(cfg: ExtractConfig):
     strategies = cfg.strategies()
 
     def extract_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        backend = default_backend()
+        backend = default_backend(cfg.tess_lang, cfg.tess_oem)
         cols = [f.name for f in PAGE_RESULT_SCHEMA.fields]
         for pdf in batches:
             rows: list[tuple] = []
@@ -306,7 +306,8 @@ def _make_extract_pages(cfg: ExtractConfig):
                             ocr_fb += n_ocr
                         else:
                             table, found = ocrstream_extract_page(
-                                payload, backend, cfg.required_headers)
+                                payload, backend, cfg.required_headers,
+                                psm=cfg.tess_psm)
                             headers_found |= int(found)
                         if table.nrows > 0:
                             # score here while the table is in hand — the

@@ -87,3 +87,61 @@ def test_package_zip(tmp_path):
     assert "extractpdf4j_spark/pipeline.py" in names
     assert "extractpdf4j_spark/kernels/stream.py" in names
     assert not any("__pycache__" in n for n in names)
+
+
+def test_tesseract_config_parity():
+    """tess.lang/psm/oem parity (Ocr.java:189-196): the config fields
+    exist, flow into the CLI, change the lineage hash, and reach the
+    OCR backend's words() call (psm) — multi-lang values pass through."""
+    from extractpdf4j_spark.config import ExtractConfig
+    from extractpdf4j_spark.job import build_parser
+
+    base = ExtractConfig()
+    assert (base.tess_lang, base.tess_psm, base.tess_oem) == ("eng", 6, 1)
+    multi = ExtractConfig(tess_lang="eng+fra", tess_psm=11, tess_oem=3)
+    assert multi.config_hash() != base.config_hash()
+
+    args = build_parser().parse_args([
+        "--documents", "d", "--out", "o",
+        "--tess-lang", "eng+fra", "--tess-psm", "11", "--tess-oem", "3"])
+    assert (args.tess_lang, args.tess_psm, args.tess_oem) == ("eng+fra", 11, 3)
+
+
+def test_tess_psm_reaches_backend():
+    """cfg.tess_psm flows through ocrstream_extract_page to the backend."""
+    import pandas as pd
+    from extractpdf4j_spark.docmodel import OCR_WORD_COLS, decode_media_payload
+    from extractpdf4j_spark.fixtures import FixtureBuilder
+    from extractpdf4j_spark.kernels.ocrstream import ocrstream_extract_page
+    from extractpdf4j_spark.ocr import EmbeddedWordsBackend
+
+    class RecordingBackend(EmbeddedWordsBackend):
+        seen_psm = None
+
+        def words(self, payload, image, psm):
+            RecordingBackend.seen_psm = psm
+            return super().words(payload, image, psm)
+
+    fb = FixtureBuilder(seed=7)
+    fb.ocr_words("ocrw-1")
+    _, media_pdf = fb.to_pandas()
+    payload = decode_media_payload(media_pdf["payload"][0])
+    ocrstream_extract_page(payload, RecordingBackend(), psm=11)
+    assert RecordingBackend.seen_psm == 11
+
+
+def test_pytesseract_backend_lang_oem_gated():
+    """Without pytesseract the backend raises the documented seam error
+    even when configured for multi-language OCR."""
+    from extractpdf4j_spark.ocr import PytesseractBackend
+    try:
+        import pytesseract  # noqa: F401
+        has = True
+    except ImportError:
+        has = False
+    if not has:
+        with pytest.raises(NotImplementedError, match="pytesseract"):
+            PytesseractBackend(lang="eng+fra", oem=3)
+    else:  # pragma: no cover - not this sandbox
+        b = PytesseractBackend(lang="eng+fra", oem=3)
+        assert (b.lang, b.oem) == ("eng+fra", 3)
