@@ -59,7 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--csv-out", default=None,
-                   help="optional per-table CSV sink directory")
+                   help="optional per-table CSV sink directory (parquet)")
+    p.add_argument("--csv-files-out", default=None,
+                   help="optional numbered out-N.csv file export dir "
+                        "(Main.java:234-271 naming; shared-fs paths)")
+    p.add_argument("--debug-out", default=None,
+                   help="optional sampled debug-artifact sink directory")
+    p.add_argument("--debug-sample", type=float, default=0.01,
+                   help="fraction of documents sampled for --debug-out")
     return p
 
 
@@ -111,6 +118,13 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.csv_out:
         write_tables_csv(with_spans(combined), args.csv_out)
+    if args.csv_files_out:
+        from .sinks import export_numbered_csvs
+        export_numbered_csvs(with_spans(combined), args.csv_files_out)
+    if args.debug_out:
+        from .sinks import write_debug_artifacts
+        write_debug_artifacts(docs, media, cfg, args.debug_out,
+                              sample=args.debug_sample)
 
     metrics_view(combined).groupBy("status").count().show()
     if not preexisting:  # don't tear down a caller-owned session

@@ -1,17 +1,29 @@
 """Output sinks beyond the primary span-table write.
 
 * CSV sink — the reference's CsvExporter/Main multi-table file sink
-  (CsvExporter.java:28-49, Main.java:234-271 numbered out-N.csv): here a
-  distributed write partitioned by doc_id, with the reference's exact
-  quoting rules applied per cell.
-* debug artifacts — the reference writes grid overlays/cell crops
-  (LatticeParser.java:196-238); our analog is the metrics table plus
-  optional sampled span dumps (never on the hot path).
+  (CsvExporter.java:28-49): a distributed write partitioned by doc_id
+  with the reference's exact quoting rules, plus
+  :func:`export_numbered_csvs` reproducing Main.java:234-271's
+  ``out-1.csv, out-2.csv`` per-table file naming via foreachPartition.
+* debug artifacts — the reference writes grid overlays / cell crops /
+  OCR dumps (LatticeParser.java:196-238, OcrStreamParser.java:136-140);
+  :func:`write_debug_artifacts` is the scale analog: a SAMPLED side job
+  (deterministic hash sample, never on the hot path) that re-runs the
+  kernels on the sampled pages and writes rasters, per-strategy
+  cell/bounds dumps, and the OCR word layer as parquet artifacts.
 """
 
 from __future__ import annotations
 
+import json
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (BinaryType, IntegerType, StringType,
+                               StructField, StructType)
 
 
 def tables_as_rows(extracted: DataFrame) -> DataFrame:
@@ -53,6 +65,12 @@ def write_tables_csv(extracted: DataFrame, out_dir: str,
                      sep: str = ",") -> None:
     """Serialize each document's tables with the reference's quoting rules
     (CsvExporter.java:38-43) and write text partitioned by doc_id."""
+    (_doc_csv_frames(extracted, sep)
+     .select("doc_id", "table_idx", "csv")
+     .write.mode("overwrite").partitionBy("doc_id").parquet(out_dir))
+
+
+def _doc_csv_frames(extracted: DataFrame, sep: str) -> DataFrame:
     cells = tables_as_rows(extracted)
     cells = cells.withColumn("cell_csv", _csv_quote(F.col("value"), sep))
     rows = (cells.groupBy("doc_id", "table_idx", "row_idx")
@@ -61,9 +79,123 @@ def write_tables_csv(extracted: DataFrame, out_dir: str,
                     F.array_sort(F.collect_list(
                         F.struct("col_idx", "cell_csv"))),
                     lambda s: s.cell_csv)).alias("line")))
-    lines = (rows.groupBy("doc_id", "table_idx")
-             .agg(F.concat_ws("\n", F.transform(
-                 F.array_sort(F.collect_list(F.struct("row_idx", "line"))),
-                 lambda s: s.line)).alias("csv")))
-    (lines.select("doc_id", "table_idx", "csv")
-     .write.mode("overwrite").partitionBy("doc_id").parquet(out_dir))
+    return (rows.groupBy("doc_id", "table_idx")
+            .agg(F.concat_ws("\n", F.transform(
+                F.array_sort(F.collect_list(F.struct("row_idx", "line"))),
+                lambda s: s.line)).alias("csv")))
+
+
+def export_numbered_csvs(extracted: DataFrame, out_dir: str,
+                         sep: str = ",") -> None:
+    """Main.java:234-271 file-naming parity: each document's tables land
+    as ``{out_dir}/{doc_id}/out-1.csv, out-2.csv, ...`` (1-based, table
+    order). Executors write files directly via foreachPartition, so the
+    export distributes; ``out_dir`` must be a path every executor can
+    reach (local/NFS — object stores want the parquet sink instead)."""
+    frames = _doc_csv_frames(extracted, sep)
+
+    def write_partition(rows) -> None:
+        for r in rows:
+            d = os.path.join(out_dir, str(r["doc_id"]))
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"out-{int(r['table_idx']) + 1}.csv"),
+                      "w", encoding="utf-8") as f:
+                f.write(r["csv"] + "\n")
+
+    frames.foreachPartition(write_partition)
+
+
+# ---------------------------------------------------------------------------
+# Sampled debug artifacts (op 7)
+# ---------------------------------------------------------------------------
+
+DEBUG_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("page", IntegerType()),
+    StructField("strategy", StringType()),
+    StructField("kind", StringType()),       # raster | table | ocr_words
+    StructField("meta_json", StringType()),
+    StructField("blob", BinaryType()),
+])
+
+
+def _make_debug_pages(cfg):
+    from .config import MODE_LATTICE, MODE_OCRSTREAM, MODE_STREAM
+    from .docmodel import decode_glyph_blob, decode_media_payload
+    from .kernels.lattice import lattice_extract_page
+    from .kernels.ocrstream import ocrstream_extract_page
+    from .kernels.stream import stream_extract_page
+    from .ocr import default_backend
+    from .table import Table
+
+    cols = [f.name for f in DEBUG_SCHEMA.fields]
+
+    def debug_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = default_backend(cfg.tess_lang, cfg.tess_oem)
+        for pdf in batches:
+            rows: list[tuple] = []
+            for t in pdf.itertuples(index=False):
+                doc_id = t.doc_id
+                page = (int(t.page)
+                        if t.page is not None and t.page == t.page else -1)
+                if page < 0:
+                    continue
+                try:
+                    glyphs = (decode_glyph_blob(page, t.glyph_blob)
+                              if isinstance(t.glyph_blob, str) and t.glyph_blob
+                              else None)
+                    payload = (decode_media_payload(t.payload)
+                               if t.payload is not None else None)
+                    if payload is not None:
+                        rows.append((doc_id, page, "", "raster",
+                                     json.dumps({
+                                         "dpi": payload.dpi,
+                                         "page_width_pt": payload.page_width_pt,
+                                         "page_height_pt": payload.page_height_pt,
+                                         "shape": list(payload.image.shape)}),
+                                     bytes(t.payload)))
+                        rows.append((doc_id, page, "", "ocr_words",
+                                     payload.words.to_json(orient="records"),
+                                     None))
+                    for strat in cfg.strategies():
+                        if strat == MODE_STREAM:
+                            tbl = (stream_extract_page(
+                                glyphs.x, glyphs.y, glyphs.w, glyphs.tokens,
+                                cfg.strip_text, cfg.columns, cfg.table_areas)
+                                if glyphs is not None else Table([], [], []))
+                        elif strat == MODE_LATTICE:
+                            tbl, _ = lattice_extract_page(
+                                payload, glyphs, backend,
+                                cfg.min_cell_w, cfg.min_cell_h)
+                        else:
+                            tbl, _ = ocrstream_extract_page(
+                                payload, backend, cfg.required_headers,
+                                psm=cfg.tess_psm)
+                        if tbl.nrows > 0:
+                            rows.append((doc_id, page, strat, "table",
+                                         json.dumps({
+                                             "cells": tbl.cells,
+                                             "col_bounds": tbl.col_bounds,
+                                             "row_bounds": tbl.row_bounds}),
+                                         None))
+                except Exception as e:
+                    rows.append((doc_id, page, "", "error",
+                                 json.dumps({"error": str(e)[:500]}), None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return debug_pages
+
+
+def write_debug_artifacts(docs: DataFrame, media: DataFrame | None, cfg,
+                          out_dir: str, sample: float = 0.01) -> None:
+    """The reference's debug artifacts (grid overlays, cell crops, OCR
+    TSV dumps) as a deterministic hash-SAMPLED side job: page rasters,
+    per-strategy cell grids + grid bounds (everything needed to redraw
+    the overlay), and the OCR word layer, written as parquet partitioned
+    by doc_id. Never touches the extraction hot path."""
+    from .pipeline import build_page_work
+    frac = max(0, min(10_000, int(sample * 10_000)))
+    sampled = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10_000)) < frac)
+    work = build_page_work(sampled, media, cfg)
+    out = work.mapInPandas(_make_debug_pages(cfg), schema=DEBUG_SCHEMA)
+    out.write.mode("overwrite").partitionBy("doc_id").parquet(out_dir)

@@ -145,3 +145,51 @@ def test_pytesseract_backend_lang_oem_gated():
     else:  # pragma: no cover - not this sandbox
         b = PytesseractBackend(lang="eng+fra", oem=3)
         assert (b.lang, b.oem) == ("eng+fra", 3)
+
+
+def test_numbered_csv_export(spark, fixture_parquet, tmp_path):
+    """Main.java:234-271 naming parity: out-1.csv per table per doc."""
+    from extractpdf4j_spark.config import ExtractConfig
+    from extractpdf4j_spark.pipeline import extract, with_spans
+    from extractpdf4j_spark.sinks import export_numbered_csvs
+
+    docs = spark.read.parquet(str(fixture_parquet / "documents"))
+    media = spark.read.parquet(str(fixture_parquet / "media"))
+    combined = extract(docs, media, ExtractConfig(), num_partitions=4)
+    out = str(tmp_path / "csvs")
+    export_numbered_csvs(with_spans(combined), out)
+    files = sorted(glob.glob(out + "/*/out-*.csv"))
+    assert files, "no numbered csv files written"
+    assert any(f.endswith("out-1.csv") for f in files)
+    body = open(files[0]).read()
+    assert "," in body and body.endswith("\n")
+    # one numbered file per extracted table, 1-based
+    stmt2 = sorted(glob.glob(out + "/stmt-2/out-*.csv"))
+    assert [os.path.basename(p) for p in stmt2] == ["out-1.csv"]
+
+
+def test_debug_artifact_sink(spark, fixture_parquet, tmp_path):
+    """Op 7: sampled debug artifacts — rasters, per-strategy table dumps
+    (grid bounds + cells), OCR word dumps — parquet by doc_id."""
+    import json as _json
+    from extractpdf4j_spark.config import ExtractConfig
+    from extractpdf4j_spark.sinks import write_debug_artifacts
+
+    docs = spark.read.parquet(str(fixture_parquet / "documents"))
+    media = spark.read.parquet(str(fixture_parquet / "media"))
+    out = str(tmp_path / "debug")
+    write_debug_artifacts(docs, media, ExtractConfig(), out, sample=1.0)
+    art = spark.read.parquet(out)
+    kinds = {r["kind"] for r in art.select("kind").distinct().collect()}
+    assert "table" in kinds
+    assert "raster" in kinds        # the OCR doc contributes a raster
+    assert "ocr_words" in kinds
+    tbl = art.filter(art.kind == "table").limit(1).collect()[0]
+    meta = _json.loads(tbl["meta_json"])
+    assert {"cells", "col_bounds", "row_bounds"} <= set(meta)
+    ras = art.filter(art.kind == "raster").limit(1).collect()[0]
+    assert len(ras["blob"]) > 0
+    # deterministic sampling: sample=0 writes no partition directories
+    out0 = str(tmp_path / "debug0")
+    write_debug_artifacts(docs, media, ExtractConfig(), out0, sample=0.0)
+    assert not glob.glob(out0 + "/doc_id=*")
