@@ -1070,6 +1070,58 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 SQL_LSH_ANN = _lsh_ann_oracle_sql()
 
 
+def q_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (LSH multi-table candidates,
+    exact-cosine verify). Threshold tuned low so the synthetic embedding
+    table yields pairs at every sf — the semantics under test are the
+    bucketing + verification, not the cutoff."""
+    from .functions.similarity import embedding_near_duplicates
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return (embedding_near_duplicates(e, threshold=0.2, n_tables=2)
+            .orderBy("a", "b"))
+
+
+def _embed_neardup_oracle_sql(threshold: float = 0.2, n_tables: int = 2,
+                              n_planes: int = 8, dim: int = 64) -> str:
+    from .functions.similarity import _hyperplanes
+    bucket_selects = []
+    for t in range(n_tables):
+        planes = _hyperplanes(n_planes, dim, seed=42 + t)
+        bucket = " + ".join(
+            "CASE WHEN list_dot_product(emb, [{}]) >= 0 THEN {} ELSE 0 END"
+            .format(", ".join(f"{c:.1f}" for c in comps), 1 << p)
+            for p, comps in enumerate(planes))
+        bucket_selects.append(
+            f"SELECT vec_id, {t} AS table_id, ({bucket}) AS bucket FROM e")
+    banded = "\nUNION ALL\n".join(bucket_selects)
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+banded AS (
+{banded}
+),
+pairs AS (
+    SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+    FROM banded x JOIN banded y
+      ON x.table_id = y.table_id AND x.bucket = y.bucket
+     AND x.vec_id < y.vec_id
+),
+scored AS (
+    SELECT p.a, p.b,
+           round(list_dot_product(ea.emb, eb.emb)
+               / (sqrt(list_dot_product(ea.emb, ea.emb))
+                * sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS cosine
+    FROM pairs p JOIN e ea ON ea.vec_id = p.a JOIN e eb ON eb.vec_id = p.b
+)
+SELECT a, b, cosine FROM scored WHERE cosine >= {threshold}
+ORDER BY a, b
+"""
+
+
+SQL_EMBED_NEARDUP = _embed_neardup_oracle_sql()
+
+
 def q_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     """Per-query top-k neighbor join for the first 3 vectors."""
     from .functions.similarity import knn_join
@@ -1165,6 +1217,7 @@ QUERIES = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
     "q_lsh_ann": q_lsh_ann,
+    "q_embed_neardup": q_embed_neardup,
     "q_knn_join": q_knn_join,
     "q_extract_metrics": q_extract_metrics,
     "q_extract_spans": q_extract_spans,
@@ -1195,6 +1248,7 @@ ORACLES = {
     "q_ngram_jaccard": SQL_NGRAM_JACCARD,
     "q_simhash": SQL_SIMHASH,
     "q_lsh_ann": SQL_LSH_ANN,
+    "q_embed_neardup": SQL_EMBED_NEARDUP,
     "q_knn_join": SQL_KNN_JOIN,
     # rows-only (no SQL-expressible oracle): q_extract_metrics /
     # q_extract_spans (the extraction pipeline itself)

@@ -12,12 +12,15 @@ semantics).
 from .dedup import (exact_duplicates, minhash_signatures, lsh_candidate_pairs,
                     minhash_duplicates, ngram_jaccard_pairs, shingle_rows,
                     simhash64, simhash_duplicates)
-from .similarity import cosine_topk, lsh_bucketed_topk
+from .dedup import shingle_hash_rows
+from .similarity import (cosine_topk, embedding_near_duplicates, knn_join,
+                         lsh_bucketed_topk)
 from .textstats import add_text_stats, language_id, fingerprint
 
 __all__ = [
     "exact_duplicates", "minhash_signatures", "lsh_candidate_pairs",
-    "minhash_duplicates", "ngram_jaccard_pairs", "simhash64",
-    "simhash_duplicates", "cosine_topk", "lsh_bucketed_topk",
+    "minhash_duplicates", "ngram_jaccard_pairs", "shingle_rows",
+    "shingle_hash_rows", "simhash64", "simhash_duplicates", "cosine_topk",
+    "embedding_near_duplicates", "knn_join", "lsh_bucketed_topk",
     "add_text_stats", "language_id", "fingerprint",
 ]

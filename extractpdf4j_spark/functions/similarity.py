@@ -82,6 +82,44 @@ def lsh_bucket(vec_col, n_planes: int, dim: int, seed: int = 42):
     return bucket
 
 
+def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
+                              n_tables: int = 2, n_planes: int = 8,
+                              dim: int = 64, id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share a
+    hyperplane bucket in ANY of ``n_tables`` independent hash tables
+    (seeded deterministically), verified by exact cosine >= threshold.
+
+    Scale shape: candidate generation is an equi-join on (table_id,
+    bucket) — never all-pairs; more tables buy recall linearly in
+    shuffle volume. Returns (a, b, cosine) with a < b, cosine rounded
+    to 6dp."""
+    e = embeddings.select(F.col(id_col),
+                          _as_double(F.col(vec_col)).alias("emb"))
+    buckets = [
+        F.struct(F.lit(t).alias("table_id"),
+                 lsh_bucket(F.col("emb"), n_planes, dim,
+                            seed=42 + t).alias("bucket"))
+        for t in range(n_tables)
+    ]
+    banded = (e.select(F.col(id_col), F.explode(F.array(*buckets))
+                       .alias("b"))
+              .select(id_col, "b.table_id", "b.bucket"))
+    a = banded.select("table_id", "bucket", F.col(id_col).alias("a"))
+    b = banded.select("table_id", "bucket", F.col(id_col).alias("b"))
+    pairs = (a.join(b, ["table_id", "bucket"])
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b").distinct())
+    ea = e.select(F.col(id_col).alias("a"), F.col("emb").alias("ea"))
+    eb = e.select(F.col(id_col).alias("b"), F.col("emb").alias("eb"))
+    j = pairs.join(ea, "a").join(eb, "b")
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(_dot(F.col("eb"), F.col("eb"))))
+    return (j.select("a", "b", F.round(cos, 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
 def lsh_bucketed_topk(embeddings: DataFrame, query_id: int, k: int = 10,
                       n_planes: int = 8, dim: int = 64,
                       id_col: str = "vec_id",

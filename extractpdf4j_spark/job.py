@@ -106,8 +106,11 @@ def main(argv: list[str] | None = None) -> int:
         docs, media = read_pdf_corpus(spark, args.pdf_input,
                                       stage_dir=args.pdf_stage)
     else:
-        docs = spark.read.parquet(args.documents)
-        media = spark.read.parquet(args.media) if args.media else None
+        # paths read parquet; dotted identifiers read catalog (Iceberg)
+        # tables through the sources seam
+        from .sources import read_table
+        docs = read_table(spark, args.documents)
+        media = read_table(spark, args.media) if args.media else None
 
     combined = run_extraction(spark, docs, media, cfg, args.out, run_id,
                               resume=not args.no_resume,

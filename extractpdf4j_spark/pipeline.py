@@ -487,18 +487,20 @@ def run_extraction(spark: SparkSession, docs: DataFrame,
                    num_partitions: int | None = None) -> DataFrame:
     """Execute the job with checkpoint/resume and lineage.
 
-    Appends per-document rows to ``{out_dir}/combined``. With
-    ``resume=True``, documents already present (any terminal status, from
-    any earlier run of the same out_dir) are anti-joined away before the
-    kernels run — a restart re-processes only missing documents (the
+    ``out_dir`` is a parquet directory (rows land in
+    ``{out_dir}/combined``) or a catalog table identifier — an Iceberg
+    table when the session catalog is Iceberg-backed (sources.py seam).
+    With ``resume=True``, documents already present (any terminal status,
+    from any earlier run of the same target) are anti-joined away before
+    the kernels run — a restart re-processes only missing documents (the
     metrics table doubles as the checkpoint, SURVEY.md §4)."""
-    target = f"{out_dir}/combined"
+    from .sources import append_table, is_table_identifier, try_read_table
+    target = out_dir if is_table_identifier(out_dir) else f"{out_dir}/combined"
     if resume:
-        try:
-            done = spark.read.parquet(target).select("doc_id").distinct()
+        prev = try_read_table(spark, target)
+        if prev is not None:
+            done = prev.select("doc_id").distinct()
             docs = docs.join(done, "doc_id", "left_anti")
-        except Exception:
-            pass  # first run: nothing to resume from
 
     lineage = json.dumps({
         "run_id": run_id,
@@ -508,5 +510,6 @@ def run_extraction(spark: SparkSession, docs: DataFrame,
     combined = (extract(docs, media, cfg, num_partitions)
                 .withColumn("run_id", F.lit(run_id))
                 .withColumn("lineage", F.lit(lineage)))
-    combined.write.mode("append").parquet(target)
-    return spark.read.parquet(target)
+    append_table(combined, target)
+    from .sources import read_table
+    return read_table(spark, target)

@@ -142,3 +142,25 @@ def test_multimodal_plumbing(spark):
     img = decode_image(b"payload", fake=True)
     assert img.shape == (8, 8, 3)
     assert (img == decode_image(b"payload", fake=True)).all()
+
+
+def test_embedding_near_duplicates(spark):
+    """Planted near-identical embeddings are recovered through the
+    LSH-bucket candidate join + exact cosine verify; orthogonal vectors
+    are not paired."""
+    import numpy as np
+    from extractpdf4j_spark.functions import embedding_near_duplicates
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(64).astype(float)
+    rows = [
+        (0, base.tolist()),
+        (1, (base + 0.001 * rng.randn(64)).tolist()),   # near-dup of 0
+        (2, rng.randn(64).tolist()),                     # unrelated
+        (3, (-base).tolist()),                           # anti-correlated
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {(r["a"], r["b"]): r["cosine"]
+           for r in embedding_near_duplicates(df, threshold=0.95).collect()}
+    assert (0, 1) in got and got[(0, 1)] > 0.99
+    assert all(k == (0, 1) for k in got)

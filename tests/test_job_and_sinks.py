@@ -193,3 +193,37 @@ def test_debug_artifact_sink(spark, fixture_parquet, tmp_path):
     out0 = str(tmp_path / "debug0")
     write_debug_artifacts(docs, media, ExtractConfig(), out0, sample=0.0)
     assert not glob.glob(out0 + "/doc_id=*")
+
+
+def test_sources_seam_catalog_tables(spark, fixture_parquet, tmp_path):
+    """run_extraction writes/reads/resumes through a catalog TABLE
+    identifier (the Iceberg seam; here the built-in session catalog
+    implements the same DataFrameWriterV2 surface)."""
+    from extractpdf4j_spark.config import ExtractConfig
+    from extractpdf4j_spark.pipeline import run_extraction
+    from extractpdf4j_spark.sources import is_table_identifier, read_table
+
+    assert is_table_identifier("cat.db.extracted")
+    assert not is_table_identifier("/tmp/out")
+    assert not is_table_identifier("s3://bucket/out")
+
+    docs = spark.read.parquet(str(fixture_parquet / "documents"))
+    media = spark.read.parquet(str(fixture_parquet / "media"))
+    target = "extracted_seam_test"
+    spark.sql(f"DROP TABLE IF EXISTS {target}")
+    # drop an orphaned managed-table location from any earlier run
+    import shutil
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(os.path.join(wh.replace("file:", ""), target),
+                  ignore_errors=True)
+    res = run_extraction(spark, docs, media, ExtractConfig(), target,
+                         run_id="t1")
+    assert res.count() == 3
+    # resume path: second run processes nothing new, no duplicates
+    res2 = run_extraction(spark, docs, media, ExtractConfig(), target,
+                          run_id="t2")
+    got = res2.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 1 for r in got)
+    assert {r["run_id"] for r in res2.select("run_id").collect()} == {"t1"}
+    assert read_table(spark, target).count() == 3
+    spark.sql(f"DROP TABLE IF EXISTS {target}")
