@@ -981,6 +981,56 @@ FROM isl GROUP BY island ORDER BY kept_pos
 
 
 # ---------------------------------------------------------------------------
+# 16f. Event-time tumbling windows (streaming.windowed_event_metrics —
+#      the same expression the watermarked stream runs; exact on batch)
+# ---------------------------------------------------------------------------
+
+def q_event_windows(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming import windowed_event_metrics
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    return (windowed_event_metrics(e)
+            .orderBy("window_start", "event_type"))
+
+
+SQL_EVENT_WINDOWS = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS value_sum
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# 16g. JSON property aggregation (scalar-function surface: JSON path
+#      extraction stays JVM-side via get_json_object)
+# ---------------------------------------------------------------------------
+
+def q_event_json(spark: SparkSession, sf: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (e.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("k").alias("k_sum"),
+                 F.max("k").alias("k_max"))
+            .orderBy("event_type"))
+
+
+SQL_EVENT_JSON = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+       max(CAST(props->>'$.k' AS BIGINT)) AS k_max
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # 17. SimHash (training-pipeline dedup; functions/dedup.py:simhash64)
 # ---------------------------------------------------------------------------
 
@@ -1212,6 +1262,8 @@ QUERIES = {
     "q_sep_histogram": q_sep_histogram,
     "q_numeric_anchor": q_numeric_anchor,
     "q_line_dedupe": q_line_dedupe,
+    "q_event_windows": q_event_windows,
+    "q_event_json": q_event_json,
     "q_minhash_sig": q_minhash_sig,
     "q_minhash_pairs": q_minhash_pairs,
     "q_ngram_jaccard": q_ngram_jaccard,
@@ -1243,6 +1295,8 @@ ORACLES = {
     "q_sep_histogram": SQL_SEP_HISTOGRAM,
     "q_numeric_anchor": SQL_NUMERIC_ANCHOR,
     "q_line_dedupe": SQL_LINE_DEDUPE,
+    "q_event_windows": SQL_EVENT_WINDOWS,
+    "q_event_json": SQL_EVENT_JSON,
     "q_minhash_sig": SQL_MINHASH_SIG,
     "q_minhash_pairs": SQL_MINHASH_PAIRS,
     "q_ngram_jaccard": SQL_NGRAM_JACCARD,

@@ -2,23 +2,40 @@
 
 The reference has no streaming (its Spring service is blocking
 request/response, PdfExtractController.java:40-44), but a corpus-scale
-deployment ingests documents continuously. This wraps the batch pipeline
-in the idiomatic Spark shape: ``readStream`` on the documents location →
-``foreachBatch`` running the same extraction plan per micro-batch →
-append sink, with the stream checkpoint giving exactly-once per-batch
-semantics on top of the pipeline's own per-document resume table.
+deployment ingests documents continuously. Three shapes:
 
-foreachBatch (rather than a stateful operator) is the right altitude:
-extraction is per-document (no cross-batch state, no watermarks/late-data
-semantics to express), so each micro-batch is simply a small batch job.
+* :func:`stream_extraction` — ``readStream`` on the documents location →
+  ``foreachBatch`` running the same extraction plan per micro-batch →
+  append sink, with the stream checkpoint giving exactly-once per-batch
+  semantics on top of the pipeline's own per-document resume table.
+  foreachBatch is the right altitude for extraction itself: it is
+  per-document, with no cross-batch state.
+* :func:`windowed_event_metrics` — watermark + event-time tumbling
+  windows over an ingestion-event stream (late data dropped past the
+  watermark); the aggregation expression is shared with the batch gate
+  query ``q_event_windows``.
+* :func:`stream_assemble_documents` — a genuinely stateful custom
+  operator via ``applyInPandasWithState``: document spans arriving
+  across micro-batches accumulate in per-doc state until the document's
+  announced span count is reached (then the assembled document emits)
+  or the processing-time timeout expires (partial document emits with a
+  timeout flag).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (ArrayType, BooleanType, IntegerType,
+                               LongType, StringType, StructField, StructType)
 
 from .config import ExtractConfig
-from .pipeline import DOCUMENTS_SCHEMA, extract
+from .pipeline import DOCUMENTS_SCHEMA, SPAN_STRUCT, extract
 
 
 def stream_extraction(spark: SparkSession, documents_path: str,
@@ -47,3 +64,114 @@ def stream_extraction(spark: SparkSession, documents_path: str,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Watermarked event-time windows
+# ---------------------------------------------------------------------------
+
+def windowed_event_metrics(events: DataFrame, watermark: str = "10 minutes",
+                           window: str = "1 hour") -> DataFrame:
+    """Tumbling event-time windows over an event stream (or batch frame):
+    per (window, event_type) counts and value sums. On a streaming input
+    the watermark bounds state and drops late data; on a batch input the
+    same expression computes the exact answer (the gate query
+    ``q_event_windows`` uses it that way)."""
+    e = events
+    if e.isStreaming:
+        # watermarks require TIMESTAMP (LTZ); the NTZ→LTZ cast pins the
+        # wall clock in the session zone and date_format below converts
+        # back with the same zone, so window labels match the batch path
+        e = (e.withColumn("ts", F.col("ts").cast("timestamp"))
+             .withWatermark("ts", watermark))
+    return (e.groupBy(F.window("ts", window).alias("w"),
+                      F.col("event_type"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("value_sum"))
+            .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "event_type", "n_events", "value_sum"))
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: cross-batch document assembly
+# ---------------------------------------------------------------------------
+
+SPAN_EVENT_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("kind", StringType()),
+    StructField("text", StringType()),
+    StructField("media_ref", StringType()),
+    StructField("offset", IntegerType()),
+    StructField("n_spans", IntegerType()),   # announced total per doc
+])
+
+ASSEMBLED_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("spans", ArrayType(SPAN_STRUCT)),
+    StructField("n_received", LongType()),
+    StructField("complete", BooleanType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("kinds", ArrayType(StringType())),
+    StructField("texts", ArrayType(StringType())),
+    StructField("refs", ArrayType(StringType())),
+    StructField("offsets", ArrayType(IntegerType())),
+    StructField("expected", IntegerType()),
+])
+
+
+def _assemble_doc(key: tuple, pdfs: Iterator[pd.DataFrame],
+                  state: GroupState) -> Iterator[pd.DataFrame]:
+    (doc_id,) = key
+    if state.hasTimedOut:
+        kinds, texts, refs, offsets, expected = state.get
+        state.remove()
+        spans = sorted(
+            ({"kind": k, "text": t, "media_ref": r, "offset": o}
+             for k, t, r, o in zip(kinds, texts, refs, offsets)),
+            key=lambda s: s["offset"])
+        yield pd.DataFrame([{"doc_id": doc_id, "spans": spans,
+                             "n_received": len(spans), "complete": False}])
+        return
+    kinds: list[str] = []
+    texts: list[str] = []
+    refs: list[str] = []
+    offsets: list[int] = []
+    expected = -1
+    if state.exists:
+        k0, t0, r0, o0, expected = state.get
+        kinds, texts, refs, offsets = list(k0), list(t0), list(r0), list(o0)
+    for pdf in pdfs:
+        kinds.extend(pdf["kind"])
+        texts.extend(pdf["text"])
+        refs.extend(pdf["media_ref"])
+        offsets.extend(int(o) for o in pdf["offset"])
+        expected = max(expected, int(pdf["n_spans"].max()))
+    if 0 <= expected <= len(offsets):
+        state.remove()
+        spans = sorted(
+            ({"kind": k, "text": t, "media_ref": r, "offset": o}
+             for k, t, r, o in zip(kinds, texts, refs, offsets)),
+            key=lambda s: s["offset"])
+        yield pd.DataFrame([{"doc_id": doc_id, "spans": spans,
+                             "n_received": len(spans), "complete": True}])
+    else:
+        state.update((kinds, texts, refs, offsets, expected))
+        state.setTimeoutDuration(60_000)
+
+
+def stream_assemble_documents(span_events: DataFrame) -> DataFrame:
+    """Assemble interleaved documents from spans arriving across
+    micro-batches (``applyInPandasWithState``): per-doc state accumulates
+    spans until the announced ``n_spans`` count is met (emit complete) or
+    the 60 s processing-time timeout fires (emit partial,
+    ``complete=false``). The output feeds :func:`stream_extraction`'s
+    batch plan unchanged."""
+    return (span_events.groupBy("doc_id").applyInPandasWithState(
+        _assemble_doc,
+        outputStructType=ASSEMBLED_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))

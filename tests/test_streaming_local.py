@@ -95,3 +95,88 @@ def test_local_extract_page_selection():
     assert len(tables) == 1
     refs = [s["media_ref"] for s in out if s["kind"] == "media"]
     assert refs and all(r.startswith("table:stream:p2") for r in refs)
+
+
+def test_windowed_event_metrics_streaming_with_watermark(spark, tmp_path):
+    """Watermarked tumbling windows over a streaming event source: the
+    streaming answer equals the batch answer on the same closed input
+    (availableNow drains everything, no late rows dropped)."""
+    from pyspark.sql.types import (StructType, StructField, StringType,
+                                   TimestampNTZType, DoubleType)
+    from extractpdf4j_spark.streaming import windowed_event_metrics
+    import datetime as dt
+
+    schema = StructType([
+        StructField("ts", TimestampNTZType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    import time as _time
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(base + dt.timedelta(minutes=7 * i), ["click", "view"][i % 2],
+             float(i)) for i in range(40)]
+    src = str(tmp_path / "events")
+    batch_df = spark.createDataFrame(rows, schema)
+    batch_df.write.parquet(src)
+    # append-mode windows only finalize once the watermark passes them;
+    # a far-future sentinel in a SECOND micro-batch advances the
+    # watermark so every real window closes before the stream drains
+    _time.sleep(1.1)
+    sentinel = [(base + dt.timedelta(days=2), "sentinel", 0.0)]
+    spark.createDataFrame(sentinel, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    agg = windowed_event_metrics(stream, watermark="10 minutes",
+                                 window="1 hour")
+    assert agg.isStreaming
+    q = (agg.writeStream.format("memory").queryName("winagg")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["window_start"], r["event_type"]): (r["n_events"],
+                                                  r["value_sum"])
+           for r in spark.sql("select * from winagg").collect()
+           if r["event_type"] != "sentinel"}
+    want = {(r["window_start"], r["event_type"]): (r["n_events"],
+                                                   r["value_sum"])
+            for r in windowed_event_metrics(batch_df).collect()}
+    assert got == want
+    assert len(want) > 4  # several hour windows x 2 types
+
+
+def test_stream_assemble_documents_stateful(spark, tmp_path):
+    """applyInPandasWithState across micro-batches: a document whose
+    spans are split over two files (maxFilesPerTrigger=1 forces two
+    micro-batches) assembles exactly once, ordered by offset, with
+    state carried between batches."""
+    import pandas as pd
+    from extractpdf4j_spark.streaming import (SPAN_EVENT_SCHEMA,
+                                              stream_assemble_documents)
+
+    src = str(tmp_path / "spans")
+    b1 = [("doc-a", "text", "p=1\n1|2|3|4|x", "", 0, 3),
+          ("doc-a", "media", "", "m1", 1, 3),
+          ("doc-b", "text", "p=1\n5|6|7|8|y", "", 0, 1)]
+    b2 = [("doc-a", "text", "p=2\n9|9|9|9|z", "", 2, 3)]
+    spark.createDataFrame(b1, SPAN_EVENT_SCHEMA).coalesce(1) \
+        .write.parquet(src)
+    spark.createDataFrame(b2, SPAN_EVENT_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(SPAN_EVENT_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = stream_assemble_documents(stream)
+    q = (out.writeStream.format("memory").queryName("assembled")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r for r in
+            spark.sql("select * from assembled").collect()}
+    assert "doc-b" in rows and rows["doc-b"]["complete"]
+    assert rows["doc-b"]["n_received"] == 1
+    # doc-a completes only after both micro-batches' spans merge in state
+    assert "doc-a" in rows and rows["doc-a"]["complete"]
+    assert rows["doc-a"]["n_received"] == 3
+    assert [s["offset"] for s in rows["doc-a"]["spans"]] == [0, 1, 2]
+    assert [s["kind"] for s in rows["doc-a"]["spans"]] == \
+        ["text", "media", "text"]
