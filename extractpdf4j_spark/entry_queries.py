@@ -27,9 +27,13 @@ GLYPHS_SQL = """
     SELECT
         p_partkey % 40                                        AS line_id,
         p_partkey                                             AS seq,
-        (p_partkey % 13) * 30.0 + (p_partkey % 7) * 2.0       AS x,
-        5.0 * (1 + p_partkey % 4)                             AS w,
-        (p_partkey % 40) * 7.0 + (p_partkey % 3) * 0.5        AS y,
+        -- CAST: DuckDB parses 30.0 as DECIMAL, so these would flow as
+        -- decimal128 through Arrow while Spark emits double; cast here so
+        -- every downstream oracle (span_merge min(x), cell_assign, ...)
+        -- hashes with the same Python type as the Spark side.
+        CAST((p_partkey % 13) * 30.0 + (p_partkey % 7) * 2.0 AS DOUBLE) AS x,
+        CAST(5.0 * (1 + p_partkey % 4) AS DOUBLE)                       AS w,
+        CAST((p_partkey % 40) * 7.0 + (p_partkey % 3) * 0.5 AS DOUBLE)  AS y,
         p_brand                                               AS token
     FROM part
 """
