@@ -194,12 +194,21 @@ def main():
     ap.add_argument("--one", type=int, default=None,
                     help="internal: headline at N cores only")
     ap.add_argument("--replicate", type=int, default=1)
+    # N and 4N cores for the scaling proxy. Default 8->32 saturates the
+    # whole 32-CPU box at the hi level, where the executor JVM (scheduler,
+    # Arrow ser/de, shuffle IO, GC) time-slices against the Python workers
+    # (BENCH/attribution.json: local[24] beats local[32]); 6->24 keeps the
+    # same 4x ratio with the JVM's ~8 cores out of the workers' way, which
+    # is how real deployments size executors.
+    ap.add_argument("--lo", type=int, default=8)
+    ap.add_argument("--hi", type=int, default=32)
     args = ap.parse_args()
     if args.one:
         print(json.dumps(headline(SF_DIR, args.one, args.replicate,
                                   with_queries=False)))
     elif args.scaling:
-        print(json.dumps(scaling(SF_DIR, replicate=max(args.replicate, 4))))
+        print(json.dumps(scaling(SF_DIR, lo=args.lo, hi=args.hi,
+                                 replicate=max(args.replicate, 4))))
     else:
         print(json.dumps(headline(SF_DIR, CPUS)))
 

@@ -743,6 +743,7 @@ ORDER BY p.a, p.b
 
 OCR_WORDS_SQL = """
     SELECT
+        o_orderkey % 25                              AS page,
         o_orderkey                                   AS seq,
         o_orderkey % 3                               AS block,
         (o_orderkey % 9) // 3                        AS par,
@@ -759,6 +760,7 @@ def _ocr_words(spark: SparkSession, sf: str) -> DataFrame:
     o = spark.read.parquet(f"{sf}/orders.parquet")
     k = F.col("o_orderkey")
     return o.select(
+        (k % 25).alias("page"),
         k.alias("seq"),
         (k % 3).alias("block"),
         F.floor((k % 9) / 3).cast("long").alias("par"),
@@ -771,8 +773,11 @@ def _ocr_words(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_line_group(spark: SparkSession, sf: str) -> DataFrame:
+    # line rank is reading order WITHIN a page, so the rank window is
+    # partitioned by page — at corpus scale this keeps WindowExec off the
+    # single-partition path (every page ranks independently).
     w = _ocr_words(spark, sf)
-    lines = (w.groupBy("block", "par", "line")
+    lines = (w.groupBy("page", "block", "par", "line")
              .agg(F.min("top").alias("min_top"),
                   F.min("seq").alias("first_seq"),
                   F.count("*").alias("n_words"),
@@ -780,25 +785,27 @@ def q_line_group(spark: SparkSession, sf: str) -> DataFrame:
                       F.array_sort(F.collect_list(
                           F.struct("left", "seq", "text"))),
                       lambda s: s.text)).alias("line_text")))
-    rank_w = Window.orderBy("min_top", "first_seq")
+    rank_w = Window.partitionBy("page").orderBy("min_top", "first_seq")
     return (lines.withColumn("line_rank",
                              F.row_number().over(rank_w).cast("long"))
-            .select("line_rank", "n_words", "min_top", "line_text")
-            .orderBy("line_rank"))
+            .select("page", "line_rank", "n_words", "min_top", "line_text")
+            .orderBy("page", "line_rank"))
 
 
 SQL_LINE_GROUP = f"""
 WITH words AS ({OCR_WORDS_SQL}),
 lines AS (
-    SELECT block, par, line,
+    SELECT page, block, par, line,
            min(top) AS min_top, min(seq) AS first_seq,
            count(*) AS n_words,
            string_agg(text, ' ' ORDER BY "left", seq) AS line_text
-    FROM words GROUP BY block, par, line
+    FROM words GROUP BY page, block, par, line
 )
-SELECT row_number() OVER (ORDER BY min_top, first_seq) AS line_rank,
+SELECT page,
+       row_number() OVER (PARTITION BY page ORDER BY min_top, first_seq)
+           AS line_rank,
        n_words, min_top, line_text
-FROM lines ORDER BY line_rank
+FROM lines ORDER BY page, line_rank
 """
 
 
@@ -943,44 +950,50 @@ FROM a ORDER BY id
 # ---------------------------------------------------------------------------
 
 def q_line_dedupe(spark: SparkSession, sf: str) -> DataFrame:
+    # rule-line dedupe happens within one page, so the lag/sum windows are
+    # partitioned by page — no single-partition WindowExec at scale.
     c = spark.read.parquet(f"{sf}/customer.parquet")
     k = F.col("c_custkey")
     pos = ((k % 30) * 50
            + F.element_at(F.array(F.lit(0), F.lit(1), F.lit(3)),
                           (k % 3 + 1).cast("int")) + 40)
-    p = c.select(pos.alias("pos")).distinct()
-    win = Window.orderBy("pos")
+    p = c.select((k % 8).alias("page"), pos.alias("pos")).distinct()
+    win = Window.partitionBy("page").orderBy("pos")
     p = p.withColumn("gap", F.col("pos") - F.lag("pos").over(win))
     p = p.withColumn(
         "island",
         F.sum(F.when(F.col("gap").isNull() | (F.col("gap") > 3), 1)
               .otherwise(0)).over(
                   win.rowsBetween(Window.unboundedPreceding, 0)))
-    return (p.groupBy("island")
+    return (p.groupBy("page", "island")
             .agg(F.min("pos").alias("kept_pos"),
                  F.count("*").alias("merged_n"))
-            .select("kept_pos", "merged_n")
-            .orderBy("kept_pos"))
+            .select("page", "kept_pos", "merged_n")
+            .orderBy("page", "kept_pos"))
 
 
 SQL_LINE_DEDUPE = """
 WITH pos AS (
-    SELECT DISTINCT (c_custkey % 30) * 50
+    SELECT DISTINCT c_custkey % 8 AS page,
+           (c_custkey % 30) * 50
            + ([0, 1, 3])[CAST(c_custkey % 3 AS INT) + 1] + 40 AS pos
     FROM customer
 ),
 g AS (
-    SELECT pos, pos - lag(pos) OVER (ORDER BY pos) AS gap FROM pos
+    SELECT page, pos,
+           pos - lag(pos) OVER (PARTITION BY page ORDER BY pos) AS gap
+    FROM pos
 ),
 isl AS (
-    SELECT pos,
+    SELECT page, pos,
            CAST(sum(CASE WHEN gap IS NULL OR gap > 3 THEN 1 ELSE 0 END)
-                OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                OVER (PARTITION BY page ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
                AS island
     FROM g
 )
-SELECT min(pos) AS kept_pos, count(*) AS merged_n
-FROM isl GROUP BY island ORDER BY kept_pos
+SELECT page, min(pos) AS kept_pos, count(*) AS merged_n
+FROM isl GROUP BY page, island ORDER BY page, kept_pos
 """
 
 
@@ -1124,6 +1137,67 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 SQL_LSH_ANN = _lsh_ann_oracle_sql()
 
 
+def q_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (functions/similarity.ivf_topk):
+    deterministic md5-derived pseudo-centroids stand in for sampled
+    k-means; exact cosine inside the nprobe nearest clusters. The
+    centroids are inlined as literals into the oracle."""
+    from .functions.similarity import ivf_topk
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return ivf_topk(e, query_id=0, k=10, nprobe=2)
+
+
+def _ivf_ann_oracle_sql(n_clusters: int = 8, dim: int = 64, seed: int = 7,
+                        qid: int = 0, k: int = 10, nprobe: int = 2) -> str:
+    from .functions.similarity import _ivf_centroids
+    cents = _ivf_centroids(n_clusters, dim, seed)
+    # repr() emits the shortest round-tripping decimal → DuckDB parses it
+    # back to the identical double the Spark literal carries
+    values = ",\n      ".join(
+        "({}, [{}])".format(c, ", ".join(repr(v) for v in comps))
+        for c, comps in enumerate(cents))
+    return f"""
+WITH cent AS (
+    SELECT CAST(cid AS BIGINT) AS cid, cvec
+    FROM (VALUES {values}) AS t(cid, cvec)
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+scored AS (
+    SELECT vec_id, emb, cid,
+           list_dot_product(emb, cvec)
+           / (sqrt(list_dot_product(emb, emb))
+              * sqrt(list_dot_product(cvec, cvec))) AS ccos
+    FROM e CROSS JOIN cent
+),
+assigned AS (
+    SELECT vec_id, emb, cid AS cluster
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY ccos DESC, cid) AS rn
+          FROM scored)
+    WHERE rn = 1
+),
+q AS (SELECT emb AS qemb FROM assigned WHERE vec_id = {qid}),
+probes AS (
+    SELECT qemb, cid AS pcid
+    FROM (SELECT q.qemb, cent.cid,
+                 list_dot_product(q.qemb, cent.cvec)
+                 / (sqrt(list_dot_product(q.qemb, q.qemb))
+                    * sqrt(list_dot_product(cent.cvec, cent.cvec))) AS pcos
+          FROM q CROSS JOIN cent)
+    ORDER BY pcos DESC, pcid LIMIT {nprobe}
+)
+SELECT a.vec_id, a.cluster,
+       round(list_dot_product(a.emb, p.qemb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(p.qemb, p.qemb))), 6) AS cosine
+FROM assigned a JOIN probes p ON a.cluster = p.pcid
+ORDER BY cosine DESC, a.vec_id LIMIT {k}
+"""
+
+
+SQL_IVF_ANN = _ivf_ann_oracle_sql()
+
+
 def q_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH multi-table candidates,
     exact-cosine verify). Threshold tuned low so the synthetic embedding
@@ -1207,6 +1281,104 @@ FROM r WHERE rank <= 5 ORDER BY query_id, rank
 
 
 # ---------------------------------------------------------------------------
+# 23. Multimodal asset plumbing (SURVEY §2 training-pipeline ops).
+#     Assets derived deterministically from `documents`: payload bytes =
+#     utf8(doc_id ':' kind), kind/duration from the 60-bit md5 key used by
+#     the dedup family (same construction both engines).
+# ---------------------------------------------------------------------------
+
+FEATURE_DIM = 16
+
+
+def _media_assets(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    ds = F.col("doc_id").cast("string")
+    h = F.conv(F.substring(F.md5(ds), 1, 15), 16, 10).cast("long")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (h % 3 + 1).cast("int"))
+    return d.select(
+        F.concat(ds, F.lit("-a0")).alias("asset_id"),
+        ds.alias("doc_id"),
+        kind.alias("kind"),
+        (F.lit(500) + (h % 5) * 750).alias("duration_ms"),
+        F.encode(F.concat(ds, F.lit(":"), kind), "utf-8")
+        .alias("payload"))
+
+
+MEDIA_ASSETS_SQL = """
+    SELECT ds || '-a0' AS asset_id,
+           ds AS doc_id,
+           (['image', 'audio', 'video'])[
+               CAST(CAST('0x' || substr(md5(ds), 1, 15) AS BIGINT) % 3
+                    AS INT) + 1] AS kind,
+           500 + (CAST('0x' || substr(md5(ds), 1, 15) AS BIGINT) % 5)
+               * 750 AS duration_ms,
+           ds || ':' ||
+           (['image', 'audio', 'video'])[
+               CAST(CAST('0x' || substr(md5(ds), 1, 15) AS BIGINT) % 3
+                    AS INT) + 1] AS payload_str
+    FROM (SELECT CAST(doc_id AS VARCHAR) AS ds FROM documents)
+"""
+
+
+def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched feature extraction over opaque media payloads
+    (multimodal op; functions/multimodal.py). The oracle reconstructs the
+    little-endian uint32 words of the repeated sha256 digest from the hex
+    digest in SQL — exact integer equality gates the mapInPandas
+    plumbing AND the hash→vector derivation."""
+    from .functions.multimodal import extract_features_u32
+    assets = _media_assets(spark, sf)
+    return (extract_features_u32(assets, dim=FEATURE_DIM)
+            .select("asset_id", "kind", "n_bytes", "feature_u32")
+            .orderBy("asset_id"))
+
+
+# byte b of the repeated digest = digest[(4i) % 32 .. +3]; hex chars of
+# byte j sit at substr(hx, 2*j+1, 2); little-endian word = reversed pairs.
+_U32_SQL = (
+    "CAST('0x'"
+    " || substr(hx, 2*(((i*4)%32)+3)+1, 2)"
+    " || substr(hx, 2*(((i*4)%32)+2)+1, 2)"
+    " || substr(hx, 2*(((i*4)%32)+1)+1, 2)"
+    " || substr(hx, 2*((i*4)%32)+1, 2) AS BIGINT)")
+
+SQL_MEDIA_FEATURES = f"""
+WITH assets AS ({MEDIA_ASSETS_SQL}),
+h AS (
+    SELECT asset_id, kind,
+           CAST(octet_length(encode(payload_str)) AS BIGINT) AS n_bytes,
+           sha256(payload_str) AS hx
+    FROM assets
+)
+SELECT asset_id, kind, n_bytes,
+       list_transform(range(0, {FEATURE_DIM}), i -> {_U32_SQL})
+           AS feature_u32
+FROM h ORDER BY asset_id
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling plan (multimodal op; one row per planned
+    frame timestamp, native sequence+explode — no Python)."""
+    from .functions.multimodal import frame_sample_plan
+    assets = _media_assets(spark, sf)
+    return (frame_sample_plan(assets, every_ms=700)
+            .orderBy("asset_id", "frame_ts_ms"))
+
+
+SQL_FRAME_SAMPLE = f"""
+WITH assets AS ({MEDIA_ASSETS_SQL})
+SELECT asset_id, doc_id,
+       unnest(generate_series(0, greatest(duration_ms - 1, 0), 700))
+           AS frame_ts_ms
+FROM assets WHERE kind = 'video'
+ORDER BY asset_id, frame_ts_ms
+"""
+
+
+# ---------------------------------------------------------------------------
 # Rows-only queries (not SQL-expressible: the extraction pipeline itself)
 # ---------------------------------------------------------------------------
 
@@ -1273,8 +1445,11 @@ QUERIES = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
     "q_lsh_ann": q_lsh_ann,
+    "q_ivf_ann": q_ivf_ann,
     "q_embed_neardup": q_embed_neardup,
     "q_knn_join": q_knn_join,
+    "q_media_features": q_media_features,
+    "q_frame_sample": q_frame_sample,
     "q_extract_metrics": q_extract_metrics,
     "q_extract_spans": q_extract_spans,
 }
@@ -1306,8 +1481,11 @@ ORACLES = {
     "q_ngram_jaccard": SQL_NGRAM_JACCARD,
     "q_simhash": SQL_SIMHASH,
     "q_lsh_ann": SQL_LSH_ANN,
+    "q_ivf_ann": SQL_IVF_ANN,
     "q_embed_neardup": SQL_EMBED_NEARDUP,
     "q_knn_join": SQL_KNN_JOIN,
+    "q_media_features": SQL_MEDIA_FEATURES,
+    "q_frame_sample": SQL_FRAME_SAMPLE,
     # rows-only (no SQL-expressible oracle): q_extract_metrics /
     # q_extract_spans (the extraction pipeline itself)
 }

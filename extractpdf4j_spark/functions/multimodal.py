@@ -63,13 +63,22 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
 
 
-def _feature_from_bytes(payload: bytes, dim: int = 16) -> list[float]:
-    """Deterministic hash-derived feature vector (stands in for a real
-    embedding model; same contract: payload -> fixed-dim float list)."""
+def _u32_from_bytes(payload: bytes, dim: int = 16) -> list[int]:
+    """The integer core of the fake embedding: sha256(payload) repeated to
+    dim*4 bytes, read as little-endian uint32s. Exactly reconstructible in
+    SQL from the hex digest, which is what the q_media_features oracle
+    does — integer equality, no float32 rounding ambiguity."""
     h = hashlib.sha256(payload).digest()
     raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[:dim * 4],
                         dtype=np.uint32)
-    return (raw.astype(np.float64) / np.float64(2**32)).astype(np.float32).tolist()
+    return [int(v) for v in raw]
+
+
+def _feature_from_bytes(payload: bytes, dim: int = 16) -> list[float]:
+    """Deterministic hash-derived feature vector (stands in for a real
+    embedding model; same contract: payload -> fixed-dim float list)."""
+    raw = np.asarray(_u32_from_bytes(payload, dim), dtype=np.float64)
+    return (raw / np.float64(2**32)).astype(np.float32).tolist()
 
 
 def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
@@ -91,6 +100,34 @@ def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
             yield out
 
     return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FEATURE_U32_SCHEMA = StructType([
+    StructField("asset_id", StringType()),
+    StructField("doc_id", StringType()),
+    StructField("kind", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("feature_u32", ArrayType(LongType())),
+])
+
+
+def extract_features_u32(assets: DataFrame, dim: int = 16) -> DataFrame:
+    """Same Arrow-batched dataflow as :func:`extract_features`, emitting
+    the underlying little-endian uint32 words instead of scaled floats —
+    the oracle-gated surface (exact BIGINT equality across engines)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "doc_id": pdf["doc_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(
+                    lambda b: len(b) if b is not None else 0).astype("int64"),
+                "feature_u32": pdf["payload"].map(
+                    lambda b: _u32_from_bytes(b if b is not None else b"", dim)),
+            })
+
+    return assets.mapInPandas(run, schema=FEATURE_U32_SCHEMA)
 
 
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:

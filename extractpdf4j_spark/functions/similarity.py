@@ -120,6 +120,89 @@ def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
             .filter(F.col("cosine") >= threshold))
 
 
+def _ivf_centroids(n_clusters: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-centroids with md5-derived components in
+    [-1, 1) — stands in for the sampled k-means a production build runs
+    driver-side; same contract (K fixed dim-d vectors broadcast to every
+    task), reproducible across runs and engines."""
+    cents = []
+    for c in range(n_clusters):
+        comps = []
+        for d in range(dim):
+            h = hashlib.md5(f"ivf:{seed}:{c}:{d}".encode()).hexdigest()
+            comps.append(float(int(h[:8], 16)) / float(2 ** 32) * 2.0 - 1.0)
+        cents.append(comps)
+    return cents
+
+
+def ivf_assign(embeddings: DataFrame, n_clusters: int = 8, dim: int = 64,
+               seed: int = 7, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its nearest (max-cosine) centroid.
+
+    The centroid set is a literal array broadcast inside the plan (no
+    shuffle to distribute it); the argmax is a per-vector window after a
+    K-way explode. At 100 TB the cluster column is written once and the
+    table is partitioned/bucketed by it, so probes become partition
+    pruning — this function is the build step of that layout."""
+    cents = _ivf_centroids(n_clusters, dim, seed)
+    e = embeddings.select(F.col(id_col),
+                          _as_double(F.col(vec_col)).alias("emb"))
+    cent_arr = F.array(*[
+        F.struct(F.lit(c).cast("long").alias("cid"),
+                 F.array(*[F.lit(v) for v in comps]).alias("cvec"))
+        for c, comps in enumerate(cents)])
+    x = (e.select(id_col, "emb", F.explode(cent_arr).alias("c"))
+         .select(id_col, "emb", F.col("c.cid").alias("cid"),
+                 (_dot(F.col("emb"), F.col("c.cvec"))
+                  / (F.sqrt(_dot(F.col("emb"), F.col("emb")))
+                     * F.sqrt(_dot(F.col("c.cvec"), F.col("c.cvec")))))
+                 .alias("ccos")))
+    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(),
+                                           F.col("cid"))
+    return (x.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "emb", F.col("cid").alias("cluster")))
+
+
+def ivf_topk(embeddings: DataFrame, query_id: int, k: int = 10,
+             nprobe: int = 2, n_clusters: int = 8, dim: int = 64,
+             seed: int = 7, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate cosine top-k: exact search restricted to the
+    ``nprobe`` clusters nearest the query vector.
+
+    Scale shape: candidates come from an equi-join on the cluster id
+    (partition pruning once the table is laid out by cluster), never a
+    full scan; the query side (1 row) and its probe list (nprobe rows)
+    are broadcast."""
+    assigned = ivf_assign(embeddings, n_clusters, dim, seed, id_col, vec_col)
+    cents = _ivf_centroids(n_clusters, dim, seed)
+    q = (assigned.filter(F.col(id_col) == query_id)
+         .select(F.col("emb").alias("qemb")))
+    cent_arr = F.array(*[
+        F.struct(F.lit(c).cast("long").alias("cid"),
+                 F.array(*[F.lit(v) for v in comps]).alias("cvec"))
+        for c, comps in enumerate(cents)])
+    probes = (q.select("qemb", F.explode(cent_arr).alias("c"))
+              .select("qemb", F.col("c.cid").alias("pcid"),
+                      (_dot(F.col("qemb"), F.col("c.cvec"))
+                       / (F.sqrt(_dot(F.col("qemb"), F.col("qemb")))
+                          * F.sqrt(_dot(F.col("c.cvec"), F.col("c.cvec")))))
+                      .alias("pcos"))
+              .orderBy(F.col("pcos").desc(), F.col("pcid"))
+              .limit(nprobe)
+              .select("qemb", "pcid"))
+    cand = assigned.join(F.broadcast(probes),
+                         assigned["cluster"] == probes["pcid"])
+    cos = _dot(F.col("emb"), F.col("qemb")) / (
+        F.sqrt(_dot(F.col("emb"), F.col("emb")))
+        * F.sqrt(_dot(F.col("qemb"), F.col("qemb"))))
+    return (cand.select(id_col, "cluster", F.round(cos, 6).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))
+
+
 def lsh_bucketed_topk(embeddings: DataFrame, query_id: int, k: int = 10,
                       n_planes: int = 8, dim: int = 64,
                       id_col: str = "vec_id",
