@@ -120,7 +120,7 @@ def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
 
 
 def headline(sf_dir: str, cores: int, replicate: int = 1,
-             with_queries: bool = True) -> dict:
+             with_queries: bool = True, runs: int = 3) -> dict:
     spark = make_spark(cores)
     try:
         # queries first: the host throttles under sustained load, so they
@@ -130,7 +130,7 @@ def headline(sf_dir: str, cores: int, replicate: int = 1,
         run_extraction_bench(spark, sf_dir, cores, replicate)
         times = []
         n_docs = 0
-        for _ in range(3):
+        for _ in range(runs):
             dt, n_docs = run_extraction_bench(spark, sf_dir, cores, replicate)
             times.append(dt)
         best = min(times)
@@ -149,41 +149,52 @@ def headline(sf_dir: str, cores: int, replicate: int = 1,
 
 
 def scaling(sf_dir: str, lo: int = 8, hi: int = 32,
-            replicate: int = 4) -> dict:
+            replicate: int = 4, rounds: int = 3) -> dict:
     """Run the same job at two parallelism levels in separate JVMs.
 
     Efficiency for an N→4N *core* scale-up at fixed input =
     speedup / (hi/lo) where speedup = T_lo / T_hi. The input is the
     sf corpus replicated ``replicate``x (identical at both levels) so
     the measurement reflects scaling, not the per-job scheduler floor.
+
+    Protocol (this host throttles CPU after sustained load — see
+    BENCH/BASELINE.md): levels are INTERLEAVED (hi,lo × rounds), each
+    invocation is a fresh JVM doing one warm-up + one timed run, with a
+    cooldown before it. Interleaving means both levels sample a similar
+    mixture of thermal states instead of the first-measured level eating
+    the residual heat of whatever ran before; best-of per level then
+    approximates the unthrottled time for each.
     """
-    out = {}
-    # hi first, and a cooldown before each measured level: this host
-    # throttles under sustained load (T32 measured 13.6s idle-fresh vs
-    # 25.7s after back-to-back runs), so ordering/cooldown is part of the
-    # protocol, recorded in BENCH/BASELINE.md
-    for cores in (hi, lo):
-        time.sleep(int(os.environ.get("SPARK_GRAFT_COOLDOWN", "75")))
-        r = subprocess.run(
-            [sys.executable, __file__, "--one", str(cores),
-             "--replicate", str(replicate)],
-            capture_output=True, text=True, env={**os.environ},
-            cwd=REPO, timeout=3600)
-        if r.returncode != 0:
-            print(r.stdout, r.stderr, file=sys.stderr)
-            raise SystemExit(1)
-        out[cores] = json.loads(r.stdout.strip().splitlines()[-1])
-    t_lo, t_hi = out[lo]["value"], out[hi]["value"]
+    cool = int(os.environ.get("SPARK_GRAFT_COOLDOWN", "75"))
+    times: dict[int, list[float]] = {hi: [], lo: []}
+    meta: dict[int, dict] = {}
+    for _ in range(rounds):
+        for cores in (hi, lo):
+            time.sleep(cool)
+            r = subprocess.run(
+                [sys.executable, __file__, "--one", str(cores),
+                 "--replicate", str(replicate), "--runs", "1"],
+                capture_output=True, text=True, env={**os.environ},
+                cwd=REPO, timeout=3600)
+            if r.returncode != 0:
+                print(r.stdout, r.stderr, file=sys.stderr)
+                raise SystemExit(1)
+            rec = json.loads(r.stdout.strip().splitlines()[-1])
+            times[cores].append(rec["value"])
+            meta[cores] = rec
+    t_lo, t_hi = min(times[lo]), min(times[hi])
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "lo_cores": lo, "hi_cores": hi,
         "lo_sec": t_lo, "hi_sec": t_hi,
-        "lo_docs_per_sec": out[lo]["docs_per_sec"],
-        "hi_docs_per_sec": out[hi]["docs_per_sec"],
+        "lo_all_sec": [round(t, 3) for t in times[lo]],
+        "hi_all_sec": [round(t, 3) for t in times[hi]],
+        "lo_docs_per_sec": round(meta[lo]["n_docs"] / t_lo, 2),
+        "hi_docs_per_sec": round(meta[hi]["n_docs"] / t_hi, 2),
         "speedup": round(t_lo / t_hi, 3),
         "efficiency": round(eff, 3),
-        "n_docs": out[hi]["n_docs"],
+        "n_docs": meta[hi]["n_docs"],
         "sf": sf_dir,
     }
 
@@ -194,6 +205,8 @@ def main():
     ap.add_argument("--one", type=int, default=None,
                     help="internal: headline at N cores only")
     ap.add_argument("--replicate", type=int, default=1)
+    ap.add_argument("--runs", type=int, default=3,
+                    help="timed runs per invocation (after one warm-up)")
     # N and 4N cores for the scaling proxy. Default 8->32 saturates the
     # whole 32-CPU box at the hi level, where the executor JVM (scheduler,
     # Arrow ser/de, shuffle IO, GC) time-slices against the Python workers
@@ -205,7 +218,7 @@ def main():
     args = ap.parse_args()
     if args.one:
         print(json.dumps(headline(SF_DIR, args.one, args.replicate,
-                                  with_queries=False)))
+                                  with_queries=False, runs=args.runs)))
     elif args.scaling:
         print(json.dumps(scaling(SF_DIR, lo=args.lo, hi=args.hi,
                                  replicate=max(args.replicate, 4))))

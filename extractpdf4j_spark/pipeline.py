@@ -333,25 +333,46 @@ def _make_extract_pages(cfg: ExtractConfig):
 
 def _make_assemble_partition(cfg: ExtractConfig):
     """Per-document selection as a partition-level mapInPandas: rows are
-    hash-partitioned by doc_id upstream, so each partition holds whole
-    documents; one pandas groupby replaces one applyInPandas call per
-    document (the per-group Python/Arrow overhead dominated stage 2)."""
+    hash-partitioned AND sorted by doc_id upstream (extract() appends a
+    local sortWithinPartitions to the stage-2 exchange), so each
+    partition holds whole documents in contiguous runs. One pandas
+    groupby per Arrow batch replaces one applyInPandas call per document
+    (the per-group Python/Arrow overhead dominated stage 2), and the
+    sort contract lets us stream batch-by-batch: only the possibly
+    incomplete trailing document is carried over, so peak memory is
+    O(arrow batch + largest single doc), never O(partition) — a
+    pathological partition cannot OOM the worker."""
     strategies = cfg.strategies()
     hybrid = len(strategies) > 1
+    cols = [f.name for f in COMBINED_SCHEMA.fields]
 
     def assemble_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parts = list(batches)
-        if not parts:
-            return
-        pdf_all = parts[0] if len(parts) == 1 else pd.concat(parts,
-                                                             ignore_index=True)
         tc = TaskContext.get()
         partition_id = tc.partitionId() if tc is not None else -1
-        out: list[dict] = []
-        for doc_id, pdf in pdf_all.groupby("doc_id", sort=False):
-            out.append(_assemble_one(cfg, strategies, hybrid, doc_id, pdf,
-                                     partition_id))
-        yield pd.DataFrame(out, columns=[f.name for f in COMBINED_SCHEMA.fields])
+
+        def flush(pdf: pd.DataFrame) -> pd.DataFrame:
+            out: list[dict] = []
+            for doc_id, g in pdf.groupby("doc_id", sort=False):
+                out.append(_assemble_one(cfg, strategies, hybrid, doc_id,
+                                         g, partition_id))
+            return pd.DataFrame(out, columns=cols)
+
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if not len(pdf):
+                continue
+            # sorted input → the last doc_id's rows are the batch tail
+            # and may continue in the next batch; hold them back
+            tail = pdf["doc_id"] == pdf["doc_id"].iloc[-1]
+            pending = pdf[tail]
+            head = pdf[~tail]
+            if len(head):
+                yield flush(head)
+        if pending is not None and len(pending):
+            yield flush(pending)
 
     return assemble_partition
 
@@ -458,6 +479,9 @@ def extract(docs: DataFrame, media: DataFrame | None = None,
         combined_repart = page_results.repartition(num_partitions, *sel_parts)
     else:
         combined_repart = page_results.repartition(*sel_parts)
+    # local (spillable, JVM-side) sort so each document is a contiguous
+    # run — the streaming assemble's memory-bound contract; no exchange
+    combined_repart = combined_repart.sortWithinPartitions("doc_id")
     combined = combined_repart.mapInPandas(_make_assemble_partition(cfg),
                                            schema=COMBINED_SCHEMA)
     # Completeness holds by construction: explode_outer + presence

@@ -255,3 +255,27 @@ def test_big_doc_pages_spread_across_partitions(spark):
              .select(F.spark_partition_id().alias("p"))
              .distinct().count())
     assert parts >= 5  # 40 pages hash over 8 partitions
+
+
+def test_stage2_streaming_carryover_across_arrow_batches(spark):
+    """The streaming assemble holds back the trailing document of each
+    Arrow batch; with a 2-row batch size every multi-page document is
+    split across batches, so this pins the carryover contract: every doc
+    exactly once, same statuses as with the default batch size."""
+    fb = FixtureBuilder(seed=11)
+    for i in range(6):
+        fb.stmt_text(f"multi-{i}", n_rows=4, n_pages=3)
+    docs_pdf, media_pdf = fb.to_pandas()
+    docs = spark.createDataFrame(docs_pdf, schema=DOCUMENTS_SCHEMA)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "2")
+        combined = extract(docs, None, ExtractConfig(), num_partitions=2)
+        rows = combined.collect()
+    finally:
+        spark.conf.set(key, old)
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        f"multi-{i}" for i in range(6))
+    assert all(r["status"] == "ok" for r in rows), [
+        (r["doc_id"], r["status"]) for r in rows]
