@@ -95,9 +95,13 @@ def run_extraction_bench(spark, sf_dir: str, cores: int,
     n_docs = docs.count()
     media.cache().count()
 
+    # SPARK_GRAFT_STAGE_PARTS overrides the Arrow-stage partition count
+    # (experiment knob: fewer partitions than task slots leaves cores for
+    # the executor JVM — see BENCH/BASELINE.md scaling attribution)
+    stage_parts = int(os.environ.get("SPARK_GRAFT_STAGE_PARTS", "0")) or cores * 2
     t0 = time.perf_counter()
     combined = extract(docs, media, ExtractConfig(),
-                       num_partitions=cores * 2)
+                       num_partitions=stage_parts)
     n_out = combined.count()
     dt = time.perf_counter() - t0
     assert n_out == n_docs, (n_out, n_docs)

@@ -1281,6 +1281,75 @@ FROM r WHERE rank <= 5 ORDER BY query_id, rank
 
 
 # ---------------------------------------------------------------------------
+# 22b. Distributed temporal/spatial joins (functions/joins.py) — the
+#      between-tables generalization of the kernels' searchsorted lookups
+# ---------------------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: every purchase event gets the latest signup of the
+    same user at-or-before its timestamp (one shuffle + window pass; the
+    oracle uses DuckDB's native ASOF LEFT JOIN)."""
+    from .functions.joins import as_of_join
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    left = (e.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts"))
+    right = (e.filter(F.col("event_type") == "signup")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("signup_id")))
+    out = as_of_join(left, right, key="user_id",
+                     left_ts="ts", right_ts="ts",
+                     right_cols=("signup_id",))
+    return (out.select("event_id", "user_id", "asof_signup_id")
+            .orderBy("event_id"))
+
+
+SQL_ASOF_JOIN = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts, max(event_id) AS signup_id
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, r.signup_id AS asof_signup_id
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed point-in-interval join (inclusive), aggregated per point
+    so the gate result stays small; inputs are integer-derived so both
+    engines see identical values."""
+    from .functions.joins import interval_point_join
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    p = spark.read.parquet(f"{sf}/part.parquet")
+    points = c.select(F.col("c_custkey").alias("pid"),
+                      (F.col("c_custkey") % 997).alias("x"))
+    lo = (F.col("p_partkey") % 89) * 11
+    intervals = p.select(F.col("p_partkey").alias("iid"),
+                         lo.alias("lo"),
+                         (lo + 5 + F.col("p_partkey") % 23).alias("hi"))
+    j = interval_point_join(points, intervals, "x", "lo", "hi",
+                            bucket_width=16.0)
+    return (j.groupBy("pid")
+            .agg(F.count("*").alias("n_intervals"),
+                 F.min("iid").alias("min_iid"),
+                 F.max("iid").alias("max_iid"))
+            .orderBy("pid"))
+
+
+SQL_RANGE_JOIN = """
+WITH p AS (SELECT c_custkey AS pid, c_custkey % 997 AS x FROM customer),
+i AS (SELECT p_partkey AS iid,
+             (p_partkey % 89) * 11 AS lo,
+             (p_partkey % 89) * 11 + 5 + p_partkey % 23 AS hi
+      FROM part)
+SELECT pid, count(*) AS n_intervals, min(iid) AS min_iid,
+       max(iid) AS max_iid
+FROM p JOIN i ON p.x BETWEEN i.lo AND i.hi
+GROUP BY pid ORDER BY pid
+"""
+
+
+# ---------------------------------------------------------------------------
 # 23. Multimodal asset plumbing (SURVEY §2 training-pipeline ops).
 #     Assets derived deterministically from `documents`: payload bytes =
 #     utf8(doc_id ':' kind), kind/duration from the 60-bit md5 key used by
@@ -1448,6 +1517,8 @@ QUERIES = {
     "q_ivf_ann": q_ivf_ann,
     "q_embed_neardup": q_embed_neardup,
     "q_knn_join": q_knn_join,
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
     "q_media_features": q_media_features,
     "q_frame_sample": q_frame_sample,
     "q_extract_metrics": q_extract_metrics,
@@ -1484,6 +1555,8 @@ ORACLES = {
     "q_ivf_ann": SQL_IVF_ANN,
     "q_embed_neardup": SQL_EMBED_NEARDUP,
     "q_knn_join": SQL_KNN_JOIN,
+    "q_asof_join": SQL_ASOF_JOIN,
+    "q_range_join": SQL_RANGE_JOIN,
     "q_media_features": SQL_MEDIA_FEATURES,
     "q_frame_sample": SQL_FRAME_SAMPLE,
     # rows-only (no SQL-expressible oracle): q_extract_metrics /

@@ -164,3 +164,38 @@ def test_embedding_near_duplicates(spark):
            for r in embedding_near_duplicates(df, threshold=0.95).collect()}
     assert (0, 1) in got and got[(0, 1)] > 0.99
     assert all(k == (0, 1) for k in got)
+
+
+def test_as_of_join_semantics(spark):
+    """Inclusive match at equal ts, latest-prior wins, unmatched -> null."""
+    from extractpdf4j_spark.functions.joins import as_of_join
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 50), (4, 20, 100)],
+        "event_id long, user_id long, ts long")
+    right = spark.createDataFrame(
+        [(10, 100, 7), (10, 200, 8), (30, 10, 9)],
+        "user_id long, ts long, signup_id long")
+    out = {r["event_id"]: r["asof_signup_id"]
+           for r in as_of_join(left, right, key="user_id",
+                               left_ts="ts", right_ts="ts",
+                               right_cols=("signup_id",)).collect()}
+    assert out == {1: 7,      # equal ts matches (inclusive)
+                   2: 8,      # latest prior of two candidates
+                   3: None,   # before any right row
+                   4: None}   # user with no right rows
+
+
+def test_interval_point_join_bucket_edges(spark):
+    """Containment is inclusive on both ends and survives points/intervals
+    that straddle bucket boundaries."""
+    from extractpdf4j_spark.functions.joins import interval_point_join
+    points = spark.createDataFrame(
+        [(1, 0), (2, 16), (3, 31), (4, 32), (5, 100)],
+        "pid long, x long")
+    intervals = spark.createDataFrame(
+        [(100, 0, 31), (200, 16, 32), (300, 90, 99)],
+        "iid long, lo long, hi long")
+    got = sorted((r["pid"], r["iid"]) for r in interval_point_join(
+        points, intervals, "x", "lo", "hi", bucket_width=16.0).collect())
+    assert got == [(1, 100), (2, 100), (2, 200), (3, 100), (3, 200),
+                   (4, 200)]
