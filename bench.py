@@ -219,13 +219,16 @@ def main():
     # is how real deployments size executors.
     ap.add_argument("--lo", type=int, default=8)
     ap.add_argument("--hi", type=int, default=32)
+    ap.add_argument("--rounds", type=int, default=3,
+                    help="interleaved hi/lo rounds in --scaling mode")
     args = ap.parse_args()
     if args.one:
         print(json.dumps(headline(SF_DIR, args.one, args.replicate,
                                   with_queries=False, runs=args.runs)))
     elif args.scaling:
         print(json.dumps(scaling(SF_DIR, lo=args.lo, hi=args.hi,
-                                 replicate=max(args.replicate, 4))))
+                                 replicate=max(args.replicate, 4),
+                                 rounds=args.rounds)))
     else:
         print(json.dumps(headline(SF_DIR, CPUS)))
 

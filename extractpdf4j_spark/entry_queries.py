@@ -1048,6 +1048,42 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# 16z. Duplicate clustering — connected components over the minhash pair
+#      list (functions/dedup.py:duplicate_clusters). Spark: min-label
+#      propagation (one shuffle per round); oracle: recursive-CTE
+#      transitive closure over the identical pair list.
+# ---------------------------------------------------------------------------
+
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.dedup import duplicate_clusters, minhash_duplicates
+    d = _docs(spark, sf)
+    pairs = (minhash_duplicates(d, k=8, bands=4, threshold=0.25,
+                                max_bucket=None)
+             .select("a", "b"))
+    return duplicate_clusters(pairs).orderBy("node")
+
+
+def _dedup_clusters_oracle_sql() -> str:
+    pairs_subq = SQL_MINHASH_PAIRS.replace("ORDER BY a, b", "")
+    return f"""
+WITH RECURSIVE pr AS (
+    SELECT a, b FROM ({pairs_subq})
+),
+ed AS (SELECT a AS u, b AS v FROM pr UNION ALL SELECT b AS u, a AS v FROM pr),
+reach AS (
+    SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM ed)
+    UNION
+    SELECT ed.u AS node, reach.label
+    FROM ed JOIN reach ON ed.v = reach.node
+)
+SELECT node, min(label) AS cluster FROM reach GROUP BY node ORDER BY node
+"""
+
+
+SQL_DEDUP_CLUSTERS = _dedup_clusters_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
 # 17. SimHash (training-pipeline dedup; functions/dedup.py:simhash64)
 # ---------------------------------------------------------------------------
 
@@ -1512,6 +1548,7 @@ QUERIES = {
     "q_minhash_sig": q_minhash_sig,
     "q_minhash_pairs": q_minhash_pairs,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_dedup_clusters": q_dedup_clusters,
     "q_simhash": q_simhash,
     "q_lsh_ann": q_lsh_ann,
     "q_ivf_ann": q_ivf_ann,
@@ -1550,6 +1587,7 @@ ORACLES = {
     "q_minhash_sig": SQL_MINHASH_SIG,
     "q_minhash_pairs": SQL_MINHASH_PAIRS,
     "q_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
     "q_simhash": SQL_SIMHASH,
     "q_lsh_ann": SQL_LSH_ANN,
     "q_ivf_ann": SQL_IVF_ANN,

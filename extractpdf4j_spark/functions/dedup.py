@@ -274,3 +274,44 @@ def simhash_duplicates(df: DataFrame, text_col: str = "text",
            + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo"))))
     return (j.select("a", "b", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
+                       max_iter: int = 15) -> DataFrame:
+    """Connected components over a near-duplicate pair list — the step
+    that turns pairwise matches into keep-one-per-cluster decisions in a
+    production dedup pipeline. Returns (node, cluster) where cluster is
+    the minimum member id of the component.
+
+    Min-label propagation: each round is one equi-join (edges × labels)
+    plus a min-aggregation, i.e. a single hash shuffle on the node id;
+    rounds needed = component diameter, and LSH candidate graphs are
+    near-cliques, so 2-4 in practice. ``localCheckpoint`` truncates plan
+    lineage between rounds (iterative DataFrame plans otherwise grow
+    exponentially), and the convergence check is one count per round —
+    at 100 TB keep the same plan shape but budget fixed rounds instead
+    of checking convergence every time.
+    """
+    edges = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+             .union(pairs.select(F.col(b_col).alias("u"),
+                                 F.col(a_col).alias("v"))))
+    labels = (edges.select("u").distinct()
+              .select(F.col("u").alias("node"), F.col("u").alias("label")))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges["v"] == labels["node"])
+               .select(edges["u"].alias("node"), F.col("label")))
+        new = (labels.unionByName(nbr)
+               .groupBy("node").agg(F.min("label").alias("label")))
+        new = new.localCheckpoint(eager=True)
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster"))
