@@ -618,9 +618,16 @@ shf AS (
 )
 """
 
-_DUCK_MINHASH_COMPONENTS = ",\n       ".join(
-    f"min(('0x' || substring(md5('{i}:' || CAST(shash AS VARCHAR)), 1, 15))"
-    f"::BIGINT) AS h{i}" for i in range(8))
+def _duck_minhash_components() -> str:
+    # mod-p linear minhash family, constants shared with
+    # functions/dedup.minhash_coeffs so both engines inline the same ints
+    from .functions.dedup import MINHASH_P, minhash_coeffs
+    return ",\n       ".join(
+        f"min(({a} * (shash % {MINHASH_P}) + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(8)))
+
+
+_DUCK_MINHASH_COMPONENTS = _duck_minhash_components()
 
 
 def q_minhash_sig(spark: SparkSession, sf: str) -> DataFrame:

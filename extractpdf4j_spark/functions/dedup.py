@@ -17,6 +17,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 # ---------------------------------------------------------------------------
@@ -101,22 +103,40 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_coeffs(k: int, seed: int = 1) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the mod-p linear minhash family —
+    md5-derived at plan-build time so Spark and the DuckDB oracles inline
+    identical constants."""
+    out = []
+    for i in range(k):
+        h = hashlib.md5(f"mh:{seed}:{i}".encode()).hexdigest()
+        out.append((int(h[:8], 16) % (MINHASH_P - 1) + 1,
+                    int(h[8:16], 16) % MINHASH_P))
+    return out
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 8,
                        shingle_n: int = 3) -> DataFrame:
     """k-component MinHash signature per document (BIGINT components).
 
-    Component i = numeric min over shingle hashes of
-    hash60(i || ':' || shash) — one groupBy with k min() aggregates
-    (map-side partial aggregation; a single pass over the exploded
-    shingle hashes). Components are 8-byte longs, not 32-byte hex
-    strings, so the signature shuffle and every band join downstream
-    move ~4x fewer bytes.
+    Component i = min over shingle hashes of the mod-p linear function
+    (a_i·(shash mod p) + b_i) mod p, p = 2^31−1 — pure integer codegen
+    (a_i < 2^31 and shash mod p < 2^31 keep the product inside int64),
+    one groupBy with k min() aggregates (map-side partial aggregation, a
+    single pass over the exploded shingle hashes). Earlier construction
+    md5-hashed an 'i:shash' STRING per component — k string builds + k
+    md5s per shingle; at 10^12 docs that is ~10^16 avoidable md5 calls.
+    Components are 8-byte longs, so the signature shuffle and every band
+    join downstream move ~4x fewer bytes than hex strings.
     """
     sh = shingle_hash_rows(df, text_col, id_col, shingle_n)
-    aggs = [F.min(_hash60(F.concat(F.lit(f"{i}:"),
-                                   F.col("shash").cast("string"))))
-            .alias(f"h{i}") for i in range(k)]
+    x = F.col("shash") % MINHASH_P
+    aggs = [F.min((F.lit(a) * x + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(k))]
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -299,6 +319,10 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
     edges = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
              .union(pairs.select(F.col(b_col).alias("u"),
                                  F.col(a_col).alias("v"))))
+    # checkpoint the edge list BEFORE iterating: without this every round
+    # re-executes the upstream pair-generation pipeline (its lineage),
+    # not just the propagation join
+    edges = edges.localCheckpoint(eager=True)
     labels = (edges.select("u").distinct()
               .select(F.col("u").alias("node"), F.col("u").alias("label")))
     labels = labels.localCheckpoint(eager=True)
