@@ -123,6 +123,10 @@ def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
     from extractpdf4j_spark.entry_queries import QUERIES
     out = {}
     skip = {"q_extract_metrics", "q_extract_spans"}  # covered by headline
+    # session warm-up so the first query doesn't absorb executor/codegen
+    # spin-up (~4-5s): a scan+shuffle+window over one input table
+    warm = spark.read.parquet(f"{sf_dir}/part.parquet")
+    warm.groupBy((warm["p_partkey"] % 16).alias("g")).count().count()
     for name, fn in QUERIES.items():
         if name in skip:
             continue
