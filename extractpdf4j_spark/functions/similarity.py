@@ -141,28 +141,28 @@ def ivf_assign(embeddings: DataFrame, n_clusters: int = 8, dim: int = 64,
     """Assign every vector to its nearest (max-cosine) centroid.
 
     The centroid set is a literal array broadcast inside the plan (no
-    shuffle to distribute it); the argmax is a per-vector window after a
-    K-way explode. At 100 TB the cluster column is written once and the
+    shuffle to distribute it), and the argmax is SHUFFLE-FREE: an
+    array_max over (cosine, -cid) structs evaluated per row — struct
+    ordering gives max cosine with min-cid tie-break (matching the
+    oracle's ORDER BY ccos DESC, cid), and no exchange touches the
+    10^12-row side. At 100 TB the cluster column is written once and the
     table is partitioned/bucketed by it, so probes become partition
     pruning — this function is the build step of that layout."""
     cents = _ivf_centroids(n_clusters, dim, seed)
     e = embeddings.select(F.col(id_col),
                           _as_double(F.col(vec_col)).alias("emb"))
-    cent_arr = F.array(*[
-        F.struct(F.lit(c).cast("long").alias("cid"),
-                 F.array(*[F.lit(v) for v in comps]).alias("cvec"))
-        for c, comps in enumerate(cents)])
-    x = (e.select(id_col, "emb", F.explode(cent_arr).alias("c"))
-         .select(id_col, "emb", F.col("c.cid").alias("cid"),
-                 (_dot(F.col("emb"), F.col("c.cvec"))
-                  / (F.sqrt(_dot(F.col("emb"), F.col("emb")))
-                     * F.sqrt(_dot(F.col("c.cvec"), F.col("c.cvec")))))
-                 .alias("ccos")))
-    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(),
-                                           F.col("cid"))
-    return (x.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, "emb", F.col("cid").alias("cluster")))
+
+    def ccos(comps):
+        cvec = F.array(*[F.lit(v) for v in comps])
+        return _dot(F.col("emb"), cvec) / (
+            F.sqrt(_dot(F.col("emb"), F.col("emb")))
+            * F.sqrt(_dot(cvec, cvec)))
+
+    best = F.array_max(F.array(*[
+        F.struct(ccos(comps).alias("c"),
+                 F.lit(-c).cast("long").alias("negcid"))
+        for c, comps in enumerate(cents)]))
+    return e.select(id_col, "emb", (-best["negcid"]).alias("cluster"))
 
 
 def ivf_topk(embeddings: DataFrame, query_id: int, k: int = 10,
