@@ -95,19 +95,15 @@ def run_extraction_bench(spark, sf_dir: str, cores: int,
     n_docs = docs.count()
     media.cache().count()
 
-    # Arrow-stage partition policy: when the worker count would equal the
-    # machine's cores, the executor JVM (scheduler, Arrow ser/de, shuffle
-    # IO, GC) time-slices against the Python workers — leave it ~8 cores
-    # by running one wave of (cores-8) tasks instead of 2x(cores) waves.
-    # Measured (BENCH/stage_parts.json, local[32] on 32 CPUs): 20k docs
-    # best 14.2s @24 parts vs 18.8s @64; 5k docs equal-best but far less
-    # thermal degradation. Real deployments get this by sizing executors
-    # below machine cores; SPARK_GRAFT_STAGE_PARTS overrides.
-    machine_cpus = os.cpu_count() or cores
-    default_parts = (max(cores - 8, 16) if cores >= machine_cpus > 16
-                     else cores * 2)
+    # Arrow-stage partition count: 2x cores (two waves). The one-wave
+    # (cores-8) "JVM headroom" variant was A/B-tested across corpus sizes
+    # (BENCH/stage_parts.json): it tied at 5k docs, read faster once at
+    # 20k (14.2s vs 18.8s — high-variance thermal regime), and lost at
+    # 80k (54.7s vs 51.8s) where idle cores cost more than wave overhead
+    # saves. 2x cores is the setting that wins at the largest measured
+    # corpus; SPARK_GRAFT_STAGE_PARTS overrides for experiments.
     stage_parts = (int(os.environ.get("SPARK_GRAFT_STAGE_PARTS", "0"))
-                   or default_parts)
+                   or cores * 2)
     t0 = time.perf_counter()
     combined = extract(docs, media, ExtractConfig(),
                        num_partitions=stage_parts)
