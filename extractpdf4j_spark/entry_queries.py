@@ -1439,12 +1439,19 @@ def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     (multimodal op; functions/multimodal.py). The oracle reconstructs the
     little-endian uint32 words of the repeated sha256 digest from the hex
     digest in SQL — exact integer equality gates the mapInPandas
-    plumbing AND the hash→vector derivation."""
+    plumbing AND the hash→vector derivation.
+
+    Output is exploded to scalar rows (one per feature word): the
+    driver's gate canonicalizer sorts on all columns and cannot hash
+    array cells, so the gated surface must be scalar-only."""
     from .functions.multimodal import extract_features_u32
     assets = _media_assets(spark, sf)
-    return (extract_features_u32(assets, dim=FEATURE_DIM)
-            .select("asset_id", "kind", "n_bytes", "feature_u32")
-            .orderBy("asset_id"))
+    feats = extract_features_u32(assets, dim=FEATURE_DIM)
+    return (feats
+            .select("asset_id", "kind", "n_bytes",
+                    F.posexplode("feature_u32").alias("word_idx", "word"))
+            .withColumn("word_idx", F.col("word_idx").cast("long"))
+            .orderBy("asset_id", "word_idx"))
 
 
 # byte b of the repeated digest = digest[(4i) % 32 .. +3]; hex chars of
@@ -1465,9 +1472,10 @@ h AS (
     FROM assets
 )
 SELECT asset_id, kind, n_bytes,
-       list_transform(range(0, {FEATURE_DIM}), i -> {_U32_SQL})
-           AS feature_u32
-FROM h ORDER BY asset_id
+       CAST(i AS BIGINT) AS word_idx,
+       {_U32_SQL} AS word
+FROM h CROSS JOIN range(0, {FEATURE_DIM}) AS t(i)
+ORDER BY asset_id, word_idx
 """
 
 

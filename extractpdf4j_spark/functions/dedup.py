@@ -312,10 +312,14 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
     rounds needed = component diameter, and LSH candidate graphs are
     near-cliques, so 2-4 in practice. ``localCheckpoint`` truncates plan
     lineage between rounds (iterative DataFrame plans otherwise grow
-    exponentially), and the convergence check is one count per round —
+    exponentially). The old label rides through the same min-aggregation
+    (``own`` column), so the convergence check is a filter-count over the
+    freshly checkpointed round output — no extra join, no extra shuffle —
     at 100 TB keep the same plan shape but budget fixed rounds instead
     of checking convergence every time.
     """
+    import warnings
+
     edges = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
              .union(pairs.select(F.col(b_col).alias("u"),
                                  F.col(a_col).alias("v"))))
@@ -326,16 +330,29 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
     labels = (edges.select("u").distinct()
               .select(F.col("u").alias("node"), F.col("u").alias("label")))
     labels = labels.localCheckpoint(eager=True)
+    label_t = labels.schema["label"].dataType
+    changed = None
     for _ in range(max_iter):
         nbr = (edges.join(labels, edges["v"] == labels["node"])
-               .select(edges["u"].alias("node"), F.col("label")))
-        new = (labels.unionByName(nbr)
-               .groupBy("node").agg(F.min("label").alias("label")))
+               .select(edges["u"].alias("node"),
+                       F.col("label").alias("cand"),
+                       F.lit(None).cast(label_t).alias("own")))
+        own = labels.select("node", F.col("label").alias("cand"),
+                            F.col("label").alias("own"))
+        new = (own.unionByName(nbr)
+               .groupBy("node").agg(F.min("cand").alias("label"),
+                                    F.min("own").alias("own")))
         new = new.localCheckpoint(eager=True)
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels = new
+        # every node has exactly one non-null own row, so own == the
+        # previous label; the count scans the checkpointed partitions only
+        changed = new.filter(F.col("label") != F.col("own")).count()
+        labels = new.select("node", "label")
         if changed == 0:
             break
+    if changed is not None and changed > 0:
+        warnings.warn(
+            f"duplicate_clusters: hit max_iter={max_iter} with {changed} "
+            "labels still propagating — returned clusters are NOT minimal "
+            "for long-chain components; raise max_iter",
+            RuntimeWarning, stacklevel=2)
     return labels.select("node", F.col("label").alias("cluster"))

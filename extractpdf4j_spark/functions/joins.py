@@ -40,8 +40,23 @@ def as_of_join(left: DataFrame, right: DataFrame, key: str,
 
     ``right_cols`` are the right-side payload columns to carry; each
     appears in the output as ``asof_<name>``.
+
+    Caller columns may not collide with the internal/output names
+    (``_ts``, ``_right``, ``_lrow``, ``_r_*``, ``asof_*``) — validated
+    below. When multiple right rows share ``(key, right_ts)``, which one
+    is carried is tie-broken deterministically by the payload values
+    (max-last within the tie group); pre-aggregate the right side to one
+    row per ``(key, ts)`` if a specific reduction is wanted.
     """
     payload = list(right_cols)
+    reserved = {"_ts", "_right", "_lrow"}
+    reserved |= {f"_r_{c}" for c in payload}
+    reserved |= {f"asof_{c}" for c in payload}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"as_of_join: input columns collide with reserved internal "
+            f"names: {sorted(clash)} — rename them before joining")
     l_tagged = left.select(
         F.col(key), F.col(left_ts).alias("_ts"), F.lit(0).alias("_right"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
@@ -53,7 +68,11 @@ def as_of_join(left: DataFrame, right: DataFrame, key: str,
         *[F.col(c).alias(f"_r_{c}") for c in payload])
     u = l_tagged.unionByName(r_tagged)
     w = (Window.partitionBy(key)
-         .orderBy(F.col("_ts"), F.col("_right").desc())
+         # payload columns as trailing sort keys: right rows tied on
+         # (key, ts) resolve deterministically (max payload carried)
+         # instead of by shuffle arrival order
+         .orderBy(F.col("_ts"), F.col("_right").desc(),
+                  *[F.col(f"_r_{c}") for c in payload])
          .rowsBetween(Window.unboundedPreceding, 0))
     for c in payload:
         u = u.withColumn(f"asof_{c}",
@@ -65,7 +84,8 @@ def as_of_join(left: DataFrame, right: DataFrame, key: str,
 
 def interval_point_join(points: DataFrame, intervals: DataFrame,
                         point_col: str, lo_col: str, hi_col: str,
-                        bucket_width: float) -> DataFrame:
+                        bucket_width: float,
+                        max_buckets: int = 10_000) -> DataFrame:
     """Inclusive point-in-interval join (``lo <= x <= hi``) as a bucketed
     equi-join: every interval is exploded to the coarse buckets it
     covers, every point hashes to exactly one bucket, and the exact
@@ -73,16 +93,29 @@ def interval_point_join(points: DataFrame, intervals: DataFrame,
 
     ``bucket_width`` trades shuffle volume (intervals replicate once per
     covered bucket) against filter selectivity — set it near the median
-    interval span. Long intervals replicate proportionally; cap outliers
-    upstream if the span distribution is heavy-tailed. Output columns =
+    interval span. Long intervals replicate proportionally;
+    ``max_buckets`` fails fast (executor-side RAISE_ERROR) on any
+    interval spanning more than that many buckets — one malformed or
+    huge interval would otherwise generate millions of bucket rows or
+    hit Spark's sequence-length limit mid-shuffle. Clamp or split such
+    outliers upstream, or raise the guard deliberately. Output columns =
     point columns + interval columns.
     """
     b = float(bucket_width)
+    lo_b = F.floor(F.col(lo_col) / b).cast("long")
+    hi_b = F.floor(F.col(hi_col) / b).cast("long")
+    n_b = hi_b - lo_b + 1
+    guarded_hi = F.when(
+        n_b <= int(max_buckets), hi_b
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"interval_point_join: interval [{lo_col},{hi_col}]=["),
+        F.col(lo_col).cast("string"), F.lit(","),
+        F.col(hi_col).cast("string"),
+        F.lit(f"] spans > max_buckets={max_buckets} buckets at "
+              f"bucket_width={bucket_width}; clamp upstream or widen "
+              "buckets"))))
     i_bucketed = intervals.withColumn(
-        "_bucket",
-        F.explode(F.sequence(
-            F.floor(F.col(lo_col) / b).cast("long"),
-            F.floor(F.col(hi_col) / b).cast("long"))))
+        "_bucket", F.explode(F.sequence(lo_b, guarded_hi)))
     p_bucketed = points.withColumn(
         "_bucket", F.floor(F.col(point_col) / b).cast("long"))
     j = p_bucketed.join(i_bucketed, "_bucket")

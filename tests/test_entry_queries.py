@@ -25,6 +25,14 @@ def _norm(rows, cols):
         vals = []
         for c in cols:
             v = r[c]
+            # The driver's gate canonicalizer (pandas sort_values over all
+            # columns) dies on unhashable cells — reject them here so a
+            # driver-incompatible query output fails locally too.
+            if isinstance(v, (list, dict, set, tuple)):
+                raise AssertionError(
+                    f"non-scalar value in gated column {c!r}: {type(v).__name__}"
+                    " — oracle-gated queries must emit scalar columns only"
+                    " (explode arrays to rows)")
             if isinstance(v, float):
                 v = round(v, 6)
                 if v == -0.0:

@@ -199,3 +199,60 @@ def test_interval_point_join_bucket_edges(spark):
         points, intervals, "x", "lo", "hi", bucket_width=16.0).collect())
     assert got == [(1, 100), (2, 100), (2, 200), (3, 100), (3, 200),
                    (4, 200)]
+
+
+def test_as_of_join_rejects_reserved_column_names(spark):
+    """Caller columns colliding with internal names fail fast instead of
+    silently corrupting the union/window plumbing."""
+    import pytest
+    from extractpdf4j_spark.functions.joins import as_of_join
+    left = spark.createDataFrame([(1, 10, 5)], "event_id long, k long, ts long")
+    bad = spark.createDataFrame([(10, 5, 1)], "k long, ts long, _right long")
+    with pytest.raises(ValueError, match="_right"):
+        as_of_join(left, bad, key="k", right_cols=())
+
+
+def test_as_of_join_tie_break_deterministic(spark):
+    """Multiple right rows at the same (key, ts): the max payload is
+    carried, independent of shuffle arrival order."""
+    from extractpdf4j_spark.functions.joins import as_of_join
+    left = spark.createDataFrame([(1, 10, 100)], "event_id long, k long, ts long")
+    right = spark.createDataFrame(
+        [(10, 100, 3), (10, 100, 9), (10, 100, 7)], "k long, ts long, v long")
+    for parts in (1, 4):
+        out = as_of_join(left, right.repartition(parts), key="k",
+                         right_cols=("v",)).collect()
+        assert [r["asof_v"] for r in out] == [9]
+
+
+def test_interval_point_join_max_buckets_guard(spark):
+    """A runaway interval (span >> bucket_width) raises instead of
+    generating millions of bucket rows."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+    from extractpdf4j_spark.functions.joins import interval_point_join
+    points = spark.createDataFrame([(1, 5)], "pid long, x long")
+    huge = spark.createDataFrame([(100, 0, 10_000_000)], "iid long, lo long, hi long")
+    with pytest.raises(SparkRuntimeException, match="max_buckets"):
+        interval_point_join(points, huge, "x", "lo", "hi",
+                            bucket_width=1.0, max_buckets=1000).collect()
+    # and a wide-but-allowed interval still joins
+    ok = interval_point_join(points, huge, "x", "lo", "hi",
+                             bucket_width=1.0,
+                             max_buckets=20_000_000).collect()
+    assert [(r["pid"], r["iid"]) for r in ok] == [(1, 100)]
+
+
+def test_duplicate_clusters_warns_on_max_iter(spark):
+    """A long chain that cannot converge in max_iter rounds warns instead
+    of silently returning non-minimal labels."""
+    import pytest
+    from extractpdf4j_spark.functions.dedup import duplicate_clusters
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "a long, b long")
+    with pytest.warns(RuntimeWarning, match="max_iter"):
+        out = duplicate_clusters(chain, max_iter=2)
+        out.collect()
+    # full convergence still reaches min-label 0 everywhere
+    done = duplicate_clusters(chain, max_iter=15)
+    assert {r["cluster"] for r in done.collect()} == {0}
