@@ -115,31 +115,60 @@ def run_extraction_bench(spark, sf_dir: str, cores: int,
     return dt, n_docs
 
 
-def run_query_bench(spark, sf_dir: str) -> dict[str, float]:
+# Queries that dominate sweep cost — run FIRST so they execute before the
+# host's load-triggered CPU throttle engages, and so the cheap kernel
+# queries that follow aren't individually pushed into the throttled regime
+# by whichever heavy query happened to precede them.
+HEAVY_QUERIES = [
+    # minhash family in dependency order: sig/pairs warm the shared
+    # shingle+signature lineage that q_dedup_clusters re-executes
+    "q_minhash_sig", "q_minhash_pairs", "q_ngram_jaccard",
+    "q_dedup_clusters", "q_media_features", "q_embed_neardup",
+    "q_ivf_ann", "q_simhash", "q_lsh_ann", "q_fuzzy_header",
+    "q_hybrid_pick",
+]
+
+
+def run_query_bench(spark, sf_dir: str, passes: int = 2) -> dict[str, float]:
+    """Per-query timings, best-of-``passes``.
+
+    This host throttles CPU after sustained load (BENCH/BASELINE.md):
+    a single sequential sweep hands whichever query lands late a
+    throttled core and a 3-10x outlier (observed: q_fuzzy_header 0.6 s
+    clean vs 15-19 s mid-sweep — same plan). Two passes separated by a
+    short cooldown sample different thermal phases; min() per query
+    discards the throttled sample. Heavy family first within each pass.
+    """
     from extractpdf4j_spark.entry_queries import QUERIES
-    out = {}
     skip = {"q_extract_metrics", "q_extract_spans"}  # covered by headline
+    names = [n for n in HEAVY_QUERIES if n in QUERIES and n not in skip]
+    names += [n for n in QUERIES if n not in skip and n not in names]
     # session warm-up so the first query doesn't absorb executor/codegen
     # spin-up (~4-5s): a scan+shuffle+window over one input table
     warm = spark.read.parquet(f"{sf_dir}/part.parquet")
     warm.groupBy((warm["p_partkey"] % 16).alias("g")).count().count()
-    for name, fn in QUERIES.items():
-        if name in skip:
-            continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        out[name] = round(time.perf_counter() - t0, 3)
-    return out
+    cool = int(os.environ.get("SPARK_GRAFT_QUERY_COOLDOWN", "30"))
+    out: dict[str, float] = {}
+    for p in range(passes):
+        if p:
+            time.sleep(cool)
+        for name in names:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            if name not in out or dt < out[name]:
+                out[name] = dt
+    return {n: round(v, 3) for n, v in out.items()}
 
 
 def headline(sf_dir: str, cores: int, replicate: int = 1,
              with_queries: bool = True, runs: int = 3) -> dict:
     spark = make_spark(cores)
     try:
-        # queries first: the host throttles under sustained load, so they
-        # time on a cooler machine than after 4 extraction sweeps
-        queries = run_query_bench(spark, sf_dir) if with_queries else {}
-        # warm-up run primes JVM/Python workers and the corpus cache
+        # extraction first: it is the headline metric and the machine is
+        # coolest at session start (the host throttles under sustained
+        # load); ~25 s of extraction heats far less than the 34-query
+        # sweep does. Warm-up run primes JVM/Python workers + corpus cache.
         run_extraction_bench(spark, sf_dir, cores, replicate)
         times = []
         n_docs = 0
@@ -147,6 +176,7 @@ def headline(sf_dir: str, cores: int, replicate: int = 1,
             dt, n_docs = run_extraction_bench(spark, sf_dir, cores, replicate)
             times.append(dt)
         best = min(times)
+        queries = run_query_bench(spark, sf_dir) if with_queries else {}
         return {
             "metric": "extraction_wall_sec",
             "value": round(best, 3),
