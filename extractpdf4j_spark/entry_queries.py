@@ -1499,6 +1499,201 @@ ORDER BY asset_id, frame_ts_ms
 
 
 # ---------------------------------------------------------------------------
+# Stream-only extraction, END-TO-END oracle (stream ops 9-14 composed;
+# StreamParser.java:119-208 + serialize_tables). The corpus is derived
+# arithmetically from part.p_partkey (integer-valued doubles only, so the
+# %.4f span encode round-trips exactly), serialized through the REAL
+# document model (encode_text_span format) and run through the REAL
+# two-stage pipeline (mapInPandas kernels); the oracle transliterates the
+# whole stream kernel — row clustering, span merge, gap-vote column
+# bounds, findCol clamp, empty-aware cell fold, row-major span
+# serialization — in DuckDB SQL over the same arithmetic derivation.
+# ---------------------------------------------------------------------------
+
+def q_extract_stream_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-checked extraction gate: the pipeline itself (stream-only
+    config, text-only docs), not just its kernels in isolation."""
+    from .config import ExtractConfig, MODE_STREAM
+    from .pipeline import extract, with_spans
+
+    p = spark.read.parquet(f"{sf}/part.parquet")
+    # glyph derivation: 20 docs; glyph gi=k div 20 → row r, cell c,
+    # token t (2 tokens per cell, in-cell gap 7pt = span break without a
+    # column vote; inter-cell gap >70pt votes; per-doc 3pt x-shift varies
+    # the voted bounds across docs)
+    g = p.selectExpr(
+        "p_partkey AS k",
+        "p_partkey % 20 AS doc",
+        "(p_partkey div 20) div 10 AS r",
+        "((p_partkey div 20) % 10) div 2 AS c",
+        "(p_partkey div 20) % 2 AS t",
+    ).selectExpr(
+        "k", "doc", "r", "c", "t",
+        "20.0D + CAST((doc + c + r) % 5 AS DOUBLE) AS w0",
+    ).selectExpr(
+        "concat('sd', lpad(CAST(doc AS STRING), 2, '0')) AS doc_id",
+        "c * 120.0D + (doc % 4) * 3.0D + t * (w0 + 7.0D) AS x",
+        "700.0D - r * 14.0D AS y",
+        "CASE WHEN t = 0 THEN w0 ELSE 15.0D END AS w",
+        "8.0D AS h",
+        "concat('g', CAST(k % 97 AS STRING)) AS token",
+    )
+    # serialize through the real encode_text_span wire format (docmodel);
+    # interpreted transform lambda is fine here — 20 tiny groups, gate
+    # path only
+    page_text = F.concat(
+        F.lit("p=1"),
+        F.concat_ws("", F.transform(
+            F.array_sort(F.collect_list(F.struct("x", "y", "w", "h",
+                                                 "token"))),
+            lambda s: F.format_string("\n%.4f|%.4f|%.4f|%.4f|%s",
+                                      s["x"], s["y"], s["w"], s["h"],
+                                      s["token"]))))
+    docs = (g.groupBy("doc_id").agg(page_text.alias("page_text"))
+            .select("doc_id", F.array(F.struct(
+                F.lit("text").alias("kind"),
+                F.col("page_text").alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"))).alias("spans")))
+    combined = extract(docs, None, ExtractConfig(mode=MODE_STREAM),
+                       num_partitions=8)
+    return (with_spans(combined)
+            .select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id",
+                    F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("text"),
+                    F.col("s.media_ref").alias("media_ref"),
+                    F.col("s.offset").cast("long").alias("offset"))
+            .orderBy("doc_id", "offset"))
+
+
+SQL_EXTRACT_STREAM_SPANS = """
+WITH g AS (
+    SELECT 'sd' || lpad(CAST(doc AS VARCHAR), 2, '0') AS doc_id,
+           c * 120.0 + (doc % 4) * 3.0 + t * (w0 + 7.0) AS x,
+           700.0 - r * 14.0 AS y,
+           CASE WHEN t = 0 THEN w0 ELSE 15.0 END AS w,
+           'g' || CAST(k % 97 AS VARCHAR) AS token
+    FROM (
+        SELECT k, doc, r, c, t,
+               20.0 + CAST((doc + c + r) % 5 AS DOUBLE) AS w0
+        FROM (
+            SELECT p_partkey AS k,
+                   p_partkey % 20 AS doc,
+                   (p_partkey // 20) // 10 AS r,
+                   ((p_partkey // 20) % 10) // 2 AS c,
+                   (p_partkey // 20) % 2 AS t
+            FROM part))
+),
+-- stream kernel step 1: Y-bucket row clustering, Java Math.round
+bucketed AS (
+    SELECT *, CAST(floor(y / 2.0 + 0.5) AS BIGINT) AS buck FROM g
+),
+rowed AS (
+    SELECT *,
+           dense_rank() OVER (PARTITION BY doc_id ORDER BY buck DESC) - 1
+               AS row_id
+    FROM bucketed
+),
+-- steps 3-4: adjacent gaps in (bucket desc, x) order; span breaks at
+-- gap > 6, column votes at in-row gap > 12
+seqd AS (
+    SELECT *,
+           lag(x + w) OVER w1 AS prev_right,
+           lag(row_id) OVER w1 AS prev_row
+    FROM rowed
+    WINDOW w1 AS (PARTITION BY doc_id ORDER BY buck DESC, x)
+),
+marked AS (
+    SELECT *,
+           x - prev_right AS gap,
+           CASE WHEN prev_row IS NULL OR prev_row <> row_id THEN 1
+                WHEN x - prev_right > 6.0 THEN 1 ELSE 0 END AS brk,
+           CASE WHEN prev_row = row_id AND x - prev_right > 12.0
+                THEN 1 ELSE 0 END AS vote
+    FROM seqd
+),
+votekeys AS (
+    SELECT DISTINCT doc_id,
+           CAST(floor((prev_right + gap / 2.0) / 10.0 + 0.5) AS BIGINT)
+               AS key
+    FROM marked WHERE vote = 1
+),
+docbounds AS (
+    SELECT d.doc_id,
+           coalesce(b.bounds, [0.0, 1e9]) AS bounds
+    FROM (SELECT DISTINCT doc_id FROM g) d
+    LEFT JOIN (
+        SELECT doc_id,
+               list_concat(list_concat([0.0],
+                   list_sort(list(key * 10.0))), [1e9]) AS bounds
+        FROM votekeys GROUP BY doc_id) b USING (doc_id)
+),
+spanned AS (
+    SELECT *,
+           CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY buck DESC, x
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1
+               AS span_id
+    FROM marked
+),
+spans AS (
+    SELECT doc_id, span_id, row_id,
+           min(x) AS span_x,
+           trim(string_agg(token, '' ORDER BY x)) AS span_text
+    FROM spanned GROUP BY doc_id, span_id, row_id
+),
+-- step 5: findCol = searchsorted(bounds, x, right) - 1, clamp to last
+scol AS (
+    SELECT s.doc_id, s.row_id, s.span_id, s.span_text,
+           least(greatest(
+               len(list_filter(b.bounds, v -> v <= s.span_x)) - 1, 0),
+               len(b.bounds) - 2) AS col_id
+    FROM spans s JOIN docbounds b USING (doc_id)
+),
+-- step 6: empty-aware " " fold in span order (all span texts non-empty
+-- here, so the fold reduces to an ordered join)
+cells AS (
+    SELECT doc_id, row_id, col_id,
+           trim(string_agg(span_text, ' ' ORDER BY span_id)) AS cell_text
+    FROM scol GROUP BY doc_id, row_id, col_id
+),
+dims AS (
+    SELECT r.doc_id, r.nrows, len(b.bounds) - 1 AS ncols
+    FROM (SELECT doc_id, max(row_id) + 1 AS nrows
+          FROM rowed GROUP BY doc_id) r
+    JOIN docbounds b USING (doc_id)
+),
+rc AS (
+    SELECT doc_id, nrows, ncols, unnest(range(0, nrows)) AS r FROM dims
+),
+rcc AS (
+    SELECT doc_id, ncols, r, unnest(range(0, ncols)) AS c FROM rc
+),
+cellrows AS (
+    SELECT rcc.doc_id,
+           'text' AS kind,
+           coalesce(cells.cell_text, '') AS text,
+           'r' || CAST(rcc.r AS VARCHAR) || 'c' || CAST(rcc.c AS VARCHAR)
+               AS media_ref,
+           CAST(1 + rcc.r * rcc.ncols + rcc.c AS BIGINT) AS "offset"
+    FROM rcc LEFT JOIN cells
+      ON cells.doc_id = rcc.doc_id AND cells.row_id = rcc.r
+     AND cells.col_id = rcc.c
+),
+markers AS (
+    SELECT doc_id, 'media' AS kind, '' AS text,
+           'table:stream:p1:' || CAST(nrows AS VARCHAR) || 'x'
+               || CAST(ncols AS VARCHAR) AS media_ref,
+           CAST(0 AS BIGINT) AS "offset"
+    FROM dims
+)
+SELECT doc_id, kind, text, media_ref, "offset"
+FROM (SELECT * FROM markers UNION ALL SELECT * FROM cellrows)
+ORDER BY doc_id, "offset"
+"""
+
+
+# ---------------------------------------------------------------------------
 # Rows-only queries (not SQL-expressible: the extraction pipeline itself)
 # ---------------------------------------------------------------------------
 
@@ -1573,6 +1768,7 @@ QUERIES = {
     "q_range_join": q_range_join,
     "q_media_features": q_media_features,
     "q_frame_sample": q_frame_sample,
+    "q_extract_stream_spans": q_extract_stream_spans,
     "q_extract_metrics": q_extract_metrics,
     "q_extract_spans": q_extract_spans,
 }
@@ -1612,6 +1808,10 @@ ORACLES = {
     "q_range_join": SQL_RANGE_JOIN,
     "q_media_features": SQL_MEDIA_FEATURES,
     "q_frame_sample": SQL_FRAME_SAMPLE,
+    # full stream-kernel transliteration gating the real pipeline
+    # end-to-end (stream-only config over derived text docs)
+    "q_extract_stream_spans": SQL_EXTRACT_STREAM_SPANS,
     # rows-only (no SQL-expressible oracle): q_extract_metrics /
-    # q_extract_spans (the extraction pipeline itself)
+    # q_extract_spans (the full HYBRID pipeline; the stream path is
+    # hash-gated by q_extract_stream_spans above)
 }
