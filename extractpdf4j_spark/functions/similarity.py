@@ -135,9 +135,51 @@ def _ivf_centroids(n_clusters: int, dim: int, seed: int = 7) -> list[list[float]
     return cents
 
 
+def ivf_train_centroids(embeddings: DataFrame, n_clusters: int = 8,
+                        seed: int = 7, sample_n: int = 2048,
+                        iters: int = 10, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> list[list[float]]:
+    """Driver-side sampled spherical k-means — the FAISS-style IVF train
+    step that replaces the md5 pseudo-centroids with data-derived ones.
+
+    This is the one deliberate driver-side collect in the package, and it
+    is BOUNDED: ``sample_n`` rows regardless of table size (deterministic
+    md5-order sample, so the same seed yields the same centroids on any
+    partitioning) — at 100 TB the sample is still ``sample_n`` vectors.
+    Vectors are L2-normalized so Lloyd assignment under dot product
+    matches the engine's cosine assignment. Returns K centroid lists to
+    pass as ``centroids=`` to :func:`ivf_assign`/:func:`ivf_topk`, where
+    they are inlined as plan literals exactly like the pseudo-centroid
+    path (broadcast in the plan, no shuffle).
+    """
+    import numpy as np
+
+    e = embeddings.select(F.col(id_col).alias("i"),
+                          _as_double(F.col(vec_col)).alias("emb"))
+    samp = (e.orderBy(F.md5(F.concat_ws(":", F.lit(str(seed)),
+                                        F.col("i").cast("string"))))
+            .limit(sample_n).select("emb").toPandas())
+    X = np.asarray(samp["emb"].tolist(), dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_clusters, len(X)),
+                     replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    C[c] = v / n
+    return C.tolist()
+
+
 def ivf_assign(embeddings: DataFrame, n_clusters: int = 8, dim: int = 64,
                seed: int = 7, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               centroids: list[list[float]] | None = None) -> DataFrame:
     """Assign every vector to its nearest (max-cosine) centroid.
 
     The centroid set is a literal array broadcast inside the plan (no
@@ -147,8 +189,13 @@ def ivf_assign(embeddings: DataFrame, n_clusters: int = 8, dim: int = 64,
     oracle's ORDER BY ccos DESC, cid), and no exchange touches the
     10^12-row side. At 100 TB the cluster column is written once and the
     table is partitioned/bucketed by it, so probes become partition
-    pruning — this function is the build step of that layout."""
-    cents = _ivf_centroids(n_clusters, dim, seed)
+    pruning — this function is the build step of that layout.
+
+    ``centroids`` (e.g. from :func:`ivf_train_centroids`) overrides the
+    deterministic md5 pseudo-centroids; the pseudo path remains the
+    oracle-gate surface (reproducible across engines without k-means)."""
+    cents = centroids if centroids is not None \
+        else _ivf_centroids(n_clusters, dim, seed)
     e = embeddings.select(F.col(id_col),
                           _as_double(F.col(vec_col)).alias("emb"))
 
@@ -168,7 +215,8 @@ def ivf_assign(embeddings: DataFrame, n_clusters: int = 8, dim: int = 64,
 def ivf_topk(embeddings: DataFrame, query_id: int, k: int = 10,
              nprobe: int = 2, n_clusters: int = 8, dim: int = 64,
              seed: int = 7, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF approximate cosine top-k: exact search restricted to the
     ``nprobe`` clusters nearest the query vector.
 
@@ -176,8 +224,10 @@ def ivf_topk(embeddings: DataFrame, query_id: int, k: int = 10,
     (partition pruning once the table is laid out by cluster), never a
     full scan; the query side (1 row) and its probe list (nprobe rows)
     are broadcast."""
-    assigned = ivf_assign(embeddings, n_clusters, dim, seed, id_col, vec_col)
-    cents = _ivf_centroids(n_clusters, dim, seed)
+    assigned = ivf_assign(embeddings, n_clusters, dim, seed, id_col,
+                          vec_col, centroids=centroids)
+    cents = centroids if centroids is not None \
+        else _ivf_centroids(n_clusters, dim, seed)
     q = (assigned.filter(F.col(id_col) == query_id)
          .select(F.col("emb").alias("qemb")))
     cent_arr = F.array(*[

@@ -256,3 +256,28 @@ def test_duplicate_clusters_warns_on_max_iter(spark):
     # full convergence still reaches min-label 0 everywhere
     done = duplicate_clusters(chain, max_iter=15)
     assert {r["cluster"] for r in done.collect()} == {0}
+
+
+def test_ivf_trained_centroids_recall(spark):
+    """Data-derived centroids (driver-side sampled spherical k-means)
+    plug into ivf_topk and beat-or-match chance recall vs brute force;
+    training is deterministic for a fixed seed."""
+    from extractpdf4j_spark.functions.similarity import (
+        cosine_topk, ivf_topk, ivf_train_centroids)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = ivf_train_centroids(emb, n_clusters=8, seed=7, sample_n=256,
+                             iters=5)
+    c2 = ivf_train_centroids(emb, n_clusters=8, seed=7, sample_n=256,
+                             iters=5)
+    assert c1 == c2, "k-means training is not deterministic"
+    assert len(c1) == 8 and len(c1[0]) == 64
+
+    qid = 3
+    exact = [r["vec_id"] for r in cosine_topk(emb, qid, k=10).collect()]
+    approx = {r["vec_id"]
+              for r in ivf_topk(emb, qid, k=10, nprobe=3,
+                                centroids=c1).collect()}
+    recall = len(set(exact) & approx) / len(exact)
+    # trained cells concentrate true neighbors: well above the ~3/8
+    # chance level of probing 3 of 8 random cells
+    assert recall >= 0.6, f"recall@10={recall} with trained centroids"

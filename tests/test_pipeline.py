@@ -279,3 +279,30 @@ def test_stage2_streaming_carryover_across_arrow_batches(spark):
         f"multi-{i}" for i in range(6))
     assert all(r["status"] == "ok" for r in rows), [
         (r["doc_id"], r["status"]) for r in rows]
+
+
+def test_extraction_deterministic_across_partition_counts(spark):
+    """Shuffle-order independence of the serialized span output: the
+    rows-only driver gates (q_extract_spans/q_extract_metrics) compare
+    across runs, so the output must not depend on num_partitions (which
+    fixes both the shuffle layout and the stage-2 batch boundaries)."""
+    from extractpdf4j_spark.corpusgen import ensure_fixture_corpus
+    from extractpdf4j_spark.pipeline import with_spans
+
+    docs, media = ensure_fixture_corpus(spark, "/root/testdata/sf0.001",
+                                        limit=40)
+    snapshots = []
+    for parts in (4, 8):
+        combined = extract(docs, media, ExtractConfig(),
+                           num_partitions=parts)
+        spans = (with_spans(combined)
+                 .selectExpr("doc_id", "explode(spans) AS s")
+                 .selectExpr("doc_id", "s.kind", "s.text", "s.media_ref",
+                             "s.offset"))
+        snapshots.append(sorted(tuple(r) for r in spans.collect()))
+        metrics = combined.select("doc_id", "status", "strategy",
+                                  "tables_found", "cells_parsed",
+                                  "ocr_fallbacks")
+        snapshots.append(sorted(tuple(r) for r in metrics.collect()))
+    assert snapshots[0] == snapshots[2], "span output varies with partitioning"
+    assert snapshots[1] == snapshots[3], "metrics vary with partitioning"
