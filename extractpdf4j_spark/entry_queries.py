@@ -1499,6 +1499,44 @@ ORDER BY asset_id, frame_ts_ms
 
 
 # ---------------------------------------------------------------------------
+# int8 embedding quantization (training-pipeline scale op;
+# functions/similarity.py:quantize_embeddings). The quantizer is defined
+# as floor(x/scale + 0.5) so one IEEE expression gates both engines —
+# exact integer equality on the quantized components.
+# ---------------------------------------------------------------------------
+
+def q_embed_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.similarity import quantize_embeddings
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q8 = quantize_embeddings(emb)
+    return (q8.select("vec_id",
+                      F.round("scale", 6).alias("scale6"),
+                      F.posexplode(F.slice("qvec", 1, 16))
+                      .alias("idx", "qval"))
+            .withColumn("idx", F.col("idx").cast("long"))
+            .orderBy("vec_id", "idx"))
+
+
+SQL_EMBED_QUANTIZE = """
+WITH s AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+           greatest(list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) / 127.0,
+                    1e-30) AS scale
+    FROM embeddings
+)
+SELECT vec_id,
+       round(scale, 6) AS scale6,
+       CAST(i - 1 AS BIGINT) AS idx,
+       CAST(least(greatest(floor(emb[CAST(i AS INT)] / scale + 0.5),
+                           -127.0), 127.0) AS BIGINT) AS qval
+FROM s CROSS JOIN range(1, 17) AS t(i)
+ORDER BY vec_id, idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # Stream-only extraction, END-TO-END oracle (stream ops 9-14 composed;
 # StreamParser.java:119-208 + serialize_tables). The corpus is derived
 # arithmetically from part.p_partkey (integer-valued doubles only, so the
@@ -1768,6 +1806,7 @@ QUERIES = {
     "q_range_join": q_range_join,
     "q_media_features": q_media_features,
     "q_frame_sample": q_frame_sample,
+    "q_embed_quantize": q_embed_quantize,
     "q_extract_stream_spans": q_extract_stream_spans,
     "q_extract_metrics": q_extract_metrics,
     "q_extract_spans": q_extract_spans,
@@ -1808,6 +1847,7 @@ ORACLES = {
     "q_range_join": SQL_RANGE_JOIN,
     "q_media_features": SQL_MEDIA_FEATURES,
     "q_frame_sample": SQL_FRAME_SAMPLE,
+    "q_embed_quantize": SQL_EMBED_QUANTIZE,
     # full stream-kernel transliteration gating the real pipeline
     # end-to-end (stream-only config over derived text docs)
     "q_extract_stream_spans": SQL_EXTRACT_STREAM_SPANS,

