@@ -226,6 +226,32 @@ def _make_decode_pdfs(backend_factory):
     return decode_pdfs
 
 
+def decode_pages_to_document(pages: list[PageDecode]
+                             ) -> tuple[list[dict], dict[str, bytes]]:
+    """Decoded pages → (spans, media_payloads) in the single-document
+    model :func:`local.extract_document` consumes — the in-process
+    counterpart of the rows `_make_decode_pdfs` emits for the Spark
+    path (same encode functions, same span ordering)."""
+    spans: list[dict] = []
+    media: dict[str, bytes] = {}
+    off = 0
+    for pg in pages:
+        if pg.runs:
+            spans.append({"kind": "text",
+                          "text": encode_text_span(pg.page, pg.runs),
+                          "media_ref": "", "offset": off})
+            off += 1
+        if pg.image is not None:
+            ref = f"p{pg.page}"
+            media[ref] = encode_media_payload(
+                pg.page, pg.image, pg.dpi, pg.page_width_pt,
+                pg.page_height_pt, pg.words)
+            spans.append({"kind": "media", "text": "",
+                          "media_ref": ref, "offset": off})
+            off += 1
+    return spans, media
+
+
 def decoded_to_documents(decoded: DataFrame) -> DataFrame:
     """documents(doc_id, spans) from decoded rows — native assembly
     (collect_list + array_sort by offset; the reorder transform runs once

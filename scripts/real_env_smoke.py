@@ -195,6 +195,30 @@ def main() -> int:
             print("  pytesseract TSV schema: OK")
 
     spark.stop()
+
+    # op-4 raw-PDF HTTP route (503 in the sandbox; real here)
+    import threading
+    import urllib.request
+
+    from extractpdf4j_spark.http_service import serve
+    srv = serve(port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    host, port = srv.server_address
+    req = urllib.request.Request(
+        f"http://{host}:{port}/api/extract", data=text_table_pdf(),
+        method="POST", headers={"Content-Type": "application/pdf"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            body = r.read().decode()
+        if not body.startswith("--- Table 1 ---"):
+            failures.append(f"HTTP PDF route framing: {body[:60]!r}")
+        else:
+            print("  HTTP raw-PDF route: OK")
+    except Exception as e:
+        failures.append(f"HTTP PDF route failed: {e}")
+    finally:
+        srv.shutdown()
+
     if failures:
         print("FAILURES:")
         for f in failures:
