@@ -2,7 +2,7 @@
 
 The reference has no streaming (its Spring service is blocking
 request/response, PdfExtractController.java:40-44), but a corpus-scale
-deployment ingests documents continuously. Three shapes:
+deployment ingests documents continuously. Four shapes:
 
 * :func:`stream_extraction` — ``readStream`` on the documents location →
   ``foreachBatch`` running the same extraction plan per micro-batch →
@@ -20,6 +20,10 @@ deployment ingests documents continuously. Three shapes:
   announced span count is reached (then the assembled document emits)
   or the processing-time timeout expires (partial document emits with a
   timeout flag).
+* :func:`stream_exact_dedup` — stateful cross-batch exact dedup: the
+  first arrival of a normalized text hash is the keeper (per-hash state
+  bounded by distinct content, not stream length); later arrivals in any
+  batch emit ``is_duplicate=true`` at arrival time.
 """
 
 from __future__ import annotations
@@ -175,3 +179,81 @@ def stream_assemble_documents(span_events: DataFrame) -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: cross-batch streaming exact dedup
+# ---------------------------------------------------------------------------
+
+DEDUP_IN_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("text_hash", StringType()),
+])
+
+DEDUP_OUT_SCHEMA = StructType([
+    StructField("text_hash", StringType()),
+    StructField("doc_id", StringType()),
+    StructField("is_duplicate", BooleanType()),
+    StructField("keeper_doc_id", StringType()),
+])
+
+_DEDUP_STATE_SCHEMA = StructType([
+    StructField("keeper", StringType()),
+])
+
+
+def normalized_text_hash(text_col):
+    """The exact-dedup normalization (functions/dedup.exact_duplicates):
+    md5 of lowercased whitespace-collapsed trimmed text — one expression
+    shared by the batch and streaming dedup paths."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")))
+
+
+def _dedup_group(key: tuple, pdfs: Iterator[pd.DataFrame],
+                 state: GroupState) -> Iterator[pd.DataFrame]:
+    (text_hash,) = key
+    if state.hasTimedOut:  # pragma: no cover - no timeout configured
+        state.remove()
+        return
+    keeper = state.get[0] if state.exists else None
+    rows = []
+    for pdf in pdfs:
+        # within-batch arrival order is nondeterministic under shuffle;
+        # sort so the keeper choice (min doc_id of the first batch seen)
+        # is reproducible
+        for doc_id in sorted(pdf["doc_id"]):
+            if keeper is None:
+                keeper = doc_id
+                rows.append((text_hash, doc_id, False, doc_id))
+            else:
+                rows.append((text_hash, doc_id, doc_id != keeper, keeper))
+    state.update((keeper,))
+    if rows:
+        yield pd.DataFrame(rows, columns=["text_hash", "doc_id",
+                                          "is_duplicate", "keeper_doc_id"])
+
+
+def stream_exact_dedup(docs: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    """Cross-micro-batch exact dedup (``applyInPandasWithState``): the
+    first document carrying a normalized text hash becomes the keeper
+    (held in per-hash state, one string per distinct hash — bounded by
+    the distinct-content count, not the stream length); every later
+    arrival of the same hash, in ANY batch, emits ``is_duplicate=true``
+    with the keeper id. The batch analog is
+    ``functions/dedup.exact_duplicates`` (same normalization, gate
+    q_dedup_exact); this is the shape a continuously-ingesting corpus
+    needs — duplicates detected at arrival time, not in a nightly job.
+
+    Works on a batch DataFrame too (single "micro-batch"), which is how
+    the unit test pins keeper/duplicate semantics without a streaming
+    harness."""
+    hashed = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        normalized_text_hash(F.col(text_col)).alias("text_hash"))
+    return (hashed.groupBy("text_hash").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout))

@@ -180,3 +180,35 @@ def test_stream_assemble_documents_stateful(spark, tmp_path):
     assert [s["offset"] for s in rows["doc-a"]["spans"]] == [0, 1, 2]
     assert [s["kind"] for s in rows["doc-a"]["spans"]] == \
         ["text", "media", "text"]
+
+
+def test_stream_exact_dedup_cross_batch(spark, tmp_path):
+    """Cross-micro-batch exact dedup: the keeper is fixed by the first
+    batch that carries a hash; later batches' re-arrivals (even with
+    smaller doc_ids) flag as duplicates against that keeper."""
+    from extractpdf4j_spark.streaming import stream_exact_dedup
+
+    src = str(tmp_path / "docs")
+    schema = "doc_id string, text string"
+    # batch 1: d2 and d3 share content (keeper = min(d2,d3) = d2); d5 unique
+    b1 = [("d2", "Hello   World"), ("d3", "hello world"), ("d5", "other")]
+    # batch 2: d1 re-sends the same content — smaller id, but d2 stays keeper
+    b2 = [("d1", "HELLO WORLD "), ("d6", "fresh content")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (stream_exact_dedup(stream)
+         .writeStream.format("memory").queryName("deduped")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r for r in
+            spark.sql("select * from deduped").collect()}
+    assert len(rows) == 5
+    assert not rows["d2"]["is_duplicate"]
+    assert rows["d3"]["is_duplicate"] and rows["d3"]["keeper_doc_id"] == "d2"
+    assert rows["d1"]["is_duplicate"] and rows["d1"]["keeper_doc_id"] == "d2"
+    assert not rows["d5"]["is_duplicate"]
+    assert not rows["d6"]["is_duplicate"]
