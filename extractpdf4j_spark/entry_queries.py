@@ -1499,6 +1499,66 @@ ORDER BY asset_id, frame_ts_ms
 
 
 # ---------------------------------------------------------------------------
+# Dedup corpus materialization (training-pipeline op;
+# functions/dedup.py:dedup_keep_one — the keep-one endpoint of the
+# exact-dedup family, same planted duplicates as q_dedup_exact)
+# ---------------------------------------------------------------------------
+
+def q_dedup_keep(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.dedup import dedup_keep_one
+    d = _docs(spark, sf).select("doc_id", "text")
+    dups = (d.filter(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                    F.concat(F.lit("  "),
+                             F.regexp_replace("text", " ", "  "))
+                    .alias("text")))
+    full = d.unionByName(dups)
+    return (dedup_keep_one(full).select("doc_id").orderBy("doc_id"))
+
+
+SQL_DEDUP_KEEP = r"""
+WITH full_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           '  ' || replace(text, ' ', '  ') AS text
+    FROM documents WHERE doc_id % 7 = 0
+),
+ranked AS (
+    SELECT doc_id,
+           row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text),
+                                                    '\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+    FROM full_docs
+)
+SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build (training-pipeline op; functions/textstats.py:vocab_topk
+# — the BPE-prep token-frequency step)
+# ---------------------------------------------------------------------------
+
+def q_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.textstats import vocab_topk
+    return vocab_topk(_docs(spark, sf), k=40)
+
+
+SQL_VOCAB_TOPK = r"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+          AS token
+      FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 40
+"""
+
+
+# ---------------------------------------------------------------------------
 # int8 embedding quantization (training-pipeline scale op;
 # functions/similarity.py:quantize_embeddings). The quantizer is defined
 # as floor(x/scale + 0.5) so one IEEE expression gates both engines —
@@ -1807,6 +1867,8 @@ QUERIES = {
     "q_media_features": q_media_features,
     "q_frame_sample": q_frame_sample,
     "q_embed_quantize": q_embed_quantize,
+    "q_dedup_keep": q_dedup_keep,
+    "q_vocab_topk": q_vocab_topk,
     "q_extract_stream_spans": q_extract_stream_spans,
     "q_extract_metrics": q_extract_metrics,
     "q_extract_spans": q_extract_spans,
@@ -1848,6 +1910,8 @@ ORACLES = {
     "q_media_features": SQL_MEDIA_FEATURES,
     "q_frame_sample": SQL_FRAME_SAMPLE,
     "q_embed_quantize": SQL_EMBED_QUANTIZE,
+    "q_dedup_keep": SQL_DEDUP_KEEP,
+    "q_vocab_topk": SQL_VOCAB_TOPK,
     # full stream-kernel transliteration gating the real pipeline
     # end-to-end (stream-only config over derived text docs)
     "q_extract_stream_spans": SQL_EXTRACT_STREAM_SPANS,

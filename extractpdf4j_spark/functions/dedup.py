@@ -356,3 +356,21 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
             "for long-chain components; raise max_iter",
             RuntimeWarning, stacklevel=2)
     return labels.select("node", F.col("label").alias("cluster"))
+
+
+def dedup_keep_one(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Materialize the deduplicated corpus: exactly one row (min id) per
+    normalized text hash — the endpoint :func:`exact_duplicates` reports
+    on. One shuffle (window over the hash) and no join: at 100 TB the
+    row_number window beats groupBy-keepers + self-join because the
+    payload columns never cross a second exchange."""
+    from pyspark.sql import Window
+
+    norm = F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                         r"\s+", " ")))
+    w = Window.partitionBy("_th").orderBy(id_col)
+    return (df.withColumn("_th", norm)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_th", "_rn"))

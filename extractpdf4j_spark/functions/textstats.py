@@ -58,3 +58,17 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace-normalized md5 document fingerprint."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+def vocab_topk(df, k: int = 50, text_col: str = "text"):
+    """Corpus vocabulary build (the BPE-prep step of a training
+    pipeline): whitespace tokens lowercased, global counts, top-k by
+    (count desc, token). Map-side combined groupBy then a k-row
+    TakeOrdered on the driver — the shuffle carries one row per distinct
+    token, never per occurrence."""
+    toks = (df.select(F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                        r"\s+")).alias("token"))
+            .filter(F.col("token") != ""))
+    return (toks.groupBy("token").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("token"))
+            .limit(k))
