@@ -49,3 +49,30 @@ def try_read_table(spark: SparkSession, ref: str) -> DataFrame | None:
         return read_table(spark, ref)
     except Exception:
         return None
+
+
+def write_bucketed(df: DataFrame, ref: str, bucket_col: str,
+                   n_buckets: int = 256, sort: bool = True) -> None:
+    """Create/replace catalog table ``ref`` bucketed by ``bucket_col`` —
+    the table layout that makes the engine's stage-0 equi-joins
+    (documents ⋈ media on doc_id / media_ref) shuffle-free, per the
+    README scale note.
+
+    Against the v1 session catalog (tests/dev) this is Hive-style
+    ``bucketBy``: when both join sides are bucketed on the join key with
+    matching bucket counts, Spark's bucketed scan elides BOTH exchanges
+    (asserted with plan evidence in
+    test_bucketed_join_is_shuffle_free). On an Iceberg catalog the same
+    intent is the ``bucket(N, col)`` partition transform plus
+    storage-partitioned joins
+    (``spark.sql.sources.v2.bucketing.enabled``); the identifier
+    routing through this seam is unchanged.
+    """
+    if not is_table_identifier(ref):
+        raise ValueError(
+            "bucketed write requires a catalog table identifier, "
+            f"got path-like ref {ref!r}")
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.format("parquet").saveAsTable(ref)

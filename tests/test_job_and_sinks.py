@@ -227,3 +227,48 @@ def test_sources_seam_catalog_tables(spark, fixture_parquet, tmp_path):
     assert {r["run_id"] for r in res2.select("run_id").collect()} == {"t1"}
     assert read_table(spark, target).count() == 3
     spark.sql(f"DROP TABLE IF EXISTS {target}")
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Plan evidence for the README/Iceberg scale claim: two tables
+    bucketed on the join key with matching bucket counts join with NO
+    exchange on either side (forced sort-merge, broadcast disabled)."""
+    import contextlib
+    import io
+
+    from extractpdf4j_spark.sources import read_table, write_bucketed
+
+    docs = spark.range(0, 200).selectExpr(
+        "CAST(id AS STRING) AS doc_id", "id AS payload_a")
+    media = spark.range(0, 200).selectExpr(
+        "CAST(id AS STRING) AS doc_id", "id * 2 AS payload_b")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(docs, "bucketed_docs_t", "doc_id", n_buckets=8)
+        write_bucketed(media, "bucketed_media_t", "doc_id", n_buckets=8)
+        j = read_table(spark, "bucketed_docs_t").join(
+            read_table(spark, "bucketed_media_t"), "doc_id")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 200
+        # control: the same join over unbucketed inputs DOES exchange
+        buf2 = io.StringIO()
+        with contextlib.redirect_stdout(buf2):
+            docs.join(media, "doc_id").explain("formatted")
+        assert "Exchange" in buf2.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bucketed_docs_t")
+        spark.sql("DROP TABLE IF EXISTS bucketed_media_t")
+
+
+def test_write_bucketed_rejects_paths():
+    import pytest
+
+    from extractpdf4j_spark.sources import write_bucketed
+    with pytest.raises(ValueError, match="identifier"):
+        write_bucketed(None, "/tmp/not-a-table", "doc_id")
