@@ -161,6 +161,29 @@ def run_query_bench(spark, sf_dir: str, passes: int = 2) -> dict[str, float]:
     return {n: round(v, 3) for n, v in out.items()}
 
 
+_LAST_RUN_MARKER = "/tmp/extractpdf4j_bench_last_run"
+
+
+def _auto_cooldown(min_gap: int) -> None:
+    """The driver invokes this bench n times back-to-back; without a gap
+    the second invocation measures a throttled machine (BENCH/BASELINE.md
+    protocol: same binary 8.14 s hot vs 5.65 s cool). Top the elapsed
+    time since the previous bench finished up to ``min_gap`` seconds.
+    Disabled with SPARK_GRAFT_AUTOCOOL=0; the --scaling path manages its
+    own interleaved cooldowns instead."""
+    try:
+        elapsed = time.time() - os.path.getmtime(_LAST_RUN_MARKER)
+    except OSError:
+        return
+    if 0 <= elapsed < min_gap:
+        time.sleep(min_gap - elapsed)
+
+
+def _mark_run_done() -> None:
+    with open(_LAST_RUN_MARKER, "w") as f:
+        f.write(str(time.time()))
+
+
 def headline(sf_dir: str, cores: int, replicate: int = 1,
              with_queries: bool = True, runs: int = 3) -> dict:
     spark = make_spark(cores)
@@ -264,12 +287,17 @@ def main():
     if args.one:
         print(json.dumps(headline(SF_DIR, args.one, args.replicate,
                                   with_queries=False, runs=args.runs)))
+        _mark_run_done()
     elif args.scaling:
         print(json.dumps(scaling(SF_DIR, lo=args.lo, hi=args.hi,
                                  replicate=max(args.replicate, 4),
                                  rounds=args.rounds)))
     else:
+        if os.environ.get("SPARK_GRAFT_AUTOCOOL", "1") != "0":
+            _auto_cooldown(int(os.environ.get("SPARK_GRAFT_AUTOCOOL_GAP",
+                                              "150")))
         print(json.dumps(headline(SF_DIR, CPUS)))
+        _mark_run_done()
 
 
 if __name__ == "__main__":
