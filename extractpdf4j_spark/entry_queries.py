@@ -1479,6 +1479,51 @@ ORDER BY asset_id, word_idx
 """
 
 
+def q_media_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-neighbor image resize (multimodal op;
+    functions/multimodal.py:resize_images, fake 8x8x3 decode). The
+    oracle reconstructs the exact bytes the (arange(out)*in)//out index
+    map selects from the sha256-derived fake image and sums them —
+    integer equality gates the resize arithmetic AND the mapInPandas
+    batch plumbing."""
+    from .functions.multimodal import resize_images
+    assets = _media_assets(spark, sf)
+    r = resize_images(assets, out_w=4, out_h=4, fake=True)
+    pixel_sum = F.aggregate("pixels", F.lit(0).cast("long"),
+                            lambda acc, v: acc + v)
+    return (r.select("asset_id",
+                     F.col("out_w").cast("long").alias("out_w"),
+                     F.col("out_h").cast("long").alias("out_h"),
+                     pixel_sum.alias("pixel_sum"))
+            .orderBy("asset_id"))
+
+
+SQL_MEDIA_RESIZE = f"""
+WITH assets AS ({MEDIA_ASSETS_SQL}),
+h AS (
+    SELECT asset_id, sha256(payload_str) AS hx
+    FROM assets WHERE kind = 'image'
+),
+-- fake image byte at flat index k = digest[k % 32]; nearest-neighbor
+-- 8x8 -> 4x4 selects k = ((2i)*8 + 2j)*3 + c
+px AS (
+    SELECT asset_id,
+           CAST('0x' || substr(hx,
+               2 * ((((2 * i) * 8 + 2 * j) * 3 + c) % 32) + 1, 2)
+               AS BIGINT) AS val
+    FROM h
+    CROSS JOIN range(0, 4) t1(i)
+    CROSS JOIN range(0, 4) t2(j)
+    CROSS JOIN range(0, 3) t3(c)
+)
+SELECT asset_id,
+       CAST(4 AS BIGINT) AS out_w,
+       CAST(4 AS BIGINT) AS out_h,
+       CAST(sum(val) AS BIGINT) AS pixel_sum
+FROM px GROUP BY asset_id ORDER BY asset_id
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Video frame-sampling plan (multimodal op; one row per planned
     frame timestamp, native sequence+explode — no Python)."""
@@ -1865,6 +1910,7 @@ QUERIES = {
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
     "q_media_features": q_media_features,
+    "q_media_resize": q_media_resize,
     "q_frame_sample": q_frame_sample,
     "q_embed_quantize": q_embed_quantize,
     "q_dedup_keep": q_dedup_keep,
@@ -1908,6 +1954,7 @@ ORACLES = {
     "q_asof_join": SQL_ASOF_JOIN,
     "q_range_join": SQL_RANGE_JOIN,
     "q_media_features": SQL_MEDIA_FEATURES,
+    "q_media_resize": SQL_MEDIA_RESIZE,
     "q_frame_sample": SQL_FRAME_SAMPLE,
     "q_embed_quantize": SQL_EMBED_QUANTIZE,
     "q_dedup_keep": SQL_DEDUP_KEEP,

@@ -139,3 +139,44 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
                     F.lit(every_ms).cast("long"))
     return (v.select("asset_id", "doc_id",
                      F.explode(ts).alias("frame_ts_ms")))
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("asset_id", StringType()),
+    StructField("doc_id", StringType()),
+    StructField("kind", StringType()),
+    StructField("out_w", IntegerType()),
+    StructField("out_h", IntegerType()),
+    StructField("pixels", ArrayType(LongType())),   # flattened uint8 HxWx3
+])
+
+
+def resize_images(assets: DataFrame, out_w: int = 4, out_h: int = 4,
+                  fake: bool = False) -> DataFrame:
+    """Nearest-neighbor resize over decoded image payloads, Arrow-batched
+    (mapInPandas) — the third leg of the multimodal family
+    (decode / feature-extract / RESIZE / frame-sample).
+
+    Real deployments decode with a codec and resize with the same
+    ``(arange(out)*in)//out`` index map below; here the decode is the
+    deterministic fake (``decode_image(fake=True)``, 8x8x3 from the
+    payload sha256) so the resize arithmetic and the batch plumbing are
+    exactly oracle-checkable (gate q_media_resize reconstructs the
+    selected bytes from the hex digest in SQL). Output pixels are the
+    flattened row-major HxWx3 values."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                img = decode_image(bytes(t.payload), fake=fake)
+                in_h, in_w = img.shape[:2]
+                ys = (np.arange(out_h) * in_h) // out_h
+                xs = (np.arange(out_w) * in_w) // out_w
+                small = img[np.ix_(ys, xs)]
+                rows.append((t.asset_id, t.doc_id, t.kind, out_w, out_h,
+                             small.reshape(-1).astype(np.int64).tolist()))
+            yield pd.DataFrame(rows, columns=["asset_id", "doc_id", "kind",
+                                              "out_w", "out_h", "pixels"])
+
+    imgs = assets.filter(F.col("kind") == "image")
+    return imgs.mapInPandas(run, schema=RESIZED_SCHEMA)
