@@ -1028,6 +1028,48 @@ ORDER BY window_start, event_type
 
 
 # ---------------------------------------------------------------------------
+# 16f2. Gap-based sessionization (streaming/session-window surface;
+#       streaming.py:sessionize_events — the span-merge 1-D gap session
+#       applied to event logs; StreamParser.java:190-208 analog)
+# ---------------------------------------------------------------------------
+
+def q_event_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming import session_metrics
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    return (session_metrics(e, gap_sec=1800)
+            .orderBy("user_id", "session_id"))
+
+
+SQL_EVENT_SESSIONS = """
+WITH marked AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *,
+           CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+    FROM marked
+)
+SELECT user_id, session_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       CAST(max(CAST(floor(epoch(ts)) AS BIGINT))
+            - min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
+           AS duration_sec,
+       round(sum(value), 6) AS value_sum
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # 16g. JSON property aggregation (scalar-function surface: JSON path
 #      extraction stays JVM-side via get_json_object)
 # ---------------------------------------------------------------------------
@@ -1897,6 +1939,7 @@ QUERIES = {
     "q_numeric_anchor": q_numeric_anchor,
     "q_line_dedupe": q_line_dedupe,
     "q_event_windows": q_event_windows,
+    "q_event_sessions": q_event_sessions,
     "q_event_json": q_event_json,
     "q_minhash_sig": q_minhash_sig,
     "q_minhash_pairs": q_minhash_pairs,
@@ -1941,6 +1984,7 @@ ORACLES = {
     "q_numeric_anchor": SQL_NUMERIC_ANCHOR,
     "q_line_dedupe": SQL_LINE_DEDUPE,
     "q_event_windows": SQL_EVENT_WINDOWS,
+    "q_event_sessions": SQL_EVENT_SESSIONS,
     "q_event_json": SQL_EVENT_JSON,
     "q_minhash_sig": SQL_MINHASH_SIG,
     "q_minhash_pairs": SQL_MINHASH_PAIRS,

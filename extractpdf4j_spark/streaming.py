@@ -33,7 +33,7 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (ArrayType, BooleanType, IntegerType,
                                LongType, StringType, StructField, StructType)
@@ -257,3 +257,49 @@ def stream_exact_dedup(docs: DataFrame,
         stateStructType=_DEDUP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (batch formulation of session windows)
+# ---------------------------------------------------------------------------
+
+def sessionize_events(events: DataFrame, gap_sec: int = 1800,
+                      key: str = "user_id", ts_col: str = "ts",
+                      order_col: str = "event_id") -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when
+    the time since the previous event exceeds ``gap_sec`` — the
+    corpus-scale generalization of the span-merge kernel's 1-D gap
+    session (StreamParser.java:190-208) applied to event logs, and the
+    batch analog of a streaming ``F.session_window`` aggregation.
+
+    One shuffle (window over ``key``); epoch differences cancel any
+    timezone offset, so NTZ and LTZ inputs sessionize identically.
+    ``order_col`` breaks equal-timestamp ties deterministically.
+    """
+    ep = F.col(ts_col).cast("timestamp").cast("long")
+    w = Window.partitionBy(key).orderBy(ts_col, order_col)
+    e = (events
+         .withColumn("_ep", ep)
+         .withColumn("_gap", F.col("_ep") - F.lag("_ep").over(w))
+         .withColumn("_brk", F.when(F.col("_gap").isNull()
+                                    | (F.col("_gap") > gap_sec), 1)
+                     .otherwise(0))
+         .withColumn("session_id",
+                     F.sum("_brk").over(
+                         w.rowsBetween(Window.unboundedPreceding, 0))
+                     .cast("long")))
+    return e.drop("_ep", "_gap", "_brk")
+
+
+def session_metrics(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Per-session rollup over :func:`sessionize_events`: start label
+    (formatted like windowed_event_metrics), event count, duration in
+    seconds, value sum."""
+    s = sessionize_events(events, gap_sec)
+    ep = F.col("ts").cast("timestamp").cast("long")
+    return (s.groupBy("user_id", "session_id")
+            .agg(F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+                 .alias("session_start"),
+                 F.count("*").alias("n_events"),
+                 (F.max(ep) - F.min(ep)).alias("duration_sec"),
+                 F.round(F.sum("value"), 6).alias("value_sum")))
