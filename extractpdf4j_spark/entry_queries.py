@@ -1695,11 +1695,12 @@ ORDER BY vec_id, idx
 # serialization — in DuckDB SQL over the same arithmetic derivation.
 # ---------------------------------------------------------------------------
 
-def q_extract_stream_spans(spark: SparkSession, sf: str) -> DataFrame:
-    """Hash-checked extraction gate: the pipeline itself (stream-only
-    config, text-only docs), not just its kernels in isolation."""
+def _stream_gate_combined(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared by q_extract_stream_spans / q_extract_stream_metrics:
+    derive the arithmetic glyph corpus, encode it through the real wire
+    format, run the real two-stage pipeline stream-only."""
     from .config import ExtractConfig, MODE_STREAM
-    from .pipeline import extract, with_spans
+    from .pipeline import extract
 
     p = spark.read.parquet(f"{sf}/part.parquet")
     # glyph derivation: 20 docs; glyph gi=k div 20 → row r, cell c,
@@ -1740,8 +1741,16 @@ def q_extract_stream_spans(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("page_text").alias("text"),
                 F.lit("").alias("media_ref"),
                 F.lit(0).alias("offset"))).alias("spans")))
-    combined = extract(docs, None, ExtractConfig(mode=MODE_STREAM),
-                       num_partitions=8)
+    return extract(docs, None, ExtractConfig(mode=MODE_STREAM),
+                   num_partitions=8)
+
+
+def q_extract_stream_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-checked extraction gate: the pipeline itself (stream-only
+    config, text-only docs), not just its kernels in isolation."""
+    from .pipeline import with_spans
+
+    combined = _stream_gate_combined(spark, sf)
     return (with_spans(combined)
             .select("doc_id", F.explode("spans").alias("s"))
             .select("doc_id",
@@ -1752,7 +1761,19 @@ def q_extract_stream_spans(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id", "offset"))
 
 
-SQL_EXTRACT_STREAM_SPANS = """
+def q_extract_stream_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-checked metrics of the same stream-only pipeline run:
+    status/strategy/tables_found/cells_parsed per document (the oracle
+    derives expected counts from the kernel-chain dims)."""
+    combined = _stream_gate_combined(spark, sf)
+    return (combined.select(
+        "doc_id", "status", "strategy",
+        F.col("tables_found").cast("long").alias("tables_found"),
+        F.col("cells_parsed").cast("long").alias("cells_parsed"))
+        .orderBy("doc_id"))
+
+
+_STREAM_KERNEL_CTES = """
 WITH g AS (
     SELECT 'sd' || lpad(CAST(doc AS VARCHAR), 2, '0') AS doc_id,
            c * 120.0 + (doc % 4) * 3.0 + t * (w0 + 7.0) AS x,
@@ -1847,7 +1868,10 @@ dims AS (
     FROM (SELECT doc_id, max(row_id) + 1 AS nrows
           FROM rowed GROUP BY doc_id) r
     JOIN docbounds b USING (doc_id)
-),
+)"""
+
+
+SQL_EXTRACT_STREAM_SPANS = f"""{_STREAM_KERNEL_CTES},
 rc AS (
     SELECT doc_id, nrows, ncols, unnest(range(0, nrows)) AS r FROM dims
 ),
@@ -1876,6 +1900,16 @@ SELECT doc_id, kind, text, media_ref, "offset"
 FROM (SELECT * FROM markers UNION ALL SELECT * FROM cellrows)
 ORDER BY doc_id, "offset"
 """
+
+SQL_EXTRACT_STREAM_METRICS = f"""{_STREAM_KERNEL_CTES}
+SELECT doc_id,
+       'ok' AS status,
+       'stream' AS strategy,
+       CAST(1 AS BIGINT) AS tables_found,
+       CAST(nrows * ncols AS BIGINT) AS cells_parsed
+FROM dims ORDER BY doc_id
+"""
+
 
 
 # ---------------------------------------------------------------------------
@@ -1959,6 +1993,7 @@ QUERIES = {
     "q_dedup_keep": q_dedup_keep,
     "q_vocab_topk": q_vocab_topk,
     "q_extract_stream_spans": q_extract_stream_spans,
+    "q_extract_stream_metrics": q_extract_stream_metrics,
     "q_extract_metrics": q_extract_metrics,
     "q_extract_spans": q_extract_spans,
 }
@@ -2006,6 +2041,7 @@ ORACLES = {
     # full stream-kernel transliteration gating the real pipeline
     # end-to-end (stream-only config over derived text docs)
     "q_extract_stream_spans": SQL_EXTRACT_STREAM_SPANS,
+    "q_extract_stream_metrics": SQL_EXTRACT_STREAM_METRICS,
     # rows-only (no SQL-expressible oracle): q_extract_metrics /
     # q_extract_spans (the full HYBRID pipeline; the stream path is
     # hash-gated by q_extract_stream_spans above)
