@@ -86,12 +86,21 @@ def shingle_hash_rows(df: DataFrame, text_col: str = "text",
 # Exact dedup
 # ---------------------------------------------------------------------------
 
+def normalized_text_hash(text_col):
+    """md5 of lowercased whitespace-collapsed trimmed text — THE
+    exact-dedup normalization, defined once: the batch paths
+    (exact_duplicates, dedup_keep_one), the streaming path
+    (streaming.stream_exact_dedup) and the DuckDB oracles
+    (q_dedup_exact / q_dedup_keep) must stay hash-identical, so all of
+    them route through this expression."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")))
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Hash-groupBy exact dedup on whitespace-normalized text.
     Returns (text_hash, n_docs, keeper_doc_id) for groups with >1 doc."""
-    norm = F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
-                                         r"\s+", " ")))
+    norm = normalized_text_hash(F.col(text_col))
     return (df.select(F.col(id_col), norm.alias("text_hash"))
             .groupBy("text_hash")
             .agg(F.count("*").alias("n_docs"),
@@ -351,9 +360,10 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
             break
     if changed is not None and changed > 0:
         warnings.warn(
-            f"duplicate_clusters: hit max_iter={max_iter} with {changed} "
-            "labels still propagating — returned clusters are NOT minimal "
-            "for long-chain components; raise max_iter",
+            f"duplicate_clusters: stopped at max_iter={max_iter} while the "
+            f"final round still changed {changed} labels — convergence is "
+            "NOT confirmed and long-chain components may carry non-minimal "
+            "labels; raise max_iter to verify",
             RuntimeWarning, stacklevel=2)
     return labels.select("node", F.col("label").alias("cluster"))
 
@@ -367,8 +377,7 @@ def dedup_keep_one(df: DataFrame, text_col: str = "text",
     payload columns never cross a second exchange."""
     from pyspark.sql import Window
 
-    norm = F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)),
-                                         r"\s+", " ")))
+    norm = normalized_text_hash(F.col(text_col))
     w = Window.partitionBy("_th").orderBy(id_col)
     return (df.withColumn("_th", norm)
             .withColumn("_rn", F.row_number().over(w))

@@ -105,15 +105,18 @@ def interval_point_join(points: DataFrame, intervals: DataFrame,
     lo_b = F.floor(F.col(lo_col) / b).cast("long")
     hi_b = F.floor(F.col(hi_col) / b).cast("long")
     n_b = hi_b - lo_b + 1
+    # n_b must be positive too: a reversed interval (hi < lo) makes n_b
+    # negative — it would pass a <=-only check and then F.sequence
+    # counts DOWNWARD by default, exploding just as badly
     guarded_hi = F.when(
-        n_b <= int(max_buckets), hi_b
+        (n_b >= 1) & (n_b <= int(max_buckets)), hi_b
     ).otherwise(F.raise_error(F.concat(
         F.lit(f"interval_point_join: interval [{lo_col},{hi_col}]=["),
         F.col(lo_col).cast("string"), F.lit(","),
         F.col(hi_col).cast("string"),
-        F.lit(f"] spans > max_buckets={max_buckets} buckets at "
-              f"bucket_width={bucket_width}; clamp upstream or widen "
-              "buckets"))))
+        F.lit(f"] is reversed or spans > max_buckets={max_buckets} "
+              f"buckets at bucket_width={bucket_width}; clamp upstream "
+              "or widen buckets"))))
     i_bucketed = intervals.withColumn(
         "_bucket", F.explode(F.sequence(lo_b, guarded_hi)))
     p_bucketed = points.withColumn(

@@ -202,11 +202,8 @@ _DEDUP_STATE_SCHEMA = StructType([
 ])
 
 
-def normalized_text_hash(text_col):
-    """The exact-dedup normalization (functions/dedup.exact_duplicates):
-    md5 of lowercased whitespace-collapsed trimmed text — one expression
-    shared by the batch and streaming dedup paths."""
-    return F.md5(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")))
+# the one shared exact-dedup normalization (see its docstring there)
+from .functions.dedup import normalized_text_hash  # noqa: E402
 
 
 def _dedup_group(key: tuple, pdfs: Iterator[pd.DataFrame],
@@ -216,17 +213,18 @@ def _dedup_group(key: tuple, pdfs: Iterator[pd.DataFrame],
         state.remove()
         return
     keeper = state.get[0] if state.exists else None
-    rows = []
+    # drain ALL Arrow chunks before deciding the keeper: a hot hash
+    # group spans multiple ~10k-row chunks whose composition follows
+    # shuffle arrival order, so a per-chunk min would make the keeper
+    # nondeterministic exactly for the heavy-duplicate groups
+    doc_ids: list[str] = []
     for pdf in pdfs:
-        # within-batch arrival order is nondeterministic under shuffle;
-        # sort so the keeper choice (min doc_id of the first batch seen)
-        # is reproducible
-        for doc_id in sorted(pdf["doc_id"]):
-            if keeper is None:
-                keeper = doc_id
-                rows.append((text_hash, doc_id, False, doc_id))
-            else:
-                rows.append((text_hash, doc_id, doc_id != keeper, keeper))
+        doc_ids.extend(pdf["doc_id"])
+    doc_ids.sort()
+    if keeper is None and doc_ids:
+        keeper = doc_ids[0]
+    rows = [(text_hash, doc_id, doc_id != keeper, keeper)
+            for doc_id in doc_ids]
     state.update((keeper,))
     if rows:
         yield pd.DataFrame(rows, columns=["text_hash", "doc_id",
@@ -245,9 +243,9 @@ def stream_exact_dedup(docs: DataFrame,
     q_dedup_exact); this is the shape a continuously-ingesting corpus
     needs — duplicates detected at arrival time, not in a nightly job.
 
-    Works on a batch DataFrame too (single "micro-batch"), which is how
-    the unit test pins keeper/duplicate semantics without a streaming
-    harness."""
+    Streaming input only (``applyInPandasWithState`` rejects batch
+    queries); the unit test drives it through a real
+    readStream/availableNow harness with ``maxFilesPerTrigger=1``."""
     hashed = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         normalized_text_hash(F.col(text_col)).alias("text_hash"))

@@ -294,3 +294,17 @@ def test_quantized_cosine_topk_recall(spark):
     assert exact[0] == 3 and quant[0] == 3          # self-match survives
     overlap = len(set(exact) & set(quant)) / 10
     assert overlap >= 0.8, f"quantized overlap {overlap}"
+
+
+def test_interval_point_join_rejects_reversed_intervals(spark):
+    """A reversed interval (hi < lo) must hit the guard, not explode a
+    descending sequence."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+    from extractpdf4j_spark.functions.joins import interval_point_join
+    points = spark.createDataFrame([(1, 5)], "pid long, x long")
+    rev = spark.createDataFrame([(100, 50_000, 0)],
+                                "iid long, lo long, hi long")
+    with pytest.raises(SparkRuntimeException, match="max_buckets"):
+        interval_point_join(points, rev, "x", "lo", "hi",
+                            bucket_width=1.0, max_buckets=1000).collect()

@@ -212,3 +212,34 @@ def test_stream_exact_dedup_cross_batch(spark, tmp_path):
     assert rows["d1"]["is_duplicate"] and rows["d1"]["keeper_doc_id"] == "d2"
     assert not rows["d5"]["is_duplicate"]
     assert not rows["d6"]["is_duplicate"]
+
+
+def test_stream_exact_dedup_keeper_spans_arrow_chunks(spark, tmp_path):
+    """The keeper must be the min doc_id of the whole first micro-batch,
+    not of whichever Arrow chunk arrives first: 300 identical docs with
+    ids written in DESCENDING order, forced into many small chunks."""
+    from extractpdf4j_spark.streaming import stream_exact_dedup
+
+    src = str(tmp_path / "docs")
+    schema = "doc_id string, text string"
+    rows = [(f"d{n:04d}", "same text") for n in range(299, -1, -1)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "32")
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (stream_exact_dedup(stream)
+             .writeStream.format("memory").queryName("chunked_dedup")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set(key, old)
+    out = spark.sql("select * from chunked_dedup").collect()
+    assert len(out) == 300
+    keepers = {r["keeper_doc_id"] for r in out}
+    assert keepers == {"d0000"}, keepers
+    dup_flags = {r["doc_id"]: r["is_duplicate"] for r in out}
+    assert dup_flags["d0000"] is False
+    assert sum(dup_flags.values()) == 299
