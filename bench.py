@@ -185,7 +185,7 @@ def _mark_run_done() -> None:
 
 
 def headline(sf_dir: str, cores: int, replicate: int = 1,
-             with_queries: bool = True, runs: int = 3) -> dict:
+             with_queries: bool = True, runs: int = 4) -> dict:
     spark = make_spark(cores)
     try:
         # extraction first: it is the headline metric and the machine is
@@ -193,9 +193,16 @@ def headline(sf_dir: str, cores: int, replicate: int = 1,
         # load); ~25 s of extraction heats far less than the 34-query
         # sweep does. Warm-up run primes JVM/Python workers + corpus cache.
         run_extraction_bench(spark, sf_dir, cores, replicate)
+        # short idle between timed samples: the governor recovers on a
+        # seconds scale, so min-of-N can catch a cool window even when
+        # the session starts in a degraded thermal state (measured
+        # 5.65 s vs 8.05 s for the same binary/config on this host)
+        gap = int(os.environ.get("SPARK_GRAFT_RUN_GAP", "20"))
         times = []
         n_docs = 0
-        for _ in range(runs):
+        for i in range(runs):
+            if i and gap:
+                time.sleep(gap)
             dt, n_docs = run_extraction_bench(spark, sf_dir, cores, replicate)
             times.append(dt)
         best = min(times)
