@@ -1913,6 +1913,221 @@ FROM dims ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Corpus-curation family (training-pipeline ops; functions/corpusops.py).
+# The synthetic documents carry no newlines or PII, so both are planted
+# deterministically from doc_id — identical construction on both engines.
+# ---------------------------------------------------------------------------
+
+_H60_DOCID_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+def q_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document boilerplate-line removal (C4/CCNet-style): plant
+    newsletter/footer lines on every 3rd doc, strip lines that occur in
+    >=3 distinct documents, reassemble in order. Gate covers the line
+    explode, the distinct-doc frequency cut, the broadcast anti-join and
+    the pos-ordered reassembly."""
+    from .functions.corpusops import strip_boilerplate
+    d = _docs(spark, sf).select("doc_id", "text")
+    footer = F.when(F.col("doc_id") % 2 == 0, F.lit("all rights reserved")) \
+        .otherwise(F.lit("privacy policy terms"))
+    planted = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat("text", F.lit("\nsubscribe to our newsletter\n"), footer)
+    ).otherwise(F.col("text"))
+    bdocs = d.select("doc_id", planted.alias("text"))
+    return strip_boilerplate(bdocs, min_docs=3).orderBy("doc_id")
+
+
+SQL_BOILERPLATE = """
+WITH bdocs AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN text || chr(10) || 'subscribe to our newsletter'
+                     || chr(10)
+                     || (CASE WHEN doc_id % 2 = 0
+                              THEN 'all rights reserved'
+                              ELSE 'privacy policy terms' END)
+                ELSE text END AS text
+    FROM documents
+),
+split AS (SELECT doc_id, string_split(text, chr(10)) AS lst FROM bdocs),
+lines AS (
+    SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, lst[u.i] AS line
+    FROM split, unnest(generate_series(1, len(lst))) AS u(i)
+),
+bp AS (
+    SELECT line FROM lines GROUP BY line
+    HAVING count(DISTINCT doc_id) >= 3
+),
+kept AS (SELECT l.* FROM lines l ANTI JOIN bp USING (line)),
+rebuilt AS (
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY pos) AS text,
+           CAST(count(*) AS BIGINT) AS n_lines_kept
+    FROM kept GROUP BY doc_id
+),
+totals AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+    FROM lines GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.text, '') AS text,
+       coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+       t.n_total - coalesce(r.n_lines_kept, 0) AS n_lines_dropped
+FROM bdocs d
+JOIN totals t ON d.doc_id = t.doc_id
+LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash sampling: keep ~25% of documents by 60-bit key
+    hash — stable across runs/partitionings/engines, unlike df.sample."""
+    from .functions.corpusops import hash_sample
+    return (hash_sample(_docs(spark, sf), keep_per_million=250_000)
+            .select("doc_id", "lang", "source").orderBy("doc_id"))
+
+
+SQL_HASH_SAMPLE = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_H60_DOCID_SQL} % 1000000 < 250000
+ORDER BY doc_id
+"""
+
+
+def q_quota_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group quota sampling (per-language caps): keep at most 20
+    docs per lang, chosen by key hash order."""
+    from .functions.corpusops import quota_sample
+    return (quota_sample(_docs(spark, sf), group_col="lang", cap=20)
+            .select("doc_id", "lang", "sample_rank")
+            .orderBy("lang", "sample_rank"))
+
+
+SQL_QUOTA_SAMPLE = f"""
+SELECT doc_id, lang, sample_rank FROM (
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_H60_DOCID_SQL}, doc_id) AS BIGINT) AS sample_rank
+    FROM documents)
+WHERE sample_rank <= 20
+ORDER BY lang, sample_rank
+"""
+
+
+def q_pack_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget shard packing: 4 hash buckets, ~5000 chars per
+    shard, boundary = per-bucket prefix-sum DIV budget."""
+    from .functions.corpusops import pack_shards
+    return (pack_shards(_docs(spark, sf), token_col="n_chars",
+                        budget=5000, n_buckets=4)
+            .select("doc_id", "bucket", "shard", "n_chars")
+            .orderBy("doc_id"))
+
+
+SQL_PACK_SHARDS = f"""
+WITH h AS (
+    SELECT doc_id, n_chars, {_H60_DOCID_SQL} AS hh
+    FROM documents
+),
+b AS (SELECT doc_id, n_chars, hh, hh % 4 AS bucket FROM h)
+SELECT doc_id, bucket,
+       (CAST(sum(n_chars) OVER w AS BIGINT) - n_chars) // 5000 AS shard,
+       n_chars
+FROM b
+WINDOW w AS (PARTITION BY bucket ORDER BY hh, doc_id
+             ROWS UNBOUNDED PRECEDING)
+ORDER BY doc_id
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing: plant an email, an IPv4 and a 16-digit number on
+    every 4th doc, then redact with typed placeholders and count each
+    class. Counts on the original text; replacement order email -> ip ->
+    longnum so placeholders never re-match."""
+    from .functions.corpusops import pii_scrub
+    d = _docs(spark, sf).select("doc_id", "text")
+    ds = F.col("doc_id").cast("string")
+    planted = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat("text", F.lit(" contact user"), ds,
+                 F.lit("@mail.example.com from 10.0."),
+                 (F.col("doc_id") % 200).cast("string"),
+                 F.lit(".5 ref 4111111111111111"))
+    ).otherwise(F.col("text"))
+    return (pii_scrub(d.select("doc_id", planted.alias("text")))
+            .select("doc_id",
+                    F.col("n_emails").cast("long").alias("n_emails"),
+                    F.col("n_ips").cast("long").alias("n_ips"),
+                    F.col("n_longnums").cast("long").alias("n_longnums"),
+                    "text")
+            .orderBy("doc_id"))
+
+
+SQL_PII_SCRUB = r"""
+WITH pdocs AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0
+                THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     || '@mail.example.com from 10.0.'
+                     || CAST(doc_id % 200 AS VARCHAR)
+                     || '.5 ref 4111111111111111'
+                ELSE text END AS text
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '\b\d{7,}\b')) AS BIGINT)
+           AS n_longnums,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\b\d{7,}\b', '<NUM>', 'g') AS text
+FROM pdocs ORDER BY doc_id
+"""
+
+
+def q_doc_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-LM quality score: per-doc mean unigram log-probability
+    under the corpus's own unigram distribution (cheap perplexity proxy
+    for quality filtering)."""
+    from .functions.corpusops import unigram_logprob
+    return unigram_logprob(_docs(spark, sf)).orderBy("doc_id")
+
+
+SQL_DOC_LOGPROB = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text),
+                                                   '\s+', ' ', 'g')),
+                               ' ')) AS tok
+    FROM documents
+),
+freq AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS tok_count FROM toks GROUP BY tok
+),
+tot AS (SELECT CAST(sum(tok_count) AS BIGINT) AS corpus_total FROM freq)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(CAST(tok_count AS DOUBLE) / corpus_total)), 6)
+           AS avg_logprob
+FROM toks JOIN freq USING (tok) CROSS JOIN tot
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Rows-only queries (not SQL-expressible: the extraction pipeline itself)
 # ---------------------------------------------------------------------------
 
@@ -1992,6 +2207,12 @@ QUERIES = {
     "q_embed_quantize": q_embed_quantize,
     "q_dedup_keep": q_dedup_keep,
     "q_vocab_topk": q_vocab_topk,
+    "q_boilerplate": q_boilerplate,
+    "q_hash_sample": q_hash_sample,
+    "q_quota_sample": q_quota_sample,
+    "q_pack_shards": q_pack_shards,
+    "q_pii_scrub": q_pii_scrub,
+    "q_doc_logprob": q_doc_logprob,
     "q_extract_stream_spans": q_extract_stream_spans,
     "q_extract_stream_metrics": q_extract_stream_metrics,
     "q_extract_metrics": q_extract_metrics,
@@ -2038,6 +2259,12 @@ ORACLES = {
     "q_embed_quantize": SQL_EMBED_QUANTIZE,
     "q_dedup_keep": SQL_DEDUP_KEEP,
     "q_vocab_topk": SQL_VOCAB_TOPK,
+    "q_boilerplate": SQL_BOILERPLATE,
+    "q_hash_sample": SQL_HASH_SAMPLE,
+    "q_quota_sample": SQL_QUOTA_SAMPLE,
+    "q_pack_shards": SQL_PACK_SHARDS,
+    "q_pii_scrub": SQL_PII_SCRUB,
+    "q_doc_logprob": SQL_DOC_LOGPROB,
     # full stream-kernel transliteration gating the real pipeline
     # end-to-end (stream-only config over derived text docs)
     "q_extract_stream_spans": SQL_EXTRACT_STREAM_SPANS,

@@ -1,0 +1,235 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+The reference engine stops at extraction (tables out of documents);
+these are the operations a 100 TB pre-training corpus build runs on the
+extracted text afterwards: cross-document boilerplate removal,
+deterministic hash sampling, per-group quota sampling, token-budget
+shard packing, PII scrubbing, and corpus-LM quality scoring.
+
+Scale design shared by all ops:
+* pure JVM expressions (no Python UDFs, no driver-side collects);
+* every shuffle is keyed on a fixed-width 60-bit hash or a small group
+  key (never raw document text);
+* frequency tables that are small by construction (boilerplate lines,
+  vocabularies after pruning) are broadcast;
+* global orderings are avoided — packing and quotas are windowed per
+  bucket/group so no single-partition window appears at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import _hash60
+
+__all__ = [
+    "doc_lines", "boilerplate_lines", "strip_boilerplate",
+    "hash_sample", "quota_sample", "pack_shards",
+    "pii_scrub", "unigram_logprob",
+    "EMAIL_RE", "IPV4_RE", "LONGNUM_RE",
+]
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate removal (C4/CCNet-style repeated-line filtering)
+# ---------------------------------------------------------------------------
+
+def doc_lines(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Explode documents into ``(id, pos, line)`` rows on newlines.
+
+    ``pos`` preserves reassembly order; the split is a codegen
+    projection, so the only cost is the explode fan-out."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+
+
+def boilerplate_lines(df: DataFrame, min_docs: int = 3,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Lines that occur in >= ``min_docs`` distinct documents.
+
+    Returns ``(line_hash, line, n_docs)``. The aggregation shuffles on
+    the 60-bit line hash (fixed-width key, map-side combine); the
+    distinct-doc count is exact. At 100 TB the output is tiny relative
+    to the corpus (that is what makes a line boilerplate), so callers
+    can broadcast it."""
+    lines = doc_lines(df, text_col, id_col)
+    return (lines
+            .select(_hash60(F.col("line")).alias("line_hash"),
+                    "line", F.col(id_col))
+            .groupBy("line_hash")
+            .agg(F.countDistinct(id_col).alias("n_docs"),
+                 F.min("line").alias("line"))
+            .filter(F.col("n_docs") >= min_docs))
+
+
+def strip_boilerplate(df: DataFrame, min_docs: int = 3,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Remove boilerplate lines and reassemble each document.
+
+    Returns ``(id, text, n_lines_kept, n_lines_dropped)``; documents
+    whose every line is boilerplate survive with empty text (the filter
+    decision belongs to the caller, not this op).
+
+    Plan: one line-hash aggregation to find the boilerplate set, a
+    broadcast anti-join to drop those lines, one shuffle on ``id`` to
+    reassemble in ``pos`` order. Reassembly memory is bounded by the
+    largest single document, not the partition."""
+    lines = doc_lines(df, text_col, id_col).withColumn(
+        "line_hash", _hash60(F.col("line")))
+    bp = boilerplate_lines(df, min_docs, text_col, id_col) \
+        .select("line_hash")
+    kept = lines.join(F.broadcast(bp), "line_hash", "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "line"))),
+                            lambda s: s["line"]),
+                        "\n").alias("_clean"),
+                    F.count("*").alias("n_lines_kept")))
+    totals = (lines.groupBy(id_col)
+              .agg(F.count("*").alias("_n_total")))
+    return (df.select(id_col).join(totals, id_col, "left")
+            .join(rebuilt, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("_clean"), F.lit("")).alias(text_col),
+                F.coalesce(F.col("n_lines_kept"), F.lit(0).cast("long"))
+                .alias("n_lines_kept"),
+                (F.col("_n_total")
+                 - F.coalesce(F.col("n_lines_kept"), F.lit(0).cast("long")))
+                .alias("n_lines_dropped")))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+
+def hash_sample(df: DataFrame, keep_per_million: int,
+                key_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows whose 60-bit key
+    hash lands below ``keep_per_million``/1e6.
+
+    Unlike ``df.sample`` this is stable across runs, partitionings and
+    engines (the fraction is a pure function of the key), which is what
+    a reproducible training-data pipeline needs. Pure map — no shuffle;
+    the predicate is codegen and combines with scan-level pushdown of
+    any other filters."""
+    h = _hash60(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    return df.filter(h % 1_000_000 < keep_per_million)
+
+
+def quota_sample(df: DataFrame, group_col: str, cap: int,
+                 key_col: str = "doc_id") -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically by
+    key hash (stratified down-sampling, e.g. per-language caps).
+
+    One window shuffle on ``group_col``; the hash order makes the kept
+    set a uniform pseudo-random subset of each group, independent of
+    input order. Output adds ``sample_rank`` (1-based, long). At 100 TB
+    a skewed group is bounded on output by ``cap`` but still sorts its
+    full partition — for pathological single-group skew, pre-filter with
+    :func:`hash_sample` at a rate that overshoots ``cap`` first."""
+    h = _hash60(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (df.withColumn("sample_rank",
+                          F.row_number().over(w).cast("long"))
+            .filter(F.col("sample_rank") <= cap))
+
+
+def pack_shards(df: DataFrame, token_col: str, budget: int,
+                n_buckets: int = 4, key_col: str = "doc_id") -> DataFrame:
+    """Greedy token-budget shard packing: assign each document to an
+    output shard so shards hold ~``budget`` tokens.
+
+    Documents are hash-bucketed (``n_buckets`` independent streams) and
+    packed within each bucket by running token count — shard boundary =
+    prefix-sum DIV budget. Windows are per-bucket, so parallelism is
+    ``n_buckets`` regardless of corpus size: at 100 TB pick buckets ~=
+    cluster cores and shard ids stay deterministic. Output adds
+    ``bucket``, ``shard`` (both long); a shard never splits a document.
+    """
+    h = _hash60(F.col(key_col).cast("string"))
+    w = (Window.partitionBy("bucket")
+         .orderBy(F.col("_h").asc(), F.col(key_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    with_b = df.withColumn("_h", h).withColumn("bucket", h % n_buckets)
+    cum_before = (F.sum(F.col(token_col)).over(w)
+                  - F.col(token_col))
+    return (with_b
+            .withColumn("shard", F.floor(cum_before / F.lit(budget))
+                        .cast("long"))
+            .drop("_h"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# RE2-safe patterns (run identically under Java regex and DuckDB/RE2):
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+LONGNUM_RE = r"\b\d{7,}\b"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails, IPv4 addresses and long digit runs (phone/card
+    numbers) with typed placeholder tokens; count each class.
+
+    Counts are taken on the original text; replacement applies
+    email -> ip -> longnum so earlier placeholders are never re-matched.
+    Pure codegen projection — no shuffle, safe at any scale."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(EMAIL_RE))
+    n_ips = F.regexp_count(t, F.lit(IPV4_RE))
+    n_longnums = F.regexp_count(t, F.lit(LONGNUM_RE))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+            IPV4_RE, "<IP>"),
+        LONGNUM_RE, "<NUM>")
+    return (df.withColumn("n_emails", n_emails)
+            .withColumn("n_ips", n_ips)
+            .withColumn("n_longnums", n_longnums)
+            .withColumn(text_col, scrubbed))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-LM quality scoring
+# ---------------------------------------------------------------------------
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM (the classic cheap perplexity proxy for quality filtering:
+    documents of rare/garbage tokens score low, fluent in-domain text
+    scores high).
+
+    Returns ``(id, n_tokens, avg_logprob)``; ``avg_logprob`` is the mean
+    natural-log probability rounded to 6dp.
+
+    Plan: one token-count aggregation (shuffle on token, map-side
+    combine), corpus total carried by a broadcast single-row join, one
+    shuffle join token->frequency, one final aggregation on ``id``. The
+    vocabulary table is Zipf-small relative to the corpus; at 100 TB
+    prune it to the top-K tokens and broadcast, with an OOV floor."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.regexp_replace(
+                F.lower(F.col(text_col)), r"\s+", " ")), " ")
+        ).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("tok_count"))
+    total = freq.agg(F.sum("tok_count").alias("corpus_total"))
+    scored = (toks.join(freq, "tok")
+              .crossJoin(F.broadcast(total))
+              .select(F.col(id_col),
+                      F.log(F.col("tok_count")
+                            / F.col("corpus_total")).alias("lp")))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.avg("lp"), 6).alias("avg_logprob")))

@@ -1,0 +1,107 @@
+"""Operator-level tests for functions/corpusops.py — the edge behaviors
+the sf0.001 oracle gate can't exercise (all-boilerplate docs, budget
+properties, replacement ordering, determinism)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_strip_boilerplate_all_boilerplate_doc_survives_empty(spark):
+    from extractpdf4j_spark.functions.corpusops import strip_boilerplate
+    bp = "all rights reserved"
+    rows = ([(i, f"unique body {i}\n{bp}") for i in range(5)]
+            + [(99, bp)])  # doc 99 is nothing but the boilerplate line
+    out = {r["doc_id"]: r for r in
+           strip_boilerplate(_docs_df(spark, rows), min_docs=3).collect()}
+    assert out[99]["text"] == ""
+    assert out[99]["n_lines_kept"] == 0
+    assert out[99]["n_lines_dropped"] == 1
+    for i in range(5):
+        assert out[i]["text"] == f"unique body {i}"
+        assert out[i]["n_lines_kept"] == 1
+        assert out[i]["n_lines_dropped"] == 1
+
+
+def test_strip_boilerplate_preserves_line_order(spark):
+    from extractpdf4j_spark.functions.corpusops import strip_boilerplate
+    bp = "footer"
+    rows = [(i, f"a{i}\n{bp}\nb{i}\nc{i}") for i in range(4)]
+    out = strip_boilerplate(_docs_df(spark, rows), min_docs=3).collect()
+    for r in out:
+        i = r["doc_id"]
+        assert r["text"] == f"a{i}\nb{i}\nc{i}"
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from extractpdf4j_spark.functions.corpusops import hash_sample
+    d = _docs_df(spark, [(i, f"t{i}") for i in range(400)])
+    k200 = {r["doc_id"] for r in hash_sample(d, 200_000).collect()}
+    k200b = {r["doc_id"] for r in hash_sample(d, 200_000).collect()}
+    k500 = {r["doc_id"] for r in hash_sample(d, 500_000).collect()}
+    assert k200 == k200b                 # run-to-run deterministic
+    assert k200 <= k500                  # thresholds nest
+    assert 0 < len(k200) < len(k500) < 400
+
+
+def test_quota_sample_caps_every_group(spark):
+    from extractpdf4j_spark.functions.corpusops import quota_sample
+    rows = [(i, "g%d" % (i % 3)) for i in range(90)]
+    d = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = quota_sample(d, group_col="grp", cap=7, key_col="doc_id")
+    per = out.groupBy("grp").count().collect()
+    assert all(r["count"] == 7 for r in per)
+    ranks = out.filter(F.col("grp") == "g0") \
+        .select("sample_rank").orderBy("sample_rank").collect()
+    assert [r["sample_rank"] for r in ranks] == list(range(1, 8))
+
+
+def test_pack_shards_budget_property(spark):
+    from extractpdf4j_spark.functions.corpusops import pack_shards
+    rows = [(i, 100 + (i * 37) % 400) for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_shards(d, token_col="n_tok", budget=1500, n_buckets=4,
+                      key_col="doc_id").collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault((r["bucket"], r["shard"]), []).append(r["n_tok"])
+    for (b, s), toks in by_shard.items():
+        # prefix-sum packing: a shard holds < budget before its last doc
+        assert sum(toks) - max(toks) < 1500, (b, s, toks)
+    # shard ids are dense from 0 within each bucket
+    buckets = {}
+    for (b, s) in by_shard:
+        buckets.setdefault(b, set()).add(s)
+    for b, shards in buckets.items():
+        assert shards == set(range(len(shards)))
+
+
+def test_pii_scrub_replacement_and_order(spark):
+    from extractpdf4j_spark.functions.corpusops import pii_scrub
+    rows = [(1, "mail a.b+c@x-y.example.org then 192.168.0.1 then 4111111111111111"),
+            (2, "clean text, no pii at all"),
+            (3, "ip 8.8.8.8 twice 8.8.4.4 and num 1234567")]
+    out = {r["doc_id"]: r for r in
+           pii_scrub(_docs_df(spark, rows)).collect()}
+    assert out[1]["text"] == "mail <EMAIL> then <IP> then <NUM>"
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_longnums"]) == (1, 1, 1)
+    assert out[2]["text"] == "clean text, no pii at all"
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_longnums"]) == (0, 0, 0)
+    assert out[3]["text"] == "ip <IP> twice <IP> and num <NUM>"
+    assert (out[3]["n_emails"], out[3]["n_ips"], out[3]["n_longnums"]) == (0, 2, 1)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    from extractpdf4j_spark.functions.corpusops import unigram_logprob
+    # corpus: "a a b" + "b c" -> counts a:2 b:2 c:1, total 5
+    d = _docs_df(spark, [(1, "a a b"), (2, "b c")])
+    out = {r["doc_id"]: r for r in unigram_logprob(d).collect()}
+    lp = lambda c: math.log(c / 5.0)
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["avg_logprob"] - round((2 * lp(2) + lp(2)) / 3, 6)) < 1e-9
+    assert out[2]["n_tokens"] == 2
+    assert abs(out[2]["avg_logprob"] - round((lp(2) + lp(1)) / 2, 6)) < 1e-9
