@@ -74,35 +74,31 @@ def strip_boilerplate(df: DataFrame, min_docs: int = 3,
     whose every line is boilerplate survive with empty text (the filter
     decision belongs to the caller, not this op).
 
-    Plan: one line-hash aggregation to find the boilerplate set, a
-    broadcast anti-join to drop those lines, one shuffle on ``id`` to
-    reassemble in ``pos`` order. Reassembly memory is bounded by the
-    largest single document, not the partition."""
+    Plan: one line-hash aggregation to find the boilerplate set
+    (broadcast), then a single rebuild pass — broadcast left join marks
+    boilerplate lines and one shuffle on ``id`` reassembles kept lines
+    in ``pos`` order while counting kept/dropped in the same aggregate
+    (``collect_list`` skips the nulled-out boilerplate entries). Two
+    passes over the exploded lines total; every document appears in the
+    one groupBy, so no join back to the base table is needed.
+    Reassembly memory is bounded by the largest single document, not
+    the partition."""
     lines = doc_lines(df, text_col, id_col).withColumn(
         "line_hash", _hash60(F.col("line")))
-    bp = boilerplate_lines(df, min_docs, text_col, id_col) \
-        .select("line_hash")
-    kept = lines.join(F.broadcast(bp), "line_hash", "left_anti")
-    rebuilt = (kept.groupBy(id_col)
-               .agg(F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(
-                                F.struct("pos", "line"))),
-                            lambda s: s["line"]),
-                        "\n").alias("_clean"),
-                    F.count("*").alias("n_lines_kept")))
-    totals = (lines.groupBy(id_col)
-              .agg(F.count("*").alias("_n_total")))
-    return (df.select(id_col).join(totals, id_col, "left")
-            .join(rebuilt, id_col, "left")
-            .select(
-                F.col(id_col),
-                F.coalesce(F.col("_clean"), F.lit("")).alias(text_col),
-                F.coalesce(F.col("n_lines_kept"), F.lit(0).cast("long"))
-                .alias("n_lines_kept"),
-                (F.col("_n_total")
-                 - F.coalesce(F.col("n_lines_kept"), F.lit(0).cast("long")))
-                .alias("n_lines_dropped")))
+    bp = (boilerplate_lines(df, min_docs, text_col, id_col)
+          .select("line_hash", F.lit(True).alias("_is_bp")))
+    marked = lines.join(F.broadcast(bp), "line_hash", "left")
+    keep = F.col("_is_bp").isNull()
+    return (marked.groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(keep, F.struct("pos", "line")))),
+                         lambda s: s["line"]),
+                     "\n").alias(text_col),
+                 F.count(F.when(keep, F.lit(1))).alias("n_lines_kept"),
+                 (F.count("*") - F.count(F.when(keep, F.lit(1))))
+                 .alias("n_lines_dropped")))
 
 
 # ---------------------------------------------------------------------------
