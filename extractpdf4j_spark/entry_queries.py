@@ -2106,6 +2106,80 @@ def q_doc_logprob(spark: SparkSession, sf: str) -> DataFrame:
     return unigram_logprob(_docs(spark, sf)).orderBy("doc_id")
 
 
+def q_chunk_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking: 64-token chunks with 16-token overlap
+    (stride 48); last chunk short, sub-chunk docs yield one chunk."""
+    from .functions.corpusops import chunk_documents
+    return (chunk_documents(_docs(spark, sf), chunk_tokens=64, overlap=16)
+            .orderBy("doc_id", "chunk_id"))
+
+
+SQL_CHUNK_DOCS = r"""
+WITH t AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                        ' ') AS toks
+    FROM documents
+),
+nn AS (
+    SELECT doc_id, toks,
+           1 + CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS BIGINT) AS nc
+    FROM t
+),
+k AS (
+    SELECT doc_id, toks, CAST(u.k AS BIGINT) AS chunk_id
+    FROM nn, unnest(generate_series(0, nc - 1)) AS u(k)
+)
+SELECT doc_id, chunk_id,
+       CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64))
+            AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, chunk_id * 48 + 1,
+                                  chunk_id * 48 + 64), ' ') AS chunk
+FROM k ORDER BY doc_id, chunk_id
+"""
+
+
+def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-trigram fraction and
+    top-token mass fraction per document."""
+    from .functions.corpusops import repetition_metrics
+    return repetition_metrics(_docs(spark, sf), n=3).orderBy("doc_id")
+
+
+SQL_REPETITION = r"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                        ' ') AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, concat_ws(' ', t[i + 1], t[i + 2], t[i + 3]) AS sh
+    FROM toks, unnest(generate_series(0, greatest(len(t) - 3, 0))) AS u(i)
+),
+gs AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(DISTINCT sh) AS BIGINT) AS distinct_grams
+    FROM grams WHERE sh <> '' GROUP BY doc_id
+),
+tc AS (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok
+),
+ts AS (
+    SELECT doc_id, CAST(max(c) AS BIGINT) AS top,
+           CAST(sum(c) AS BIGINT) AS total
+    FROM tc GROUP BY doc_id
+)
+SELECT g.doc_id, n_grams, distinct_grams,
+       round(CASE WHEN n_grams > 0
+                  THEN 1.0 - CAST(distinct_grams AS DOUBLE) / n_grams
+                  ELSE 0.0 END, 6) AS dup_gram_frac,
+       round(CAST(top AS DOUBLE) / total, 6) AS top_token_frac
+FROM gs g JOIN ts USING (doc_id) ORDER BY doc_id
+"""
+
+
 SQL_DOC_LOGPROB = r"""
 WITH toks AS (
     SELECT doc_id,
@@ -2213,6 +2287,8 @@ QUERIES = {
     "q_pack_shards": q_pack_shards,
     "q_pii_scrub": q_pii_scrub,
     "q_doc_logprob": q_doc_logprob,
+    "q_chunk_docs": q_chunk_docs,
+    "q_repetition": q_repetition,
     "q_extract_stream_spans": q_extract_stream_spans,
     "q_extract_stream_metrics": q_extract_stream_metrics,
     "q_extract_metrics": q_extract_metrics,
@@ -2265,6 +2341,8 @@ ORACLES = {
     "q_pack_shards": SQL_PACK_SHARDS,
     "q_pii_scrub": SQL_PII_SCRUB,
     "q_doc_logprob": SQL_DOC_LOGPROB,
+    "q_chunk_docs": SQL_CHUNK_DOCS,
+    "q_repetition": SQL_REPETITION,
     # full stream-kernel transliteration gating the real pipeline
     # end-to-end (stream-only config over derived text docs)
     "q_extract_stream_spans": SQL_EXTRACT_STREAM_SPANS,

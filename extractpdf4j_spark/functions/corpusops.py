@@ -195,6 +195,93 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Context-window chunking
+# ---------------------------------------------------------------------------
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 32, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping token-window chunks (the
+    pre-tokenization step of every training/RAG pipeline).
+
+    Chunk ``k`` covers tokens ``[k*stride, k*stride + chunk_tokens)``
+    with ``stride = chunk_tokens - overlap``; the last chunk may be
+    short, and a document shorter than one chunk yields exactly one.
+    Output: ``(id, chunk_id, n_chunk_tokens, chunk)``.
+
+    Pure projection + explode: the token array is built once per row,
+    chunk starts come from ``sequence()`` and each chunk is a
+    ``slice``+``array_join`` — no shuffle, no UDF; output rows are
+    ~``1/(1-overlap/chunk)``x the input bytes, which is the unavoidable
+    cost of overlap."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.regexp_replace(
+        F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    n = F.size(toks)
+    # number of chunks: 1 + ceil(max(n - chunk, 0) / stride)
+    extra = F.greatest(n - chunk_tokens, F.lit(0))
+    n_chunks = (F.lit(1)
+                + F.ceil(extra / F.lit(stride)).cast("int"))
+    staged = df.select(F.col(id_col), toks.alias("_toks"),
+                       n_chunks.alias("_nc"))
+    k = F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id")
+    staged = staged.select(id_col, "_toks", k)
+    piece = F.slice("_toks", F.col("chunk_id") * stride + 1, chunk_tokens)
+    return staged.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style repetition filters)
+# ---------------------------------------------------------------------------
+
+def repetition_metrics(df: DataFrame, n: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition signals used by Gopher/FineWeb-class
+    quality filters: the duplicate n-gram fraction (1 - distinct/total)
+    and the most-frequent-token mass fraction.
+
+    Returns ``(id, n_grams, distinct_grams, dup_gram_frac,
+    top_token_frac)`` with fractions rounded to 6dp.
+
+    N-gram rows reuse the dedup family's shuffle-free shifted-slice
+    construction (``dedup._gram_rows`` — codegen arrays_zip, same
+    boundary semantics as the DUCK_SHINGLES oracle CTE: sub-n-token
+    docs yield one partial gram). One aggregation per signal, both
+    keyed on ``id`` — partial aggregation absorbs the fan-out map-side.
+    """
+    from .dedup import _gram_rows, _tokens
+    gram_rows = _gram_rows(df, text_col, id_col, n)
+    gram_stats = (gram_rows.groupBy(id_col)
+                  .agg(F.count("*").alias("n_grams"),
+                       F.countDistinct("sh").alias("distinct_grams")))
+    staged = df.select(F.col(id_col),
+                       _tokens(F.col(text_col)).alias("_toks"))
+    tok_rows = staged.select(id_col, F.explode("_toks").alias("tok"))
+    tok_counts = (tok_rows.groupBy(id_col, "tok")
+                  .agg(F.count("*").alias("c")))
+    tok_stats = (tok_counts.groupBy(id_col)
+                 .agg(F.max("c").alias("_top"),
+                      F.sum("c").alias("_total")))
+    return (gram_stats.join(tok_stats, id_col)
+            .select(
+                F.col(id_col),
+                "n_grams", "distinct_grams",
+                F.round(F.when(F.col("n_grams") > 0,
+                               1.0 - F.col("distinct_grams")
+                               / F.col("n_grams")).otherwise(0.0), 6)
+                .alias("dup_gram_frac"),
+                F.round(F.col("_top") / F.col("_total"), 6)
+                .alias("top_token_frac")))
+
+
+# ---------------------------------------------------------------------------
 # Corpus-LM quality scoring
 # ---------------------------------------------------------------------------
 

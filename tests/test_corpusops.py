@@ -105,3 +105,41 @@ def test_unigram_logprob_hand_computed(spark):
     assert abs(out[1]["avg_logprob"] - round((2 * lp(2) + lp(2)) / 3, 6)) < 1e-9
     assert out[2]["n_tokens"] == 2
     assert abs(out[2]["avg_logprob"] - round((lp(2) + lp(1)) / 2, 6)) < 1e-9
+
+
+def test_chunk_documents_windows_and_short_doc(spark):
+    from extractpdf4j_spark.functions.corpusops import chunk_documents
+    d = _docs_df(spark, [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+                         (2, "only two")])
+    out = chunk_documents(d, chunk_tokens=4, overlap=1).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    # stride 3: chunks cover [0:4) [3:7) [6:10)
+    assert set(by[1]) == {0, 1, 2}
+    assert by[1][0]["chunk"] == "t0 t1 t2 t3"
+    assert by[1][1]["chunk"] == "t3 t4 t5 t6"
+    assert by[1][2]["chunk"] == "t6 t7 t8 t9"
+    assert all(by[1][k]["n_chunk_tokens"] == 4 for k in range(3))
+    # sub-chunk doc yields exactly one short chunk
+    assert set(by[2]) == {0}
+    assert by[2][0]["chunk"] == "only two"
+    assert by[2][0]["n_chunk_tokens"] == 2
+
+
+def test_repetition_metrics_hand_computed(spark):
+    from extractpdf4j_spark.functions.corpusops import repetition_metrics
+    d = _docs_df(spark, [(1, "a a a b"), (2, "x x x x x"),
+                         (3, "all words differ here fine")])
+    out = {r["doc_id"]: r for r in repetition_metrics(d, n=3).collect()}
+    # doc1 trigrams: "a a a", "a a b" -> all distinct; top token a = 3/4
+    assert (out[1]["n_grams"], out[1]["distinct_grams"]) == (2, 2)
+    assert out[1]["dup_gram_frac"] == 0.0
+    assert abs(out[1]["top_token_frac"] - 0.75) < 1e-9
+    # doc2 trigrams: 3 x "x x x" -> 1 distinct; dup 2/3; top 1.0
+    assert (out[2]["n_grams"], out[2]["distinct_grams"]) == (3, 1)
+    assert abs(out[2]["dup_gram_frac"] - round(1 - 1 / 3, 6)) < 1e-9
+    assert out[2]["top_token_frac"] == 1.0
+    # doc3: no repetition at all
+    assert out[3]["dup_gram_frac"] == 0.0
+    assert abs(out[3]["top_token_frac"] - 0.2) < 1e-9
