@@ -2202,6 +2202,205 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# HTML main-content extraction (north-rule front door: HTML boilerplate
+# strip + DOM heuristics; functions/htmlops.py). HTML pages are planted
+# deterministically from the documents table — title/nav chrome, two
+# content paragraphs from the doc's own tokens, an every-other-doc aside
+# and a footer, plus script/style noise — identically on both engines.
+# ---------------------------------------------------------------------------
+
+
+def _html_docs(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    toks = F.split(F.trim(F.regexp_replace(
+        F.lower(F.col("text")), r"\s+", " ")), " ")
+    n = F.size(toks)
+    h = F.floor((n + 1) / 2).cast("int")
+    staged = d.select("doc_id", F.col("doc_id").cast("string").alias("ds"),
+                      toks.alias("t"), n.alias("n"), h.alias("h"))
+    para1 = F.array_join(F.slice("t", F.lit(1), F.col("h")), " ")
+    para2 = F.array_join(
+        F.slice("t", F.col("h") + 1, F.col("n") - F.col("h")), " ")
+    aside = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.lit('<div><aside><a href="/x">related one</a> '
+              '<a href="/y">related two</a></aside></div>')).otherwise(
+        F.lit(""))
+    html = F.concat(
+        F.lit('<html><head><title>doc '), F.col("ds"),
+        F.lit('</title><style>p{margin:0}</style>'
+              '<script>var x=1;</script></head>'
+              '<body><div><nav><a href="/">home</a> '
+              '<a href="/a">about</a> <a href="/c">contact</a></nav></div>'
+              '<div><h1>doc '), F.col("ds"),
+        F.lit('</h1><p>'), para1, F.lit('</p><p>'), para2,
+        F.lit('</p></div>'), aside,
+        F.lit('<div><footer>all rights reserved '
+              '<a href="/p">privacy</a> <a href="/t">terms</a>'
+              '</footer></div></body></html>'))
+    return staged.select("doc_id", html.alias("html"))
+
+
+_HTML_DOCS_SQL = r"""
+hdocs AS (
+    SELECT doc_id,
+           '<html><head><title>doc ' || ds
+           || '</title><style>p{margin:0}</style>'
+           || '<script>var x=1;</script></head>'
+           || '<body><div><nav><a href="/">home</a> '
+           || '<a href="/a">about</a> <a href="/c">contact</a></nav></div>'
+           || '<div><h1>doc ' || ds || '</h1><p>'
+           || array_to_string(list_slice(t, 1, h), ' ')
+           || '</p><p>'
+           || array_to_string(list_slice(t, h + 1, n), ' ')
+           || '</p></div>'
+           || CASE WHEN doc_id % 2 = 0
+                   THEN '<div><aside><a href="/x">related one</a> '
+                        || '<a href="/y">related two</a></aside></div>'
+                   ELSE '' END
+           || '<div><footer>all rights reserved '
+           || '<a href="/p">privacy</a> <a href="/t">terms</a>'
+           || '</footer></div></body></html>' AS html
+    FROM (
+        SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds, t, len(t) AS n,
+               (len(t) + 1) // 2 AS h
+        FROM (SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text),
+                                                      '\s+', ' ', 'g')),
+                                  ' ') AS t
+              FROM documents)
+    )
+),
+cleaned AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(html,
+               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g') AS ch
+    FROM hdocs
+)
+"""
+
+# visible-text chain (must match htmlops._visible_text exactly:
+# tag-strip -> entity chain with &amp; LAST -> whitespace collapse -> trim)
+_DUCK_VIS = ("trim(regexp_replace("
+             "replace(replace(replace(replace(replace(replace("
+             "regexp_replace({src}, '<[^>]*>', ' ', 'g'),"
+             " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+             " '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),"
+             " '\\s+', ' ', 'g'))")
+
+_DUCK_BLOCK_SPLIT = (r"</(?:p|div|li|h1|h2|h3|h4|h5|h6|td|tr|table|ul|ol|"
+                     r"section|article|header|footer|nav|aside|blockquote)>"
+                     r"|<br[^>]*>")
+
+
+def q_html_main(spark: SparkSession, sf: str) -> DataFrame:
+    """Readability-style main-content extraction over planted HTML:
+    block segmentation, link-density + word-count boilerplate
+    classification with the neighbour-rescue rule, ordered reassembly.
+    The oracle replays every regex/entity/window step in DuckDB."""
+    from .functions.htmlops import extract_main_content
+    return (extract_main_content(_html_docs(spark, sf))
+            .orderBy("doc_id"))
+
+
+SQL_HTML_MAIN = f"""
+WITH {_HTML_DOCS_SQL},
+sp AS (SELECT doc_id,
+              regexp_split_to_array(ch, '{_DUCK_BLOCK_SPLIT}') AS lst
+       FROM cleaned),
+rawb AS (
+    SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS block_id, lst[u.i] AS raw
+    FROM sp, unnest(generate_series(1, len(lst))) AS u(i)
+),
+vis AS (
+    SELECT doc_id, block_id,
+           {_DUCK_VIS.format(src="raw")} AS text,
+           {_DUCK_VIS.format(src=(
+               "coalesce(array_to_string(regexp_extract_all(raw,"
+               " '(?s)<a[^>]*>(.*?)</a>', 1), ' '), '')"))} AS ltext
+    FROM rawb
+),
+blocks AS (
+    SELECT doc_id, block_id, text,
+           CASE WHEN text = '' THEN 0
+                ELSE len(string_split(text, ' ')) END AS n_words,
+           round(CAST(length(ltext) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS link_density
+    FROM vis WHERE text <> ''
+),
+marked AS (
+    SELECT *, (n_words >= 10 AND link_density <= 0.33) AS strong
+    FROM blocks
+),
+nb AS (
+    SELECT *,
+           (coalesce(lag(strong) OVER w, false)
+            OR coalesce(lead(strong) OVER w, false)) AS near_strong
+    FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY block_id)
+),
+kept AS (
+    SELECT *,
+           (strong OR (n_words >= 3 AND link_density <= 0.33
+                       AND near_strong)) AS keep
+    FROM nb
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN keep THEN text END, chr(10)
+                           ORDER BY block_id), '') AS main_text,
+       CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_blocks_kept,
+       CAST(count(*) AS BIGINT) AS n_blocks_total,
+       CAST(length(coalesce(string_agg(CASE WHEN keep THEN text END,
+                                       chr(10) ORDER BY block_id), ''))
+            AS BIGINT) AS n_chars_main
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_dom_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """DOM-shape heuristics: tag/link/paragraph counts and max nesting
+    depth from the tag stream (open +1 / close -1 / void 0) via one
+    running-sum window."""
+    from .functions.htmlops import dom_stats
+    return dom_stats(_html_docs(spark, sf)).orderBy("doc_id")
+
+
+SQL_DOM_STATS = f"""
+WITH {_HTML_DOCS_SQL},
+tg AS (
+    SELECT doc_id, regexp_extract_all(ch, '</?[a-z][a-z0-9]*') AS lst2,
+           CAST(len(regexp_extract_all(ch, '<[a-z][^>]*>')) AS BIGINT)
+               AS n_tags,
+           CAST(len(regexp_extract_all(ch, '<a[\\s>]')) AS BIGINT)
+               AS n_links,
+           CAST(len(regexp_extract_all(ch, '<p[\\s>]')) AS BIGINT)
+               AS n_paras
+    FROM cleaned
+),
+tags AS (
+    SELECT doc_id, n_tags, n_links, n_paras,
+           CAST(u.i - 1 AS BIGINT) AS pos, lst2[u.i] AS tag
+    FROM tg, unnest(generate_series(1, len(lst2))) AS u(i)
+),
+dep AS (
+    SELECT doc_id, n_tags, n_links, n_paras,
+           sum(CASE WHEN tag LIKE '</%' THEN -1
+                    WHEN regexp_replace(tag, '^</?', '') IN
+                        ('br','img','hr','meta','input','link','area',
+                         'base','col','embed','source','track','wbr')
+                    THEN 0 ELSE 1 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS d
+    FROM tags
+)
+SELECT doc_id, n_tags, n_links, n_paras,
+       CAST(max(d) AS BIGINT) AS max_depth
+FROM dep GROUP BY doc_id, n_tags, n_links, n_paras ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Rows-only queries (not SQL-expressible: the extraction pipeline itself)
 # ---------------------------------------------------------------------------
 
@@ -2289,6 +2488,8 @@ QUERIES = {
     "q_doc_logprob": q_doc_logprob,
     "q_chunk_docs": q_chunk_docs,
     "q_repetition": q_repetition,
+    "q_html_main": q_html_main,
+    "q_dom_stats": q_dom_stats,
     "q_extract_stream_spans": q_extract_stream_spans,
     "q_extract_stream_metrics": q_extract_stream_metrics,
     "q_extract_metrics": q_extract_metrics,
@@ -2343,6 +2544,8 @@ ORACLES = {
     "q_doc_logprob": SQL_DOC_LOGPROB,
     "q_chunk_docs": SQL_CHUNK_DOCS,
     "q_repetition": SQL_REPETITION,
+    "q_html_main": SQL_HTML_MAIN,
+    "q_dom_stats": SQL_DOM_STATS,
     # full stream-kernel transliteration gating the real pipeline
     # end-to-end (stream-only config over derived text docs)
     "q_extract_stream_spans": SQL_EXTRACT_STREAM_SPANS,

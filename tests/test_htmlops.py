@@ -1,0 +1,95 @@
+"""Unit tests for functions/htmlops.py — hand-crafted HTML pages with
+known block structure, boilerplate and nesting."""
+
+from pyspark.sql import functions as F
+
+PAGE = (
+    "<html><head><title>t</title><style>p{x}</style>"
+    "<script>var q='</div>';</script></head>"
+    "<body><div><nav><a href='/'>home</a> <a href='/a'>about</a> "
+    "<a href='/c'>contact</a></nav></div>"
+    "<div><h1>big story</h1>"
+    "<p>this is the first real paragraph of the article with many "
+    "plain words in it</p>"
+    "<p>short tail here</p></div>"
+    "<div><footer>all rights reserved <a href='/p'>privacy</a> "
+    "<a href='/t'>terms</a></footer></div></body></html>"
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, html string")
+
+
+def test_html_blocks_segmentation_and_link_density(spark):
+    from extractpdf4j_spark.functions.htmlops import html_blocks
+    out = html_blocks(_df(spark, [(1, PAGE)])).orderBy("block_id").collect()
+    texts = [r["text"] for r in out]
+    # script content (containing a closing-tag string!) must not leak
+    assert not any("var q" in t for t in texts)
+    nav = out[0]
+    assert nav["text"] == "t home about contact"
+    assert nav["link_density"] > 0.33
+    para = [r for r in out if r["text"].startswith("this is the first")][0]
+    assert para["n_words"] == 15
+    assert para["link_density"] == 0.0
+
+
+def test_extract_main_content_keeps_article_drops_chrome(spark):
+    from extractpdf4j_spark.functions.htmlops import extract_main_content
+    out = extract_main_content(_df(spark, [(1, PAGE)])).collect()[0]
+    assert out["main_text"] == (
+        "this is the first real paragraph of the article with many "
+        "plain words in it\nshort tail here")  # weak block rescued by neighbour
+    assert out["n_blocks_kept"] == 2
+    # nav, h1, footer counted but dropped
+    assert out["n_blocks_total"] == 5
+    assert out["n_chars_main"] == len(out["main_text"])
+
+
+def test_extract_main_content_all_boilerplate_page(spark):
+    from extractpdf4j_spark.functions.htmlops import extract_main_content
+    page = ("<div><nav><a href='/'>one</a> <a href='/b'>two</a> "
+            "<a href='/c'>three</a></nav></div>")
+    out = extract_main_content(_df(spark, [(1, page)])).collect()[0]
+    assert out["main_text"] == ""
+    assert out["n_blocks_kept"] == 0
+    assert out["n_blocks_total"] == 1
+
+
+def test_entity_unescape_order(spark):
+    from extractpdf4j_spark.functions.htmlops import html_blocks
+    page = "<p>a &amp;lt; b &lt; c &amp; d</p>"
+    out = html_blocks(_df(spark, [(1, page)])).collect()
+    # &amp;lt; -> &lt; (single unescape), &lt; -> <, &amp; -> &
+    assert out[0]["text"] == "a &lt; b < c & d"
+
+
+def test_dom_stats_depth_and_counts(spark):
+    from extractpdf4j_spark.functions.htmlops import dom_stats
+    page = ("<div><div><p>x <a href='/'>y</a></p><br><img src='z'>"
+            "</div></div><p>w</p>")
+    out = dom_stats(_df(spark, [(1, page)])).collect()[0]
+    # depth: div(1) div(2) p(3) a(4); br/img are void
+    assert out["max_depth"] == 4
+    assert out["n_links"] == 1
+    assert out["n_paras"] == 2
+    # open tags incl. void: div div p a br img p = 7
+    assert out["n_tags"] == 7
+
+
+def test_spanize_html_feeds_the_pipeline(spark):
+    from extractpdf4j_spark.functions.htmlops import spanize_html
+    from extractpdf4j_spark.pipeline import extract
+    from extractpdf4j_spark.config import ExtractConfig
+    docs = spanize_html(_df(spark, [(7, PAGE)]).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "html"))
+    rows = docs.collect()
+    assert len(rows) == 1
+    spans = rows[0]["spans"]
+    assert [s["kind"] for s in spans] == ["text", "text"]
+    assert spans[0]["text"].startswith("this is the first")
+    assert spans[1]["text"] == "short tail here"
+    # and the pipeline accepts the adapter output end-to-end
+    out = extract(docs, None, ExtractConfig()).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == "7"
