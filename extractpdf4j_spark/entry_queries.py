@@ -2274,8 +2274,8 @@ hdocs AS (
 cleaned AS (
     SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(html,
-               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-               '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
                '(?s)<!--.*?-->', ' ', 'g') AS ch
     FROM hdocs
 )
@@ -2290,9 +2290,14 @@ _DUCK_VIS = ("trim(regexp_replace("
              " '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),"
              " '\\s+', ' ', 'g'))")
 
-_DUCK_BLOCK_SPLIT = (r"</(?:p|div|li|h1|h2|h3|h4|h5|h6|td|tr|table|ul|ol|"
-                     r"section|article|header|footer|nav|aside|blockquote)>"
-                     r"|<br[^>]*>")
+_DUCK_BLOCK_SPLIT = (r"(?i)</(?:p|div|li|h1|h2|h3|h4|h5|h6|td|tr|table|ul|"
+                     r"ol|section|article|header|footer|nav|aside|"
+                     r"blockquote)>|<br[^>]*>")
+
+# f-string expression parts cannot contain backslashes (py311), so the
+# link-text source expression is prebuilt here.
+_DUCK_LTEXT_SRC = ("coalesce(array_to_string(regexp_extract_all(raw,"
+                   " '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1), ' '), '')")
 
 
 def q_html_main(spark: SparkSession, sf: str) -> DataFrame:
@@ -2317,9 +2322,7 @@ rawb AS (
 vis AS (
     SELECT doc_id, block_id,
            {_DUCK_VIS.format(src="raw")} AS text,
-           {_DUCK_VIS.format(src=(
-               "coalesce(array_to_string(regexp_extract_all(raw,"
-               " '(?s)<a[^>]*>(.*?)</a>', 1), ' '), '')"))} AS ltext
+           {_DUCK_VIS.format(src=_DUCK_LTEXT_SRC)} AS ltext
     FROM rawb
 ),
 blocks AS (
@@ -2345,16 +2348,23 @@ kept AS (
            (strong OR (n_words >= 3 AND link_density <= 0.33
                        AND near_strong)) AS keep
     FROM nb
+),
+agg AS (
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN text END, chr(10)
+                               ORDER BY block_id), '') AS main_text,
+           CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT)
+               AS n_blocks_kept,
+           CAST(count(*) AS BIGINT) AS n_blocks_total
+    FROM kept GROUP BY doc_id
 )
-SELECT doc_id,
-       coalesce(string_agg(CASE WHEN keep THEN text END, chr(10)
-                           ORDER BY block_id), '') AS main_text,
-       CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_blocks_kept,
-       CAST(count(*) AS BIGINT) AS n_blocks_total,
-       CAST(length(coalesce(string_agg(CASE WHEN keep THEN text END,
-                                       chr(10) ORDER BY block_id), ''))
-            AS BIGINT) AS n_chars_main
-FROM kept GROUP BY doc_id ORDER BY doc_id
+SELECT h.doc_id,
+       coalesce(a.main_text, '') AS main_text,
+       coalesce(a.n_blocks_kept, 0) AS n_blocks_kept,
+       coalesce(a.n_blocks_total, 0) AS n_blocks_total,
+       CAST(length(coalesce(a.main_text, '')) AS BIGINT) AS n_chars_main
+FROM hdocs h LEFT JOIN agg a ON h.doc_id = a.doc_id
+ORDER BY h.doc_id
 """
 
 
@@ -2369,12 +2379,12 @@ def q_dom_stats(spark: SparkSession, sf: str) -> DataFrame:
 SQL_DOM_STATS = f"""
 WITH {_HTML_DOCS_SQL},
 tg AS (
-    SELECT doc_id, regexp_extract_all(ch, '</?[a-z][a-z0-9]*') AS lst2,
-           CAST(len(regexp_extract_all(ch, '<[a-z][^>]*>')) AS BIGINT)
+    SELECT doc_id, regexp_extract_all(ch, '(?i)</?[a-z][a-z0-9]*') AS lst2,
+           CAST(len(regexp_extract_all(ch, '(?i)<[a-z][^>]*>')) AS BIGINT)
                AS n_tags,
-           CAST(len(regexp_extract_all(ch, '<a[\\s>]')) AS BIGINT)
+           CAST(len(regexp_extract_all(ch, '(?i)<a[\\s>]')) AS BIGINT)
                AS n_links,
-           CAST(len(regexp_extract_all(ch, '<p[\\s>]')) AS BIGINT)
+           CAST(len(regexp_extract_all(ch, '(?i)<p[\\s>]')) AS BIGINT)
                AS n_paras
     FROM cleaned
 ),
@@ -2384,19 +2394,21 @@ tags AS (
     FROM tg, unnest(generate_series(1, len(lst2))) AS u(i)
 ),
 dep AS (
-    SELECT doc_id, n_tags, n_links, n_paras,
+    SELECT doc_id,
            sum(CASE WHEN tag LIKE '</%' THEN -1
-                    WHEN regexp_replace(tag, '^</?', '') IN
+                    WHEN lower(regexp_replace(tag, '^</?', '')) IN
                         ('br','img','hr','meta','input','link','area',
                          'base','col','embed','source','track','wbr')
                     THEN 0 ELSE 1 END)
                OVER (PARTITION BY doc_id ORDER BY pos
                      ROWS UNBOUNDED PRECEDING) AS d
     FROM tags
-)
-SELECT doc_id, n_tags, n_links, n_paras,
-       CAST(max(d) AS BIGINT) AS max_depth
-FROM dep GROUP BY doc_id, n_tags, n_links, n_paras ORDER BY doc_id
+),
+md AS (SELECT doc_id, CAST(max(d) AS BIGINT) AS max_depth
+       FROM dep GROUP BY doc_id)
+SELECT t.doc_id, t.n_tags, t.n_links, t.n_paras,
+       coalesce(m.max_depth, 0) AS max_depth
+FROM tg t LEFT JOIN md m ON t.doc_id = m.doc_id ORDER BY t.doc_id
 """
 
 

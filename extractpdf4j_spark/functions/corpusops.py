@@ -25,7 +25,8 @@ from .dedup import _hash60
 __all__ = [
     "doc_lines", "boilerplate_lines", "strip_boilerplate",
     "hash_sample", "quota_sample", "pack_shards",
-    "pii_scrub", "unigram_logprob",
+    "pii_scrub", "unigram_logprob", "chunk_documents",
+    "repetition_metrics",
     "EMAIL_RE", "IPV4_RE", "LONGNUM_RE",
 ]
 
@@ -214,8 +215,11 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
     ``slice``+``array_join`` — no shuffle, no UDF; output rows are
     ~``1/(1-overlap/chunk)``x the input bytes, which is the unavoidable
     cost of overlap."""
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be < chunk_tokens")
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        # a negative overlap would silently SKIP tokens between chunks
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
     toks = F.split(F.trim(F.regexp_replace(
         F.lower(F.col(text_col)), r"\s+", " ")), " ")

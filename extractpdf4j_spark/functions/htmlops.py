@@ -33,15 +33,18 @@ from pyspark.sql import DataFrame, Window, functions as F
 __all__ = ["html_blocks", "extract_main_content", "dom_stats",
            "spanize_html", "BLOCK_SPLIT_RE", "TAG_RE", "VOID_TAGS"]
 
-# Closing block-level tags and <br> end a text block.
-BLOCK_SPLIT_RE = (r"</(?:p|div|li|h1|h2|h3|h4|h5|h6|td|tr|table|ul|ol|"
+# Closing block-level tags and <br> end a text block. Tag names are
+# case-insensitive in HTML, hence (?i) throughout (RE2- and Java-safe).
+BLOCK_SPLIT_RE = (r"(?i)</(?:p|div|li|h1|h2|h3|h4|h5|h6|td|tr|table|ul|ol|"
                   r"section|article|header|footer|nav|aside|blockquote)>"
                   r"|<br[^>]*>")
 TAG_RE = r"<[^>]*>"
-_SCRIPT_RE = r"(?s)<script[^>]*>.*?</script>"
-_STYLE_RE = r"(?s)<style[^>]*>.*?</style>"
+_SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+_STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
 _COMMENT_RE = r"(?s)<!--.*?-->"
-_LINK_INNER_RE = r"(?s)<a[^>]*>(.*?)</a>"
+# Anchored tag name: '<a' followed by whitespace-attrs or '>' only —
+# '<aside>'/'<abbr>' must NOT count their text as link text.
+_LINK_INNER_RE = r"(?is)<a(?:\s[^>]*)?>(.*?)</a>"
 
 # Void elements never close, so they contribute no nesting depth.
 VOID_TAGS = ("br", "img", "hr", "meta", "input", "link", "area", "base",
@@ -83,7 +86,7 @@ def html_blocks(df: DataFrame, html_col: str = "html",
 
     Pure projection + explode; every operation is a codegen string
     expression."""
-    cleaned = _strip_noise(F.col(html_col))
+    cleaned = _strip_noise(F.coalesce(F.col(html_col), F.lit("")))
     blocks = F.split(cleaned, BLOCK_SPLIT_RE)
     staged = (df.select(F.col(id_col),
                         F.posexplode(blocks).alias("block_id", "_raw")))
@@ -108,6 +111,23 @@ def html_blocks(df: DataFrame, html_col: str = "html",
             .filter(F.col("text") != ""))
 
 
+def _classify_blocks(b: DataFrame, id_col: str, strong_words: int,
+                     weak_words: int,
+                     max_link_density: float) -> DataFrame:
+    """Shared content/boilerplate classification (the ONE copy of the
+    keep rule — extract_main_content and spanize_html must not
+    diverge): strong = long + low link density; weak blocks are rescued
+    when an adjacent (non-empty) block is strong."""
+    low_density = F.col("link_density") <= max_link_density
+    strong = (F.col("n_words") >= strong_words) & low_density
+    w = Window.partitionBy(id_col).orderBy("block_id")
+    near_strong = (F.coalesce(F.lag(strong).over(w), F.lit(False))
+                   | F.coalesce(F.lead(strong).over(w), F.lit(False)))
+    keep = strong | ((F.col("n_words") >= weak_words) & low_density
+                     & near_strong)
+    return b.withColumn("_keep", keep)
+
+
 def extract_main_content(df: DataFrame, html_col: str = "html",
                          id_col: str = "doc_id",
                          strong_words: int = 10,
@@ -122,28 +142,32 @@ def extract_main_content(df: DataFrame, html_col: str = "html",
     paragraphs survive, isolated nav crumbs don't).
 
     Returns ``(id, main_text, n_blocks_kept, n_blocks_total,
-    n_chars_main)``; documents whose every block is boilerplate survive
-    with empty ``main_text``. One window over ``(id, block_id)`` plus
-    one aggregation on ``id`` — no cross-document state."""
-    b = html_blocks(df, html_col, id_col)
-    low_density = F.col("link_density") <= max_link_density
-    strong = (F.col("n_words") >= strong_words) & low_density
-    w = Window.partitionBy(id_col).orderBy("block_id")
-    near_strong = (F.coalesce(F.lag(strong).over(w), F.lit(False))
-                   | F.coalesce(F.lead(strong).over(w), F.lit(False)))
-    keep = strong | ((F.col("n_words") >= weak_words) & low_density
-                     & near_strong)
-    marked = b.withColumn("_keep", keep)
+    n_chars_main)``; every input document appears exactly once —
+    documents whose every block is boilerplate (or whose HTML has no
+    visible text at all) survive with empty ``main_text``. One window
+    over ``(id, block_id)`` plus one aggregation on ``id`` and a left
+    join back to the input ids — no cross-document state."""
+    marked = _classify_blocks(html_blocks(df, html_col, id_col), id_col,
+                              strong_words, weak_words, max_link_density)
     kept_struct = F.when(F.col("_keep"), F.struct("block_id", "text"))
-    return (marked.groupBy(id_col)
-            .agg(F.array_join(
-                     F.transform(
-                         F.array_sort(F.collect_list(kept_struct)),
-                         lambda s: s["text"]),
-                     "\n").alias("main_text"),
-                 F.count(F.when(F.col("_keep"), F.lit(1)))
-                 .alias("n_blocks_kept"),
-                 F.count("*").alias("n_blocks_total"))
+    agg = (marked.groupBy(id_col)
+           .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["text"]),
+                    "\n").alias("main_text"),
+                F.count(F.when(F.col("_keep"), F.lit(1)))
+                .alias("n_blocks_kept"),
+                F.count("*").alias("n_blocks_total")))
+    zero = F.lit(0).cast("long")
+    return (df.select(id_col).join(agg, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("main_text"), F.lit("")).alias("main_text"),
+                F.coalesce(F.col("n_blocks_kept"), zero)
+                .alias("n_blocks_kept"),
+                F.coalesce(F.col("n_blocks_total"), zero)
+                .alias("n_blocks_total"))
             .withColumn("n_chars_main",
                         F.length("main_text").cast("long")))
 
@@ -155,20 +179,23 @@ def dom_stats(df: DataFrame, html_col: str = "html",
 
     Depth is computed from the tag stream (open +1, close -1, void
     elements skipped) with a running sum over the tag position — one
-    window keyed on ``(id, pos)``, then a max per document."""
-    cleaned = _strip_noise(F.col(html_col))
-    n_tags = F.regexp_count(cleaned, F.lit(r"<[a-z][^>]*>")).cast("long")
-    n_links = F.regexp_count(cleaned, F.lit(r"<a[\s>]")).cast("long")
-    n_paras = F.regexp_count(cleaned, F.lit(r"<p[\s>]")).cast("long")
+    window keyed on ``(id, pos)``, then a max per document. Tagless
+    documents survive with all-zero features (posexplode_outer keeps
+    their row; the null tag contributes depth 0)."""
+    cleaned = _strip_noise(F.coalesce(F.col(html_col), F.lit("")))
+    n_tags = F.regexp_count(cleaned, F.lit(r"(?i)<[a-z][^>]*>")).cast("long")
+    n_links = F.regexp_count(cleaned, F.lit(r"(?i)<a[\s>]")).cast("long")
+    n_paras = F.regexp_count(cleaned, F.lit(r"(?i)<p[\s>]")).cast("long")
     base = df.select(F.col(id_col), n_tags.alias("n_tags"),
                      n_links.alias("n_links"), n_paras.alias("n_paras"),
                      F.regexp_extract_all(
-                         cleaned, F.lit(r"</?[a-z][a-z0-9]*"), 0
+                         cleaned, F.lit(r"(?i)</?[a-z][a-z0-9]*"), 0
                      ).alias("_tags"))
     toks = base.select(id_col, "n_tags", "n_links", "n_paras",
-                       F.posexplode("_tags").alias("pos", "tag"))
-    name = F.regexp_replace("tag", r"^</?", "")
-    delta = (F.when(F.col("tag").startswith("</"), F.lit(-1))
+                       F.posexplode_outer("_tags").alias("pos", "tag"))
+    name = F.lower(F.regexp_replace("tag", r"^</?", ""))
+    delta = (F.when(F.col("tag").isNull(), F.lit(0))
+             .when(F.col("tag").startswith("</"), F.lit(-1))
              .when(name.isin(*VOID_TAGS), F.lit(0))
              .otherwise(F.lit(1)))
     w = (Window.partitionBy(id_col).orderBy("pos")
@@ -180,20 +207,17 @@ def dom_stats(df: DataFrame, html_col: str = "html",
 
 
 def spanize_html(df: DataFrame, html_col: str = "html",
-                 id_col: str = "doc_id", **kwargs) -> DataFrame:
+                 id_col: str = "doc_id", strong_words: int = 10,
+                 weak_words: int = 3,
+                 max_link_density: float = 0.33) -> DataFrame:
     """Adapter: HTML documents → the pipeline's ``(doc_id, spans)``
     shape, one text span per kept content block, ordered by block
     position — HTML corpora then flow through the same two-stage
-    extraction job as PDF span documents."""
-    b = html_blocks(df, html_col, id_col)
-    low = F.col("link_density") <= kwargs.get("max_link_density", 0.33)
-    strong = (F.col("n_words") >= kwargs.get("strong_words", 10)) & low
-    w = Window.partitionBy(id_col).orderBy("block_id")
-    near = (F.coalesce(F.lag(strong).over(w), F.lit(False))
-            | F.coalesce(F.lead(strong).over(w), F.lit(False)))
-    keep = strong | ((F.col("n_words") >= kwargs.get("weak_words", 3))
-                     & low & near)
-    kept = b.withColumn("_keep", keep).filter("_keep")
+    extraction job as PDF span documents. Uses the same
+    ``_classify_blocks`` rule as :func:`extract_main_content`."""
+    kept = _classify_blocks(html_blocks(df, html_col, id_col), id_col,
+                            strong_words, weak_words,
+                            max_link_density).filter("_keep")
     span = F.struct(
         F.lit("text").alias("kind"),
         F.col("text").alias("text"),

@@ -143,3 +143,15 @@ def test_repetition_metrics_hand_computed(spark):
     # doc3: no repetition at all
     assert out[3]["dup_gram_frac"] == 0.0
     assert abs(out[3]["top_token_frac"] - 0.2) < 1e-9
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    import pytest
+    from extractpdf4j_spark.functions.corpusops import chunk_documents
+    d = _docs_df(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        chunk_documents(d, chunk_tokens=64, overlap=-36)  # would skip tokens
+    with pytest.raises(ValueError):
+        chunk_documents(d, chunk_tokens=8, overlap=8)
+    with pytest.raises(ValueError):
+        chunk_documents(d, chunk_tokens=0, overlap=0)

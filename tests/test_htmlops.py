@@ -93,3 +93,40 @@ def test_spanize_html_feeds_the_pipeline(spark):
     # and the pipeline accepts the adapter output end-to-end
     out = extract(docs, None, ExtractConfig()).collect()
     assert len(out) == 1 and out[0]["doc_id"] == "7"
+
+
+def test_link_density_not_inflated_by_a_prefixed_tags(spark):
+    from extractpdf4j_spark.functions.htmlops import html_blocks
+    # <abbr>/<aside>-class tags must not count their text as link text
+    page = ("<p>the <abbr title='x'>spec</abbr> covers many cases see "
+            "the anchor <a href='/s'>here</a> for details today</p>")
+    out = html_blocks(_df(spark, [(1, page)])).collect()[0]
+    # only 'here' is link text
+    assert out["link_density"] == round(4 / len(out["text"]), 6)
+
+
+def test_uppercase_tags_handled(spark):
+    from extractpdf4j_spark.functions.htmlops import html_blocks, dom_stats
+    page = ("<SCRIPT>var secret=1;</SCRIPT><DIV><P>Upper case markup "
+            "still parses fine</P></DIV>")
+    blocks = html_blocks(_df(spark, [(1, page)])).collect()
+    assert len(blocks) == 1  # </P> and </DIV> split; script stripped
+    assert "secret" not in blocks[0]["text"]
+    st = dom_stats(_df(spark, [(1, page)])).collect()[0]
+    assert st["n_paras"] == 1 and st["n_tags"] == 2
+    assert st["max_depth"] == 2
+
+
+def test_no_visible_text_doc_survives(spark):
+    from extractpdf4j_spark.functions.htmlops import (extract_main_content,
+                                                      dom_stats)
+    rows = [(1, "<script>x=1</script>"), (2, "plain text no markup"),
+            (3, None)]
+    main = {r["doc_id"]: r for r in
+            extract_main_content(_df(spark, rows)).collect()}
+    assert set(main) == {1, 2, 3}
+    assert main[1]["main_text"] == "" and main[1]["n_blocks_total"] == 0
+    assert main[3]["main_text"] == ""
+    st = {r["doc_id"]: r for r in dom_stats(_df(spark, rows)).collect()}
+    assert set(st) == {1, 2, 3}
+    assert (st[2]["n_tags"], st[2]["max_depth"]) == (0, 0)
