@@ -2236,7 +2236,7 @@ def _html_docs(spark: SparkSession, sf: str) -> DataFrame:
         F.lit('</h1><p>'), para1, F.lit('</p><p>'), para2,
         F.lit('</p></div>'), aside,
         F.lit('<div><footer>all rights reserved '
-              '<a href="/p">privacy</a> <a href="/t">terms</a>'
+              '<a href="https://legal.example.com/privacy">privacy</a> <a href="/t">terms</a>'
               '</footer></div></body></html>'))
     return staged.select("doc_id", html.alias("html"))
 
@@ -2259,7 +2259,7 @@ hdocs AS (
                         || '<a href="/y">related two</a></aside></div>'
                    ELSE '' END
            || '<div><footer>all rights reserved '
-           || '<a href="/p">privacy</a> <a href="/t">terms</a>'
+           || '<a href="https://legal.example.com/privacy">privacy</a> <a href="/t">terms</a>'
            || '</footer></div></body></html>' AS html
     FROM (
         SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds, t, len(t) AS n,
@@ -2298,6 +2298,8 @@ _DUCK_BLOCK_SPLIT = (r"(?i)</(?:p|div|li|h1|h2|h3|h4|h5|h6|td|tr|table|ul|"
 # link-text source expression is prebuilt here.
 _DUCK_LTEXT_SRC = ("coalesce(array_to_string(regexp_extract_all(raw,"
                    " '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1), ' '), '')")
+_DUCK_ANCHOR_SRC = ("regexp_extract(el,"
+                    " '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1)")
 
 
 def q_html_main(spark: SparkSession, sf: str) -> DataFrame:
@@ -2365,6 +2367,39 @@ SELECT h.doc_id,
        CAST(length(coalesce(a.main_text, '')) AS BIGINT) AS n_chars_main
 FROM hdocs h LEFT JOIN agg a ON h.doc_id = a.doc_id
 ORDER BY h.doc_id
+"""
+
+
+def q_html_links(spark: SparkSession, sf: str) -> DataFrame:
+    """Outlink extraction over the planted pages: one row per
+    <a href=...> in document order with href, domain (absolute links
+    only) and visible anchor text."""
+    from .functions.htmlops import extract_links
+    return (extract_links(_html_docs(spark, sf))
+            .orderBy("doc_id", "pos"))
+
+
+SQL_HTML_LINKS = f"""
+WITH {_HTML_DOCS_SQL},
+els AS (
+    SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, lst[u.i] AS el
+    FROM (SELECT doc_id,
+                 regexp_extract_all(ch,
+                     '(?is)<a(?:\\s[^>]*)?>.*?</a>', 0) AS lst
+          FROM cleaned),
+         unnest(generate_series(1, len(lst))) AS u(i)
+),
+lx AS (
+    SELECT doc_id, pos,
+           regexp_extract(el,
+               '(?is)href\\s*=\\s*["'']([^"'']*)["'']', 1) AS href,
+           {_DUCK_VIS.format(src=_DUCK_ANCHOR_SRC)} AS anchor_text
+    FROM els
+)
+SELECT doc_id, pos, href,
+       regexp_extract(href, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS domain,
+       anchor_text
+FROM lx WHERE href <> '' ORDER BY doc_id, pos
 """
 
 
@@ -2502,6 +2537,7 @@ QUERIES = {
     "q_repetition": q_repetition,
     "q_html_main": q_html_main,
     "q_dom_stats": q_dom_stats,
+    "q_html_links": q_html_links,
     "q_extract_stream_spans": q_extract_stream_spans,
     "q_extract_stream_metrics": q_extract_stream_metrics,
     "q_extract_metrics": q_extract_metrics,
@@ -2558,6 +2594,7 @@ ORACLES = {
     "q_repetition": SQL_REPETITION,
     "q_html_main": SQL_HTML_MAIN,
     "q_dom_stats": SQL_DOM_STATS,
+    "q_html_links": SQL_HTML_LINKS,
     # full stream-kernel transliteration gating the real pipeline
     # end-to-end (stream-only config over derived text docs)
     "q_extract_stream_spans": SQL_EXTRACT_STREAM_SPANS,

@@ -31,7 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["html_blocks", "extract_main_content", "dom_stats",
-           "spanize_html", "BLOCK_SPLIT_RE", "TAG_RE", "VOID_TAGS"]
+           "extract_links", "spanize_html", "BLOCK_SPLIT_RE", "TAG_RE",
+           "VOID_TAGS"]
 
 # Closing block-level tags and <br> end a text block. Tag names are
 # case-insensitive in HTML, hence (?i) throughout (RE2- and Java-safe).
@@ -204,6 +205,32 @@ def dom_stats(df: DataFrame, html_col: str = "html",
     return (toks.withColumn("_depth", depth)
             .groupBy(id_col, "n_tags", "n_links", "n_paras")
             .agg(F.max("_depth").cast("long").alias("max_depth")))
+
+
+def extract_links(df: DataFrame, html_col: str = "html",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Outlink extraction — the crawl-graph edge list web pipelines
+    mine from HTML (dedup by URL, PageRank-style quality signals,
+    frontier seeding).
+
+    Returns ``(id, pos, href, domain, anchor_text)`` — one row per
+    ``<a href=...>`` in document order; ``domain`` is empty for
+    relative links. Pure projection + explode, codegen regex only."""
+    cleaned = _strip_noise(F.coalesce(F.col(html_col), F.lit("")))
+    els = F.regexp_extract_all(
+        cleaned, F.lit(r"(?is)<a(?:\s[^>]*)?>.*?</a>"), 0)
+    staged = df.select(F.col(id_col),
+                       F.posexplode(els).alias("pos", "_el"))
+    href = F.regexp_extract(
+        F.col("_el"), r"""(?is)href\s*=\s*["']([^"']*)["']""", 1)
+    anchor = _visible_text(
+        F.regexp_extract(F.col("_el"), _LINK_INNER_RE, 1))
+    domain = F.regexp_extract(href, r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    return (staged.select(
+                id_col, F.col("pos").cast("long").alias("pos"),
+                href.alias("href"), domain.alias("domain"),
+                anchor.alias("anchor_text"))
+            .filter(F.col("href") != ""))
 
 
 def spanize_html(df: DataFrame, html_col: str = "html",

@@ -130,3 +130,15 @@ def test_no_visible_text_doc_survives(spark):
     st = {r["doc_id"]: r for r in dom_stats(_df(spark, rows)).collect()}
     assert set(st) == {1, 2, 3}
     assert (st[2]["n_tags"], st[2]["max_depth"]) == (0, 0)
+
+
+def test_extract_links_hrefs_domains_and_order(spark):
+    from extractpdf4j_spark.functions.htmlops import extract_links
+    page = ("<p>see <a href='https://ex.example.org/a?q=1'>first "
+            "<b>link</b></a> and <a href='/rel'>second</a> and "
+            "<a name='anchor-no-href'>third</a></p>")
+    out = extract_links(_df(spark, [(1, page)])).orderBy("pos").collect()
+    assert [r["href"] for r in out] == ["https://ex.example.org/a?q=1", "/rel"]
+    assert [r["domain"] for r in out] == ["ex.example.org", ""]
+    assert out[0]["anchor_text"] == "first link"  # nested tag stripped
+    assert out[1]["anchor_text"] == "second"
