@@ -196,7 +196,8 @@ def _mark_run_done() -> None:
 
 
 def headline(sf_dir: str, cores: int, replicate: int = 1,
-             with_queries: bool = True, runs: int = 4) -> dict:
+             with_queries: bool = True, runs: int = 4,
+             adaptive: bool = True) -> dict:
     spark = make_spark(cores)
     try:
         # extraction first: it is the headline metric and the machine is
@@ -217,6 +218,23 @@ def headline(sf_dir: str, cores: int, replicate: int = 1,
             dt, n_docs = run_extraction_bench(spark, sf_dir, cores, replicate)
             times.append(dt)
         best = min(times)
+        # Adaptive tail: when the bench starts on a hot box (the driver
+        # runs it right after the pytest+correctness load), 20 s gaps
+        # may not reach a cool window — measured 8.06 s vs 5.12 s for
+        # the SAME binary depending on start state. While the minimum
+        # is still dropping >10% per extra sample, keep sampling with
+        # longer idles (bounded: <= extra_max samples).
+        extra_gap = int(os.environ.get("SPARK_GRAFT_EXTRA_GAP", "60"))
+        extra_max = (int(os.environ.get("SPARK_GRAFT_EXTRA_RUNS", "4"))
+                     if adaptive else 0)
+        for _ in range(extra_max):
+            prev = best
+            time.sleep(extra_gap)
+            dt, n_docs = run_extraction_bench(spark, sf_dir, cores, replicate)
+            times.append(dt)
+            best = min(times)
+            if best >= prev * 0.90:   # converged: no longer improving
+                break
         queries = run_query_bench(spark, sf_dir) if with_queries else {}
         return {
             "metric": "extraction_wall_sec",
@@ -303,8 +321,12 @@ def main():
                     help="interleaved hi/lo rounds in --scaling mode")
     args = ap.parse_args()
     if args.one:
+        # --one is the scaling protocol's per-JVM probe: exactly
+        # `runs` timed samples, no adaptive tail (the interleaved
+        # protocol manages thermal state itself)
         print(json.dumps(headline(SF_DIR, args.one, args.replicate,
-                                  with_queries=False, runs=args.runs)))
+                                  with_queries=False, runs=args.runs,
+                                  adaptive=False)))
         _mark_run_done()
     elif args.scaling:
         print(json.dumps(scaling(SF_DIR, lo=args.lo, hi=args.hi,
