@@ -123,7 +123,7 @@ HEAVY_QUERIES = [
     # minhash family in dependency order: sig/pairs warm the shared
     # shingle+signature lineage that q_dedup_clusters re-executes
     "q_minhash_sig", "q_minhash_pairs", "q_ngram_jaccard",
-    "q_dedup_clusters", "q_media_features", "q_embed_neardup",
+    "q_dedup_clusters", "q_curate", "q_media_features", "q_embed_neardup",
     "q_ivf_ann", "q_simhash", "q_lsh_ann", "q_fuzzy_header",
     "q_hybrid_pick",
 ]

@@ -2201,6 +2201,127 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_curate(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed curation pipeline end-to-end: planted dups + planted
+    boilerplate footers -> exact dedup keep-one -> boilerplate strip ->
+    quality filter (tokens + dup-trigram fraction on the CLEANED text)
+    -> per-lang quota -> token-budget shard packing. One hash gate over
+    the final shard manifest covers all five stages composed."""
+    from .functions.corpusops import curate_corpus
+    d = _docs(spark, sf).select("doc_id", "text", "lang")
+    dups = (d.filter(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                    F.concat(F.lit("  "),
+                             F.regexp_replace("text", " ", "  "))
+                    .alias("text"),
+                    "lang"))
+    full = d.unionByName(dups)
+    # footer planting keyed on the ORIGINAL id (doc_id % 1e6) so a dup
+    # and its source carry identical footers and stay exact duplicates
+    base = F.col("doc_id") % 1_000_000
+    footer = F.when(base % 2 == 0, F.lit("all rights reserved")) \
+        .otherwise(F.lit("privacy policy terms"))
+    planted = F.when(
+        base % 3 == 0,
+        F.concat("text", F.lit("\nsubscribe to our newsletter\n"), footer)
+    ).otherwise(F.col("text"))
+    footed = full.select("doc_id", planted.alias("text"), "lang")
+    return curate_corpus(footed).orderBy("doc_id")
+
+
+SQL_CURATE = r"""
+WITH full_docs AS (
+    SELECT doc_id, text, lang FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           '  ' || replace(text, ' ', '  ') AS text, lang
+    FROM documents WHERE doc_id % 7 = 0
+),
+footed AS (
+    SELECT doc_id, lang,
+           CASE WHEN (doc_id % 1000000) % 3 = 0
+                THEN text || chr(10) || 'subscribe to our newsletter'
+                     || chr(10)
+                     || (CASE WHEN (doc_id % 1000000) % 2 = 0
+                              THEN 'all rights reserved'
+                              ELSE 'privacy policy terms' END)
+                ELSE text END AS text
+    FROM full_docs
+),
+dedup AS (
+    SELECT doc_id, lang, text FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY md5(trim(regexp_replace(lower(text),
+                                                 '\s+', ' ', 'g')))
+            ORDER BY doc_id) AS rn
+        FROM footed) WHERE rn = 1
+),
+split AS (SELECT doc_id, string_split(text, chr(10)) AS lst FROM dedup),
+lines AS (
+    SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, lst[u.i] AS line
+    FROM split, unnest(generate_series(1, len(lst))) AS u(i)
+),
+bp AS (
+    SELECT line FROM lines GROUP BY line
+    HAVING count(DISTINCT doc_id) >= 3
+),
+keptl AS (SELECT l.* FROM lines l ANTI JOIN bp USING (line)),
+cleaned AS (
+    SELECT d.doc_id,
+           coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
+    FROM dedup d LEFT JOIN keptl k ON d.doc_id = k.doc_id
+    GROUP BY d.doc_id
+),
+toksv AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                        ' ') AS t
+    FROM cleaned
+),
+ntok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t FROM toksv),
+grams AS (
+    SELECT doc_id, concat_ws(' ', t[i + 1], t[i + 2], t[i + 3]) AS sh
+    FROM ntok, unnest(generate_series(0, greatest(len(t) - 3, 0))) AS u(i)
+),
+gsx AS (
+    SELECT doc_id, count(*) AS n_grams, count(DISTINCT sh) AS distinct_grams
+    FROM grams WHERE sh <> '' GROUP BY doc_id
+),
+rep AS (
+    SELECT doc_id,
+           round(CASE WHEN n_grams > 0
+                      THEN 1.0 - CAST(distinct_grams AS DOUBLE) / n_grams
+                      ELSE 0.0 END, 6) AS dup_gram_frac
+    FROM gsx
+),
+filt AS (
+    SELECT n.doc_id, n.n_tokens,
+           coalesce(r.dup_gram_frac, 0.0) AS dup_gram_frac
+    FROM ntok n LEFT JOIN rep r USING (doc_id)
+    WHERE n.n_tokens >= 20 AND coalesce(r.dup_gram_frac, 0.0) <= 0.6
+),
+wl AS (
+    SELECT f.doc_id, f.n_tokens, f.dup_gram_frac, d.lang,
+           CAST('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) AS h60
+    FROM filt f JOIN footed d USING (doc_id)
+),
+qs AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY lang ORDER BY h60, doc_id) AS BIGINT) AS sample_rank
+    FROM wl
+),
+quota AS (SELECT * FROM qs WHERE sample_rank <= 25)
+SELECT doc_id, lang, n_tokens, dup_gram_frac, sample_rank,
+       h60 % 4 AS bucket,
+       (CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens) // 4000 AS shard
+FROM quota
+WINDOW w AS (PARTITION BY h60 % 4 ORDER BY h60, doc_id
+             ROWS UNBOUNDED PRECEDING)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # HTML main-content extraction (north-rule front door: HTML boilerplate
 # strip + DOM heuristics; functions/htmlops.py). HTML pages are planted
@@ -2535,6 +2656,7 @@ QUERIES = {
     "q_doc_logprob": q_doc_logprob,
     "q_chunk_docs": q_chunk_docs,
     "q_repetition": q_repetition,
+    "q_curate": q_curate,
     "q_html_main": q_html_main,
     "q_dom_stats": q_dom_stats,
     "q_html_links": q_html_links,
@@ -2592,6 +2714,7 @@ ORACLES = {
     "q_doc_logprob": SQL_DOC_LOGPROB,
     "q_chunk_docs": SQL_CHUNK_DOCS,
     "q_repetition": SQL_REPETITION,
+    "q_curate": SQL_CURATE,
     "q_html_main": SQL_HTML_MAIN,
     "q_dom_stats": SQL_DOM_STATS,
     "q_html_links": SQL_HTML_LINKS,

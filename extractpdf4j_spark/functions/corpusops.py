@@ -26,7 +26,7 @@ __all__ = [
     "doc_lines", "boilerplate_lines", "strip_boilerplate",
     "hash_sample", "quota_sample", "pack_shards",
     "pii_scrub", "unigram_logprob", "chunk_documents",
-    "repetition_metrics",
+    "repetition_metrics", "curate_corpus",
     "EMAIL_RE", "IPV4_RE", "LONGNUM_RE",
 ]
 
@@ -320,3 +320,63 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     return (scored.groupBy(id_col)
             .agg(F.count("*").alias("n_tokens"),
                  F.round(F.avg("lp"), 6).alias("avg_logprob")))
+
+
+# ---------------------------------------------------------------------------
+# Composed curation pipeline
+# ---------------------------------------------------------------------------
+
+def curate_corpus(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", lang_col: str = "lang",
+                  min_line_docs: int = 3, min_tokens: int = 20,
+                  max_dup_gram_frac: float = 0.6, lang_cap: int = 25,
+                  shard_budget: int = 4000, n_buckets: int = 4,
+                  gram_n: int = 3) -> DataFrame:
+    """The whole pre-training curation pipeline as ONE composed lineage:
+
+    1. exact dedup keep-one (``dedup.dedup_keep_one`` — min-id per
+       normalized text hash, single window shuffle),
+    2. cross-document boilerplate-line removal
+       (:func:`strip_boilerplate`),
+    3. quality filter on the CLEANED text: token count >=
+       ``min_tokens`` and duplicate-``gram_n``-gram fraction <=
+       ``max_dup_gram_frac`` (:func:`repetition_metrics`),
+    4. per-language quota (:func:`quota_sample`),
+    5. token-budget shard packing (:func:`pack_shards`).
+
+    Returns the shard manifest ``(id, lang, n_tokens, dup_gram_frac,
+    sample_rank, bucket, shard)``. Every stage is the already-gated
+    operator — this function adds no new semantics, only the
+    composition, and q_curate hash-gates the five-stage chain
+    end-to-end against a single DuckDB transliteration.
+
+    Shuffle ledger at 100 TB: dedup window (1) + boilerplate
+    freq-agg/rebuild (2) + gram/token aggs (2) + quota window (1) +
+    pack window (1) — every exchange keyed on the doc id, a 60-bit
+    hash, or a small group key; nothing global."""
+    from .dedup import dedup_keep_one
+
+    deduped = dedup_keep_one(df, text_col, id_col)
+    cleaned = strip_boilerplate(deduped, min_docs=min_line_docs,
+                                text_col=text_col, id_col=id_col)
+    rep = repetition_metrics(cleaned, n=gram_n, text_col=text_col,
+                             id_col=id_col)
+    n_tok = F.size(F.split(F.trim(F.regexp_replace(
+        F.lower(F.col(text_col)), r"\s+", " ")), " ")).cast("long")
+    staged = (cleaned.select(id_col, text_col)
+              .withColumn("n_tokens", n_tok)
+              .join(rep.select(id_col, "dup_gram_frac"), id_col, "left")
+              .withColumn("dup_gram_frac",
+                          F.coalesce("dup_gram_frac", F.lit(0.0))))
+    filtered = staged.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("dup_gram_frac") <= max_dup_gram_frac))
+    with_lang = (filtered.drop(text_col)
+                 .join(df.select(id_col, lang_col), id_col))
+    quota = quota_sample(with_lang, group_col=lang_col, cap=lang_cap,
+                         key_col=id_col)
+    packed = pack_shards(quota, token_col="n_tokens",
+                         budget=shard_budget, n_buckets=n_buckets,
+                         key_col=id_col)
+    return packed.select(id_col, lang_col, "n_tokens", "dup_gram_frac",
+                         "sample_rank", "bucket", "shard")
