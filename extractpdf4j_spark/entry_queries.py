@@ -2201,6 +2201,59 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_dedup_incr(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup of a new ingest batch against an existing
+    corpus: corpus = even docs; batch = every-3rd doc re-id'd and
+    whitespace-mangled (even ones duplicate the corpus -> dropped)
+    plus a second in-batch copy of every 9th doc (keep-one keeps the
+    lower id)."""
+    from .functions.dedup import dedup_against_corpus
+    d = _docs(spark, sf).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    mangle = F.concat(F.lit("  "), F.regexp_replace("text", " ", "  "))
+    batch = (d.filter(F.col("doc_id") % 3 == 0)
+             .select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                     mangle.alias("text")))
+    batch2 = (d.filter(F.col("doc_id") % 9 == 0)
+              .select((F.col("doc_id") + 3_000_000).alias("doc_id"),
+                      F.col("text")))
+    new_batch = batch.unionByName(batch2)
+    return (dedup_against_corpus(new_batch, corpus)
+            .select("doc_id").orderBy("doc_id"))
+
+
+SQL_DEDUP_INCR = r"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+),
+batch AS (
+    SELECT doc_id + 2000000 AS doc_id,
+           '  ' || replace(text, ' ', '  ') AS text
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id + 3000000 AS doc_id, text
+    FROM documents WHERE doc_id % 9 = 0
+),
+seen AS (
+    SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        AS th
+    FROM corpus
+),
+fresh AS (
+    SELECT b.doc_id,
+           md5(trim(regexp_replace(lower(b.text), '\s+', ' ', 'g'))) AS th
+    FROM batch b
+    WHERE md5(trim(regexp_replace(lower(b.text), '\s+', ' ', 'g')))
+          NOT IN (SELECT th FROM seen)
+)
+SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY th ORDER BY doc_id) AS rn
+    FROM fresh) WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 def q_curate(spark: SparkSession, sf: str) -> DataFrame:
     """The composed curation pipeline end-to-end: planted dups + planted
     boilerplate footers -> exact dedup keep-one -> boilerplate strip ->
@@ -2657,6 +2710,7 @@ QUERIES = {
     "q_chunk_docs": q_chunk_docs,
     "q_repetition": q_repetition,
     "q_curate": q_curate,
+    "q_dedup_incr": q_dedup_incr,
     "q_html_main": q_html_main,
     "q_dom_stats": q_dom_stats,
     "q_html_links": q_html_links,
@@ -2715,6 +2769,7 @@ ORACLES = {
     "q_chunk_docs": SQL_CHUNK_DOCS,
     "q_repetition": SQL_REPETITION,
     "q_curate": SQL_CURATE,
+    "q_dedup_incr": SQL_DEDUP_INCR,
     "q_html_main": SQL_HTML_MAIN,
     "q_dom_stats": SQL_DOM_STATS,
     "q_html_links": SQL_HTML_LINKS,

@@ -368,6 +368,30 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
     return labels.select("node", F.col("label").alias("cluster"))
 
 
+def dedup_against_corpus(new_df: DataFrame, corpus_df: DataFrame,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Incremental exact dedup: drop new-batch documents whose
+    normalized text already exists in the reference corpus, then
+    keep-one within the batch itself (a batch can carry its own dups).
+
+    The daily-ingest pattern at 100 TB: the corpus side reduces to its
+    DISTINCT hash set before the anti-join (8-byte md5-derived keys, no
+    text crosses the exchange); in production that hash set is a
+    materialized table maintained incrementally, so each ingest costs
+    one anti-join + one window over the batch only — the corpus is
+    never rescanned."""
+    seen = (corpus_df
+            .select(normalized_text_hash(F.col(text_col)).alias("_th"))
+            .distinct())
+    staged = new_df.withColumn("_th", normalized_text_hash(F.col(text_col)))
+    fresh = staged.join(seen, "_th", "left_anti")
+    w = Window.partitionBy("_th").orderBy(id_col)
+    return (fresh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_th", "_rn"))
+
+
 def dedup_keep_one(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """Materialize the deduplicated corpus: exactly one row (min id) per
