@@ -2239,13 +2239,14 @@ seen AS (
         AS th
     FROM corpus
 ),
-fresh AS (
-    SELECT b.doc_id,
-           md5(trim(regexp_replace(lower(b.text), '\s+', ' ', 'g'))) AS th
-    FROM batch b
-    WHERE md5(trim(regexp_replace(lower(b.text), '\s+', ' ', 'g')))
-          NOT IN (SELECT th FROM seen)
-)
+hb AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS th
+    FROM batch
+),
+-- ANTI JOIN, not NOT IN: a NULL hash in `seen` must not empty the
+-- result (mirrors Spark's left_anti null-key semantics)
+fresh AS (SELECT h.* FROM hb h ANTI JOIN seen s ON h.th = s.th)
 SELECT doc_id FROM (
     SELECT doc_id,
            row_number() OVER (PARTITION BY th ORDER BY doc_id) AS rn

@@ -386,8 +386,15 @@ def dedup_against_corpus(new_df: DataFrame, corpus_df: DataFrame,
             .distinct())
     staged = new_df.withColumn("_th", normalized_text_hash(F.col(text_col)))
     fresh = staged.join(seen, "_th", "left_anti")
+    return _keep_one_hashed(fresh, id_col)
+
+
+def _keep_one_hashed(df: DataFrame, id_col: str) -> DataFrame:
+    """Keep-one tail shared by dedup_keep_one and dedup_against_corpus:
+    min-``id`` row per precomputed ``_th`` hash column (the ONE copy of
+    the tie-break rule), dropping the helper columns."""
     w = Window.partitionBy("_th").orderBy(id_col)
-    return (fresh.withColumn("_rn", F.row_number().over(w))
+    return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_th", "_rn"))
 
@@ -399,11 +406,5 @@ def dedup_keep_one(df: DataFrame, text_col: str = "text",
     on. One shuffle (window over the hash) and no join: at 100 TB the
     row_number window beats groupBy-keepers + self-join because the
     payload columns never cross a second exchange."""
-    from pyspark.sql import Window
-
     norm = normalized_text_hash(F.col(text_col))
-    w = Window.partitionBy("_th").orderBy(id_col)
-    return (df.withColumn("_th", norm)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_th", "_rn"))
+    return _keep_one_hashed(df.withColumn("_th", norm), id_col)
