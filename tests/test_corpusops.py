@@ -155,3 +155,53 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(d, chunk_tokens=8, overlap=8)
     with pytest.raises(ValueError):
         chunk_documents(d, chunk_tokens=0, overlap=0)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(1, 60), min_size=1, max_size=20))
+def test_chunk_documents_cover_all_tokens_property(spark, ns):
+    """Every token appears in the chunk stream, reconstruction by
+    dropping each non-first chunk's leading overlap is exact, and no
+    chunk exceeds the window."""
+    from extractpdf4j_spark.functions.corpusops import chunk_documents
+    chunk, overlap = 8, 3
+    docs = [(i, " ".join(f"t{i}x{j}" for j in range(n)))
+            for i, n in enumerate(ns)]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents(d, chunk_tokens=chunk, overlap=overlap).collect()
+    by = {}
+    for r in out:
+        assert r["n_chunk_tokens"] <= chunk
+        by.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk"]
+    assert set(by) == set(range(len(ns)))
+    for i, n in enumerate(ns):
+        chunks = [by[i][k] for k in sorted(by[i])]
+        recon = chunks[0].split(" ")
+        for c in chunks[1:]:
+            recon += c.split(" ")[overlap:]
+        assert recon == [f"t{i}x{j}" for j in range(n)]
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(1, 500), min_size=1, max_size=60))
+def test_pack_shards_partition_property(spark, toks):
+    """pack_shards is a partition of the input (every doc in exactly one
+    shard), budget holds before each shard's last doc, shard ids dense."""
+    from extractpdf4j_spark.functions.corpusops import pack_shards
+    rows = [(i, t) for i, t in enumerate(toks)]
+    d = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_shards(d, token_col="n_tok", budget=900, n_buckets=3,
+                      key_col="doc_id").collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(len(toks)))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault((r["bucket"], r["shard"]), []).append(r["n_tok"])
+    buckets = {}
+    for (b, s), tk in by_shard.items():
+        assert sum(tk) - max(tk) < 900
+        buckets.setdefault(b, set()).add(s)
+    for shards in buckets.values():
+        assert shards == set(range(len(shards)))

@@ -142,3 +142,24 @@ def test_extract_links_hrefs_domains_and_order(spark):
     assert [r["domain"] for r in out] == ["ex.example.org", ""]
     assert out[0]["anchor_text"] == "first link"  # nested tag stripped
     assert out[1]["anchor_text"] == "second"
+
+
+from hypothesis import given, settings, strategies as st
+
+_word = st.text(alphabet="abcdefghij", min_size=1, max_size=6)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(_word, min_size=10, max_size=25),
+                min_size=1, max_size=8))
+def test_main_content_roundtrip_property(spark, paras):
+    """Link-free paragraphs of >= strong_words words all classify as
+    content and reassemble in order."""
+    from extractpdf4j_spark.functions.htmlops import extract_main_content
+    texts = [" ".join(ws) for ws in paras]
+    page = "".join(f"<p>{t}</p>" for t in texts)
+    out = extract_main_content(
+        spark.createDataFrame([(1, page)], "doc_id long, html string")
+    ).collect()[0]
+    assert out["main_text"] == "\n".join(texts)
+    assert out["n_blocks_kept"] == len(paras)
