@@ -331,7 +331,7 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
                   min_line_docs: int = 3, min_tokens: int = 20,
                   max_dup_gram_frac: float = 0.6, lang_cap: int = 25,
                   shard_budget: int = 4000, n_buckets: int = 4,
-                  gram_n: int = 3) -> DataFrame:
+                  gram_n: int = 3, materialize: bool = True) -> DataFrame:
     """The whole pre-training curation pipeline as ONE composed lineage:
 
     1. exact dedup keep-one (``dedup.dedup_keep_one`` — min-id per
@@ -359,6 +359,14 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
     deduped = dedup_keep_one(df, text_col, id_col)
     cleaned = strip_boilerplate(deduped, min_docs=min_line_docs,
                                 text_col=text_col, id_col=id_col)
+    if materialize:
+        # ``cleaned`` fans out to three consumers (token count,
+        # repetition metrics, quality filter) and Catalyst does not
+        # dedupe shared subplans — without a barrier the dedup+strip
+        # lineage executes three times. The lazy localCheckpoint
+        # materializes it once on first use (in production you would
+        # write the cleaned corpus to a table between stages anyway).
+        cleaned = cleaned.localCheckpoint(eager=False)
     rep = repetition_metrics(cleaned, n=gram_n, text_col=text_col,
                              id_col=id_col)
     n_tok = F.size(F.split(F.trim(F.regexp_replace(
