@@ -2623,6 +2623,472 @@ FROM tg t LEFT JOIN md m ON t.doc_id = m.doc_id ORDER BY t.doc_id
 
 
 # ---------------------------------------------------------------------------
+# OCR-stream extraction, END-TO-END oracle (ocrstream ops 26-35 composed;
+# OcrStreamParser.java:117-438). A 24-doc word corpus is derived
+# arithmetically (integer coords/texts from the doc index), serialized
+# through the REAL media payload codec (encode_media_payload word layer),
+# and run through the REAL two-stage pipeline with mode=ocrstream and the
+# embedded OCR backend; the oracle transliterates the whole kernel —
+# line grouping, greedy header claiming (recursive CTE), header-anchored
+# bounds vs separator-histogram fallback, header-line skip, numeric
+# right-anchor cell assignment, >=60% column normalization (cents-drop
+# and OCR-confusion rules included), row-major span serialization.
+# ---------------------------------------------------------------------------
+
+_OCR_GATE_NDOCS = 24
+
+
+def _ocr_gate_words(d: int):
+    """Word layer for gate doc ``d`` — pure integer arithmetic; the SQL
+    corpus CTE mirrors this construction exactly."""
+    import pandas as pd
+    rows = []  # (text, left, top, width, height, block, par, line, word)
+    j = (d % 3) * 4
+
+    def add(text, left, top, height, line, word):
+        rows.append((text, left, top, 9 * len(text), height, 0, 0, line,
+                     word))
+
+    if d % 2 == 0:
+        heads = ["Datte" if d % 4 == 0 else "Date", "Description",
+                 "Debit", "Credit", "Balance"]
+        for c, t in enumerate(heads):
+            add(t, 60 + 150 * c + j, 40, 18, 0, c)
+    for r in range(1, 7):
+        top = 40 + 30 * r
+        add(f"{r}Jan", 60 + j, top, 16, r, 0)
+        w1 = f"w{d}r{r}"
+        add(w1, 210 + j, top, 16, r, 1)
+        if r % 3 == 0:
+            add(f"x{r}", 210 + j + 9 * len(w1) + 6, top, 16, r, 2)
+        c2 = f"4{r},5{d % 10}" if r % 2 == 0 else f"7{r}{d % 10}"
+        add(c2, 360 + j, top, 16, r, 3)
+        c3 = f"I{d % 10}O" if r == 2 else f"8{r}{d % 10}"
+        add(c3, 510 + j, top, 16, r, 4)
+        add(f"${100 * r + d}CR", 660 + j, top, 16, r, 5)
+    df = pd.DataFrame(rows, columns=["text", "left", "top", "width",
+                                     "height", "block", "par", "line",
+                                     "word"])
+    df["conf"] = 90
+    return df
+
+
+def _ocr_gate_combined(spark: SparkSession, sf: str) -> DataFrame:
+    """Build the derived word corpus through the real payload codec and
+    run the real pipeline ocrstream-only."""
+    import pandas as pd
+    from .config import ExtractConfig, MODE_OCRSTREAM
+    from .pipeline import extract
+
+    ids = spark.range(_OCR_GATE_NDOCS).withColumnRenamed("id", "d")
+
+    def build(batches):
+        import numpy as np
+        from .docmodel import encode_media_payload
+        for pdf in batches:
+            out = []
+            for d in pdf["d"]:
+                d = int(d)
+                doc_id = f"od{d:02d}"
+                img = np.full((600, 800), 255, np.uint8)
+                payload = encode_media_payload(
+                    1, img, 100.0, 612.0, 792.0, _ocr_gate_words(d))
+                out.append((doc_id, f"{doc_id}/p1", payload))
+            yield pd.DataFrame(out, columns=["doc_id", "media_ref",
+                                             "payload"])
+
+    built = ids.mapInPandas(
+        build, schema="doc_id string, media_ref string, payload binary")
+    docs = built.select(
+        "doc_id",
+        F.array(F.struct(
+            F.lit("media").alias("kind"), F.lit("").alias("text"),
+            F.col("media_ref").alias("media_ref"),
+            F.lit(0).alias("offset"))).alias("spans"))
+    media = built.select("media_ref", "doc_id", F.lit(1).alias("page"),
+                         "payload")
+    return extract(docs, media, ExtractConfig(mode=MODE_OCRSTREAM),
+                   num_partitions=8)
+
+
+def q_extract_ocr_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-checked extraction gate for the OCR-stream path: the real
+    pipeline (media payloads, embedded OCR words, ocrstream-only
+    config) vs a full DuckDB transliteration of the kernel."""
+    from .pipeline import with_spans
+
+    combined = _ocr_gate_combined(spark, sf)
+    return (with_spans(combined)
+            .select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id",
+                    F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("text"),
+                    F.col("s.media_ref").alias("media_ref"),
+                    F.col("s.offset").cast("long").alias("offset"))
+            .orderBy("doc_id", "offset"))
+
+
+def q_extract_ocr_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Metrics of the same ocrstream-only run, hash-checked."""
+    combined = _ocr_gate_combined(spark, sf)
+    return (combined.select(
+        "doc_id", "status", "strategy",
+        F.col("tables_found").cast("long").alias("tables_found"),
+        F.col("cells_parsed").cast("long").alias("cells_parsed"))
+        .orderBy("doc_id"))
+
+
+
+
+_OCR_KERNEL_CTES = r"""WITH RECURSIVE
+ds AS (SELECT CAST(u.d AS BIGINT) AS d FROM unnest(generate_series(0, 23)) AS u(d)),
+headw AS (
+    SELECT d, c,
+           CASE c
+               WHEN 0 THEN (CASE WHEN d % 4 = 0 THEN 'Datte' ELSE 'Date' END)
+               WHEN 1 THEN 'Description' WHEN 2 THEN 'Debit'
+               WHEN 3 THEN 'Credit' ELSE 'Balance' END AS text,
+           60 + 150 * c + (d % 3) * 4 AS left_x,
+           40 AS top, 18 AS height, 0 AS line_k, c AS word_k
+    FROM ds, unnest(generate_series(0, 4)) AS uc(c)
+    WHERE d % 2 = 0
+),
+dataw AS (
+    SELECT d, r, wslot,
+           CASE wslot
+               WHEN 0 THEN CAST(r AS VARCHAR) || 'Jan'
+               WHEN 1 THEN 'w' || CAST(d AS VARCHAR) || 'r' || CAST(r AS VARCHAR)
+               WHEN 2 THEN 'x' || CAST(r AS VARCHAR)
+               WHEN 3 THEN (CASE WHEN r % 2 = 0
+                                 THEN '4' || CAST(r AS VARCHAR) || ',5' || CAST(d % 10 AS VARCHAR)
+                                 ELSE '7' || CAST(r AS VARCHAR) || CAST(d % 10 AS VARCHAR) END)
+               WHEN 4 THEN (CASE WHEN r = 2
+                                 THEN 'I' || CAST(d % 10 AS VARCHAR) || 'O'
+                                 ELSE '8' || CAST(r AS VARCHAR) || CAST(d % 10 AS VARCHAR) END)
+               ELSE '$' || CAST(100 * r + d AS VARCHAR) || 'CR' END AS text,
+           CASE wslot
+               WHEN 0 THEN 60 + (d % 3) * 4
+               WHEN 1 THEN 210 + (d % 3) * 4
+               WHEN 2 THEN 210 + (d % 3) * 4
+                    + 9 * length('w' || CAST(d AS VARCHAR) || 'r' || CAST(r AS VARCHAR)) + 6
+               WHEN 3 THEN 360 + (d % 3) * 4
+               WHEN 4 THEN 510 + (d % 3) * 4
+               ELSE 660 + (d % 3) * 4 END AS left_x,
+           40 + 30 * r AS top, 16 AS height, r AS line_k, wslot AS word_k
+    FROM ds, unnest(generate_series(1, 6)) AS ur(r),
+         unnest(generate_series(0, 5)) AS uw(wslot)
+    WHERE wslot <> 2 OR r % 3 = 0
+),
+words0 AS (
+    SELECT d, text, left_x, top, height, line_k, word_k FROM headw
+    UNION ALL
+    SELECT d, text, left_x, top, height, line_k, word_k FROM dataw
+),
+words AS (
+    SELECT 'od' || lpad(CAST(d AS VARCHAR), 2, '0') AS doc_id,
+           d, text, left_x, 9 * length(text) AS width, top, height,
+           line_k, word_k,
+           regexp_replace(lower(text), '[^a-z]', '', 'g') AS norm
+    FROM words0
+),
+-- line order: sort lines by min(top) (stable on first-appearance =
+-- line_k order here); words in line by (left, word_k)
+linetops AS (
+    SELECT doc_id, line_k, min(top) AS line_top, min(word_k) AS fw
+    FROM words GROUP BY doc_id, line_k
+),
+lineord AS (
+    SELECT doc_id, line_k, line_top,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY line_top, line_k) - 1 AS line_ord
+    FROM linetops
+),
+w2 AS (
+    SELECT w.*, lo.line_ord, lo.line_top,
+           row_number() OVER (PARTITION BY w.doc_id, w.line_k
+                              ORDER BY w.left_x, w.word_k) - 1 AS widx,
+           -- per-target fuzzy matches (lev<=1 OR containment either way)
+           (levenshtein(norm, 'date') <= 1 OR 'date' LIKE '%' || norm || '%'
+            OR norm LIKE '%date%') AS m0,
+           (levenshtein(norm, 'description') <= 1
+            OR 'description' LIKE '%' || norm || '%'
+            OR norm LIKE '%description%') AS m1,
+           (levenshtein(norm, 'debit') <= 1 OR 'debit' LIKE '%' || norm || '%'
+            OR norm LIKE '%debit%') AS m2,
+           (levenshtein(norm, 'credit') <= 1 OR 'credit' LIKE '%' || norm || '%'
+            OR norm LIKE '%credit%') AS m3,
+           (levenshtein(norm, 'balance') <= 1 OR 'balance' LIKE '%' || norm || '%'
+            OR norm LIKE '%balance%') AS m4
+    FROM words w JOIN lineord lo USING (doc_id, line_k)
+),
+nw AS (SELECT doc_id, line_k, count(*) AS nwords FROM w2 GROUP BY doc_id, line_k),
+-- looks_like_header: count words hitting ANY target (no claiming)
+linehits AS (
+    SELECT doc_id, line_k,
+           count(CASE WHEN m0 OR m1 OR m2 OR m3 OR m4 THEN 1 END) AS hits
+    FROM w2 GROUP BY doc_id, line_k
+),
+skipline AS (
+    SELECT doc_id, min(line_ord) AS skip_ord
+    FROM linehits JOIN lineord USING (doc_id, line_k)
+    WHERE hits >= 3 GROUP BY doc_id
+),
+-- greedy header claiming per line (OcrStreamParser.matchHeader):
+-- fold over words in order; each word claims the FIRST unclaimed target
+rec AS (
+    SELECT doc_id, line_k, 0 AS widx, 0 AS mask,
+           CAST(NULL AS BIGINT) AS l0, CAST(NULL AS BIGINT) AS l1,
+           CAST(NULL AS BIGINT) AS l2, CAST(NULL AS BIGINT) AS l3,
+           CAST(NULL AS BIGINT) AS l4
+    FROM nw
+    UNION ALL
+    SELECT r.doc_id, r.line_k, r.widx + 1,
+           r.mask + CASE
+               WHEN w.m0 AND (r.mask & 1) = 0 THEN 1
+               WHEN w.m1 AND (r.mask & 2) = 0 THEN 2
+               WHEN w.m2 AND (r.mask & 4) = 0 THEN 4
+               WHEN w.m3 AND (r.mask & 8) = 0 THEN 8
+               WHEN w.m4 AND (r.mask & 16) = 0 THEN 16
+               ELSE 0 END,
+           CASE WHEN w.m0 AND (r.mask & 1) = 0 THEN w.left_x ELSE r.l0 END,
+           CASE WHEN NOT (w.m0 AND (r.mask & 1) = 0)
+                 AND w.m1 AND (r.mask & 2) = 0 THEN w.left_x ELSE r.l1 END,
+           CASE WHEN NOT (w.m0 AND (r.mask & 1) = 0)
+                 AND NOT (w.m1 AND (r.mask & 2) = 0)
+                 AND w.m2 AND (r.mask & 4) = 0 THEN w.left_x ELSE r.l2 END,
+           CASE WHEN NOT (w.m0 AND (r.mask & 1) = 0)
+                 AND NOT (w.m1 AND (r.mask & 2) = 0)
+                 AND NOT (w.m2 AND (r.mask & 4) = 0)
+                 AND w.m3 AND (r.mask & 8) = 0 THEN w.left_x ELSE r.l3 END,
+           CASE WHEN NOT (w.m0 AND (r.mask & 1) = 0)
+                 AND NOT (w.m1 AND (r.mask & 2) = 0)
+                 AND NOT (w.m2 AND (r.mask & 4) = 0)
+                 AND NOT (w.m3 AND (r.mask & 8) = 0)
+                 AND w.m4 AND (r.mask & 16) = 0 THEN w.left_x ELSE r.l4 END
+    FROM rec r
+    JOIN w2 w ON w.doc_id = r.doc_id AND w.line_k = r.line_k
+             AND w.widx = r.widx
+),
+claims AS (
+    SELECT r.doc_id, r.line_k, r.mask, r.l0, r.l1, r.l2, r.l3, r.l4,
+           ((r.mask&1) + (r.mask>>1&1) + (r.mask>>2&1) + (r.mask>>3&1) + (r.mask>>4&1)) AS nclaim
+    FROM rec r JOIN nw USING (doc_id, line_k) WHERE r.widx = nw.nwords
+),
+-- header-anchored bounds: first line (by line order) whose top is within
+-- firstTop + int(800*0.35) and which claims >= 4 targets
+firsttop AS (SELECT doc_id, min(line_top) AS ft FROM lineord GROUP BY doc_id),
+anchor AS (
+    SELECT c.doc_id, c.l0, c.l1, c.l2, c.l3, c.l4,
+           row_number() OVER (PARTITION BY c.doc_id
+                              ORDER BY lo.line_ord) AS rk
+    FROM claims c
+    JOIN lineord lo USING (doc_id, line_k)
+    JOIN firsttop f USING (doc_id)
+    WHERE lo.line_top <= f.ft + 280 AND c.nclaim >= 4
+),
+anchorx AS (
+    SELECT doc_id,
+           list_sort(list_filter([l0, l1, l2, l3, l4],
+                                 x -> x IS NOT NULL)) AS xs
+    FROM anchor WHERE rk = 1
+),
+hbounds AS (
+    SELECT doc_id, CAST(0 AS DOUBLE) AS b, 0 AS bidx FROM anchorx
+    UNION ALL
+    SELECT doc_id,
+           (xs[CAST(u.i AS INT)] + xs[CAST(u.i AS INT) + 1]) / 2.0, CAST(u.i AS INT)
+    FROM anchorx, unnest(generate_series(1, len(xs) - 1)) AS u(i)
+    UNION ALL
+    SELECT doc_id, 800.0, len(xs) FROM anchorx
+),
+-- separator fallback (docs with no anchor): gaps > 18 vote mid // 20
+gaps AS (
+    SELECT w.doc_id, w.left_x - (p.left_x + p.width) AS gap,
+           p.left_x + p.width AS right_a
+    FROM w2 w JOIN w2 p
+      ON p.doc_id = w.doc_id AND p.line_k = w.line_k
+     AND p.widx = w.widx - 1
+),
+mids AS (
+    SELECT doc_id, right_a + gap // 2 AS mid FROM gaps WHERE gap > 18
+),
+nlines AS (SELECT doc_id, count(*) AS nl FROM lineord GROUP BY doc_id),
+hist AS (
+    SELECT m.doc_id, greatest(0, least(800, m.mid)) // 20 AS k,
+           count(*) AS votes
+    FROM mids m GROUP BY m.doc_id, 2
+),
+peaks AS (
+    SELECT h.doc_id, h.k * 20 AS x,
+           row_number() OVER (PARTITION BY h.doc_id ORDER BY h.k * 20) AS pidx
+    FROM hist h JOIN nlines n USING (doc_id)
+    WHERE h.votes >= greatest(3, n.nl // 3)
+),
+-- exact sequential merge: keep peak if |x - last KEPT| > 30
+mrec AS (
+    SELECT doc_id, 0 AS pidx, CAST(-10000 AS BIGINT) AS last_kept,
+           CAST(NULL AS BIGINT) AS kept_x
+    FROM (SELECT DISTINCT doc_id FROM peaks)
+    UNION ALL
+    SELECT m.doc_id, m.pidx + 1,
+           CASE WHEN abs(p.x - m.last_kept) > 30 THEN p.x
+                ELSE m.last_kept END,
+           CASE WHEN abs(p.x - m.last_kept) > 30 THEN p.x
+                ELSE NULL END
+    FROM mrec m JOIN peaks p
+      ON p.doc_id = m.doc_id AND p.pidx = m.pidx + 1
+),
+seps AS (
+    SELECT doc_id, kept_x AS x FROM mrec
+    WHERE kept_x IS NOT NULL AND kept_x > 25 AND kept_x < 775
+),
+sbounds AS (
+    SELECT d.doc_id, CAST(0 AS DOUBLE) AS b, 0 AS bidx
+    FROM (SELECT DISTINCT doc_id FROM words) d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM anchorx)
+    UNION ALL
+    SELECT s.doc_id, CAST(s.x AS DOUBLE),
+           CAST(row_number() OVER (PARTITION BY s.doc_id ORDER BY s.x) AS INT)
+    FROM seps s
+    WHERE s.doc_id NOT IN (SELECT doc_id FROM anchorx)
+    UNION ALL
+    SELECT d.doc_id, 800.0,
+           CAST((SELECT count(*) FROM seps s WHERE s.doc_id = d.doc_id) + 1 AS INT)
+    FROM (SELECT DISTINCT doc_id FROM words) d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM anchorx)
+),
+bounds AS (
+    SELECT * FROM hbounds UNION ALL SELECT * FROM sbounds
+),
+dims0 AS (
+    SELECT doc_id, greatest(1, count(*) - 1) AS ncols FROM bounds
+    GROUP BY doc_id
+),
+-- grid rows: data lines excluding the first header-looking line
+gridlines AS (
+    SELECT lo.doc_id, lo.line_k, lo.line_ord,
+           row_number() OVER (PARTITION BY lo.doc_id
+                              ORDER BY lo.line_ord) - 1 AS row_id
+    FROM lineord lo
+    LEFT JOIN skipline s USING (doc_id)
+    WHERE s.skip_ord IS NULL OR lo.line_ord <> s.skip_ord
+),
+-- word -> cell: numeric right-edge-1 anchor else center; locate clamped
+wnum AS (
+    SELECT w.*, g.row_id,
+           (length(regexp_replace(upper(trim(w.text)), 'CR', '', 'g')) > 0
+            AND regexp_matches(
+                regexp_replace(upper(trim(w.text)), 'CR', '', 'g'),
+                '^[\s$\-.,0-9CR]+$')) AS isnum
+    FROM w2 w JOIN gridlines g USING (doc_id, line_k)
+),
+wcx AS (
+    SELECT doc_id, line_k, row_id, widx, text, left_x,
+           CASE WHEN isnum THEN left_x + width - 1
+                ELSE left_x + width / 2.0 END AS cx
+    FROM wnum
+),
+wcell AS (
+    SELECT w.doc_id, w.row_id, w.widx, w.text, w.left_x,
+           least(CAST((SELECT count(*) FROM bounds b
+                       WHERE b.doc_id = w.doc_id AND b.b <= w.cx) - 1
+                      AS BIGINT),
+                 d.ncols - 1) AS col0
+    FROM wcx w JOIN dims0 d USING (doc_id)
+),
+wcell2 AS (
+    SELECT doc_id, row_id, widx, text, left_x,
+           CASE WHEN col0 < 0 THEN
+               (SELECT ncols - 1 FROM dims0 dd WHERE dd.doc_id = wcell.doc_id)
+               ELSE col0 END AS col
+    FROM wcell
+),
+cells AS (
+    SELECT doc_id, row_id, col,
+           trim(string_agg(text, ' ' ORDER BY left_x, widx)) AS val
+    FROM wcell2 GROUP BY doc_id, row_id, col
+),
+-- column normalization votes (>=60%): numish else dateish
+votes AS (
+    SELECT doc_id, col,
+           count(CASE WHEN trim(val) <> '' THEN 1 END) AS nonempty,
+           count(CASE WHEN trim(val) <> ''
+                       AND length(trim(replace(val, 'CR', ''))) >= 0
+                       AND regexp_matches(trim(replace(val, 'CR', '')),
+                                          '^(?i)[\s$\-.,0-9CR]+$')
+                 THEN 1 END) AS numish,
+           count(CASE WHEN trim(val) <> ''
+                       AND NOT regexp_matches(trim(replace(val, 'CR', '')),
+                                              '^(?i)[\s$\-.,0-9CR]+$')
+                       AND regexp_matches(trim(val),
+                           '^\d{1,2}\s?[A-Za-z]{3}(?:\s?\d{2,4})?$')
+                 THEN 1 END) AS dateish
+    FROM cells GROUP BY doc_id, col
+),
+coltype AS (
+    SELECT doc_id, col,
+           CASE WHEN nonempty > 0
+                 AND CAST(numish AS DOUBLE) / nonempty >= 0.6 THEN 'amount'
+                WHEN nonempty > 0
+                 AND CAST(dateish AS DOUBLE) / nonempty >= 0.6 THEN 'date'
+                ELSE 'none' END AS t
+    FROM votes
+),
+normed AS (
+    SELECT c.doc_id, c.row_id, c.col,
+           CASE ct.t
+               WHEN 'amount' THEN regexp_replace(
+                   replace(replace(replace(replace(
+                       upper(regexp_replace(c.val, '\s+', '', 'g')),
+                       'O', '0'), 'I', '1'), 'L', '1'), 'S', '5'),
+                   '(\d),(\d{2})$', '.\2')
+               WHEN 'date' THEN regexp_replace(
+                   trim(regexp_replace(c.val, '\s+', ' ', 'g')),
+                   '^(\d{1,2})([A-Za-z]{3})\b', '\1 \2')
+               ELSE c.val END AS val
+    FROM cells c JOIN coltype ct USING (doc_id, col)
+),
+dims AS (
+    SELECT g.doc_id, max(g.row_id) + 1 AS nrows, d.ncols
+    FROM gridlines g JOIN dims0 d USING (doc_id)
+    GROUP BY g.doc_id, d.ncols
+)"""
+
+SQL_EXTRACT_OCR_SPANS = _OCR_KERNEL_CTES + r"""
+, rc AS (SELECT doc_id, nrows, ncols, unnest(range(0, nrows)) AS r FROM dims),
+rcc AS (SELECT doc_id, ncols, r, unnest(range(0, ncols)) AS c FROM rc),
+cellrows AS (
+    SELECT rcc.doc_id, 'text' AS kind,
+           coalesce(n.val, '') AS text,
+           'r' || CAST(rcc.r AS VARCHAR) || 'c' || CAST(rcc.c AS VARCHAR)
+               AS media_ref,
+           CAST(1 + rcc.r * rcc.ncols + rcc.c AS BIGINT) AS "offset"
+    FROM rcc LEFT JOIN normed n
+      ON n.doc_id = rcc.doc_id AND n.row_id = rcc.r AND n.col = rcc.c
+),
+markers AS (
+    SELECT doc_id, 'media' AS kind, '' AS text,
+           'table:ocrstream:p1:' || CAST(nrows AS VARCHAR) || 'x'
+               || CAST(ncols AS VARCHAR) AS media_ref,
+           CAST(0 AS BIGINT) AS "offset"
+    FROM dims
+)
+SELECT doc_id, kind, text, media_ref, "offset"
+FROM (SELECT * FROM markers UNION ALL SELECT * FROM cellrows)
+ORDER BY doc_id, "offset"
+"""
+
+SQL_EXTRACT_OCR_METRICS = _OCR_KERNEL_CTES + r"""
+SELECT doc_id,
+       'ok' AS status,
+       'ocrstream' AS strategy,
+       CAST(1 AS BIGINT) AS tables_found,
+       CAST(nrows * ncols AS BIGINT) AS cells_parsed
+FROM dims ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Rows-only queries (not SQL-expressible: the extraction pipeline itself)
 # ---------------------------------------------------------------------------
 
@@ -2715,6 +3181,8 @@ QUERIES = {
     "q_html_main": q_html_main,
     "q_dom_stats": q_dom_stats,
     "q_html_links": q_html_links,
+    "q_extract_ocr_spans": q_extract_ocr_spans,
+    "q_extract_ocr_metrics": q_extract_ocr_metrics,
     "q_extract_stream_spans": q_extract_stream_spans,
     "q_extract_stream_metrics": q_extract_stream_metrics,
     "q_extract_metrics": q_extract_metrics,
@@ -2776,6 +3244,8 @@ ORACLES = {
     "q_html_links": SQL_HTML_LINKS,
     # full stream-kernel transliteration gating the real pipeline
     # end-to-end (stream-only config over derived text docs)
+    "q_extract_ocr_spans": SQL_EXTRACT_OCR_SPANS,
+    "q_extract_ocr_metrics": SQL_EXTRACT_OCR_METRICS,
     "q_extract_stream_spans": SQL_EXTRACT_STREAM_SPANS,
     "q_extract_stream_metrics": SQL_EXTRACT_STREAM_METRICS,
     # rows-only (no SQL-expressible oracle): q_extract_metrics /
