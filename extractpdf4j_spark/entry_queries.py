@@ -2740,6 +2740,207 @@ def q_extract_ocr_metrics(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+# ---------------------------------------------------------------------------
+# Lattice extraction, END-TO-END oracle (lattice ops 15-23 composed;
+# LatticeParser.java:137-316). Grids are DRAWN onto real rasters at
+# arithmetic positions and glyphs serialized through the real text-span
+# wire format; the pipeline runs lattice-only over the real payload
+# codec. The oracle's raster half is an exact-recovery law — detected
+# ruling positions == drawn leading edges plus the border-closing rule —
+# so any drift in binarize/morphology/projection/dedupe breaks the hash;
+# the coordinate transform, 2-D interval join and serialization halves
+# are computed, not assumed.
+# ---------------------------------------------------------------------------
+
+_LAT_GATE_NDOCS = 16
+
+
+def _lattice_gate_combined(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+    from .config import ExtractConfig, MODE_LATTICE
+    from .pipeline import extract
+
+    ids = spark.range(_LAT_GATE_NDOCS).withColumnRenamed("id", "d")
+
+    def build(batches):
+        import numpy as np
+        from .docmodel import encode_media_payload, encode_text_span
+        from .fixtures import (DPI, IMG_H, IMG_W, PAGE_H_PT, PAGE_W_PT,
+                               blank_page, draw_grid)
+        for pdf in batches:
+            out = []
+            for d in pdf["d"]:
+                d = int(d)
+                doc_id = f"ld{d:02d}"
+                R, C, j = 4 + d % 3, 3 + d % 2, (d % 3) * 5
+                img = blank_page()
+                draw_grid(img, [60 + 100 * i for i in range(R + 1)],
+                          [50 + 150 * c + j for c in range(C + 1)])
+                runs = []
+                for r in range(R):
+                    for c in range(C):
+                        if r == 1 and c == 1:
+                            continue
+                        x_pt = ((50 + 150 * c + j + 70) * 72) // 100
+                        y_pt = 792 - (((110 + 100 * r) * 72) // 100) - 4
+                        runs.append((float(x_pt), float(y_pt), 10.0, 8.0,
+                                     f"v{d}r{r}c{c}"))
+                        if r == 0 and c == 0:
+                            runs.append((float(x_pt + 20), float(y_pt),
+                                         10.0, 8.0, f"z{d}"))
+                runs.sort()
+                page_text = encode_text_span(1, runs)
+                payload = encode_media_payload(
+                    1, img, DPI, PAGE_W_PT, PAGE_H_PT, None)
+                out.append((doc_id, page_text, f"{doc_id}/p1", payload))
+            yield pd.DataFrame(out, columns=["doc_id", "page_text",
+                                             "media_ref", "payload"])
+
+    built = ids.mapInPandas(
+        build, schema=("doc_id string, page_text string, media_ref string,"
+                       " payload binary"))
+    docs = built.select(
+        "doc_id",
+        F.array(
+            F.struct(F.lit("text").alias("kind"),
+                     F.col("page_text").alias("text"),
+                     F.lit("").alias("media_ref"), F.lit(0).alias("offset")),
+            F.struct(F.lit("media").alias("kind"), F.lit("").alias("text"),
+                     F.col("media_ref").alias("media_ref"),
+                     F.lit(1).alias("offset"))).alias("spans"))
+    media = built.select("media_ref", "doc_id", F.lit(1).alias("page"),
+                         "payload")
+    return extract(docs, media, ExtractConfig(mode=MODE_LATTICE),
+                   num_partitions=8)
+
+
+def q_extract_lattice_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-checked extraction gate for the lattice path: drawn rasters
+    through the real payload codec + pipeline vs the exact-recovery
+    oracle."""
+    from .pipeline import with_spans
+
+    combined = _lattice_gate_combined(spark, sf)
+    return (with_spans(combined)
+            .select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id",
+                    F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("text"),
+                    F.col("s.media_ref").alias("media_ref"),
+                    F.col("s.offset").cast("long").alias("offset"))
+            .orderBy("doc_id", "offset"))
+
+
+def q_extract_lattice_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Metrics of the same lattice-only run, hash-checked."""
+    combined = _lattice_gate_combined(spark, sf)
+    return (combined.select(
+        "doc_id", "status", "strategy",
+        F.col("tables_found").cast("long").alias("tables_found"),
+        F.col("cells_parsed").cast("long").alias("cells_parsed"),
+        F.col("ocr_fallbacks").cast("long").alias("ocr_fallbacks"))
+        .orderBy("doc_id"))
+
+
+_LAT_KERNEL_CTES = r"""WITH
+ds AS (
+    SELECT CAST(u.d AS BIGINT) AS d,
+           'ld' || lpad(CAST(u.d AS VARCHAR), 2, '0') AS doc_id,
+           4 + CAST(u.d AS BIGINT) % 3 AS nr,
+           3 + CAST(u.d AS BIGINT) % 2 AS nc,
+           (CAST(u.d AS BIGINT) % 3) * 5 AS j
+    FROM unnest(generate_series(0, 15)) AS u(d)
+),
+-- exact-recovery law: detected positions = drawn leading edges, plus
+-- the border-closing rule (insert 0 when first > 3; append dim-1)
+rowb AS (
+    SELECT doc_id, CAST(0 AS DOUBLE) AS b FROM ds
+    UNION ALL
+    SELECT doc_id, CAST(60 + 100 * u.i AS DOUBLE)
+    FROM ds, unnest(generate_series(0, nr)) AS u(i)
+    UNION ALL
+    SELECT doc_id, CAST(1099 AS DOUBLE) FROM ds
+),
+colb AS (
+    SELECT doc_id, CAST(0 AS DOUBLE) AS b FROM ds
+    UNION ALL
+    SELECT doc_id, CAST(50 + 150 * u.c + j AS DOUBLE)
+    FROM ds, unnest(generate_series(0, nc)) AS u(c)
+    UNION ALL
+    SELECT doc_id, CAST(849 AS DOUBLE) FROM ds
+),
+dims AS (SELECT doc_id, nr + 2 AS nrows, nc + 2 AS ncols FROM ds),
+glyphs AS (
+    SELECT ds.doc_id, r, c,
+           'v' || CAST(d AS VARCHAR) || 'r' || CAST(r AS VARCHAR)
+               || 'c' || CAST(c AS VARCHAR) AS tok,
+           CAST(((50 + 150 * c + j + 70) * 72) // 100 AS DOUBLE) AS x,
+           CAST(792 - (((110 + 100 * r) * 72) // 100) - 4 AS DOUBLE) AS y
+    FROM ds, unnest(generate_series(0, 5)) AS ur(r),
+         unnest(generate_series(0, 4)) AS uc(c)
+    WHERE r < nr AND c < nc AND NOT (r = 1 AND c = 1)
+    UNION ALL
+    SELECT ds.doc_id, 0, 0, 'z' || CAST(d AS VARCHAR),
+           CAST(((50 + j + 70) * 72) // 100 + 20 AS DOUBLE),
+           CAST(792 - ((110 * 72) // 100) - 4 AS DOUBLE)
+    FROM ds
+),
+-- coordinate transform (dpi/72) + 2-D interval join, computed exactly
+-- as the kernel does: cx=(x+w/2)*s, cy=(792-(y+h/2))*s, locate=count-1
+located AS (
+    SELECT g.doc_id, g.tok, g.x,
+           (SELECT count(*) FROM rowb rb
+            WHERE rb.doc_id = g.doc_id
+              AND rb.b <= (792.0 - (g.y + 4.0)) * (100.0 / 72.0)) - 1
+               AS ri,
+           (SELECT count(*) FROM colb cb
+            WHERE cb.doc_id = g.doc_id
+              AND cb.b <= (g.x + 5.0) * (100.0 / 72.0)) - 1 AS ci
+    FROM glyphs g
+),
+cells AS (
+    SELECT doc_id, ri AS row_id, ci AS col_id,
+           string_agg(tok, ' ' ORDER BY x) AS cell_text
+    FROM located GROUP BY doc_id, ri, ci
+)
+"""
+
+SQL_EXTRACT_LATTICE_SPANS = _LAT_KERNEL_CTES + r"""
+, rc AS (SELECT doc_id, nrows, ncols, unnest(range(0, nrows)) AS r FROM dims),
+rcc AS (SELECT doc_id, ncols, r, unnest(range(0, ncols)) AS c FROM rc),
+cellrows AS (
+    SELECT rcc.doc_id, 'text' AS kind,
+           coalesce(cells.cell_text, '') AS text,
+           'r' || CAST(rcc.r AS VARCHAR) || 'c' || CAST(rcc.c AS VARCHAR)
+               AS media_ref,
+           CAST(1 + rcc.r * rcc.ncols + rcc.c AS BIGINT) AS "offset"
+    FROM rcc LEFT JOIN cells
+      ON cells.doc_id = rcc.doc_id AND cells.row_id = rcc.r
+     AND cells.col_id = rcc.c
+),
+markers AS (
+    SELECT doc_id, 'media' AS kind, '' AS text,
+           'table:lattice:p1:' || CAST(nrows AS VARCHAR) || 'x'
+               || CAST(ncols AS VARCHAR) AS media_ref,
+           CAST(0 AS BIGINT) AS "offset"
+    FROM dims
+)
+SELECT doc_id, kind, text, media_ref, "offset"
+FROM (SELECT * FROM markers UNION ALL SELECT * FROM cellrows)
+ORDER BY doc_id, "offset"
+"""
+
+SQL_EXTRACT_LATTICE_METRICS = _LAT_KERNEL_CTES + r"""
+SELECT doc_id,
+       'ok' AS status,
+       'lattice' AS strategy,
+       CAST(1 AS BIGINT) AS tables_found,
+       CAST(nrows * ncols AS BIGINT) AS cells_parsed,
+       CAST(0 AS BIGINT) AS ocr_fallbacks
+FROM dims ORDER BY doc_id
+"""
+
+
 _OCR_KERNEL_CTES = r"""WITH RECURSIVE
 ds AS (SELECT CAST(u.d AS BIGINT) AS d FROM unnest(generate_series(0, 23)) AS u(d)),
 headw AS (
@@ -3181,6 +3382,8 @@ QUERIES = {
     "q_html_main": q_html_main,
     "q_dom_stats": q_dom_stats,
     "q_html_links": q_html_links,
+    "q_extract_lattice_spans": q_extract_lattice_spans,
+    "q_extract_lattice_metrics": q_extract_lattice_metrics,
     "q_extract_ocr_spans": q_extract_ocr_spans,
     "q_extract_ocr_metrics": q_extract_ocr_metrics,
     "q_extract_stream_spans": q_extract_stream_spans,
@@ -3244,6 +3447,8 @@ ORACLES = {
     "q_html_links": SQL_HTML_LINKS,
     # full stream-kernel transliteration gating the real pipeline
     # end-to-end (stream-only config over derived text docs)
+    "q_extract_lattice_spans": SQL_EXTRACT_LATTICE_SPANS,
+    "q_extract_lattice_metrics": SQL_EXTRACT_LATTICE_METRICS,
     "q_extract_ocr_spans": SQL_EXTRACT_OCR_SPANS,
     "q_extract_ocr_metrics": SQL_EXTRACT_OCR_METRICS,
     "q_extract_stream_spans": SQL_EXTRACT_STREAM_SPANS,
