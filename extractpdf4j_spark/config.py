@@ -48,6 +48,10 @@ class ExtractConfig:
     tess_lang: str = "eng"
     tess_psm: int = 6
     tess_oem: int = 1
+    # "auto" prefers real Tesseract when importable; "embedded" forces
+    # the deterministic payload word-layer backend (reproducible runs,
+    # and the ocrstream gate corpus whose rasters are blank)
+    ocr_backend: str = "auto"
     # documented-but-unimplemented in the reference
     # (docs/advanced-usage/columns.md:42-46, table-areas.md:55-69 — no
     # implementation exists there); here they are working opt-ins:

@@ -1683,6 +1683,58 @@ ORDER BY vec_id, idx
 """
 
 
+def _gate_spans(combined: DataFrame) -> DataFrame:
+    """Shared span-equality surface of the three strategy E2E gates."""
+    from .pipeline import with_spans
+    return (with_spans(combined)
+            .select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id",
+                    F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("text"),
+                    F.col("s.media_ref").alias("media_ref"),
+                    F.col("s.offset").cast("long").alias("offset"))
+            .orderBy("doc_id", "offset"))
+
+
+def _gate_metrics(combined: DataFrame, with_ocr: bool = False) -> DataFrame:
+    cols = ["doc_id", "status", "strategy",
+            F.col("tables_found").cast("long").alias("tables_found"),
+            F.col("cells_parsed").cast("long").alias("cells_parsed")]
+    if with_ocr:
+        cols.append(F.col("ocr_fallbacks").cast("long")
+                    .alias("ocr_fallbacks"))
+    return combined.select(*cols).orderBy("doc_id")
+
+
+def _spans_tail_sql(strategy: str) -> str:
+    """Shared oracle serialization tail: expects CTEs ``dims(doc_id,
+    nrows, ncols)`` and ``cells(doc_id, row_id, col_id, cell_text)``."""
+    return f"""
+, rc AS (SELECT doc_id, nrows, ncols, unnest(range(0, nrows)) AS r FROM dims),
+rcc AS (SELECT doc_id, ncols, r, unnest(range(0, ncols)) AS c FROM rc),
+cellrows AS (
+    SELECT rcc.doc_id, 'text' AS kind,
+           coalesce(cells.cell_text, '') AS text,
+           'r' || CAST(rcc.r AS VARCHAR) || 'c' || CAST(rcc.c AS VARCHAR)
+               AS media_ref,
+           CAST(1 + rcc.r * rcc.ncols + rcc.c AS BIGINT) AS "offset"
+    FROM rcc LEFT JOIN cells
+      ON cells.doc_id = rcc.doc_id AND cells.row_id = rcc.r
+     AND cells.col_id = rcc.c
+),
+markers AS (
+    SELECT doc_id, 'media' AS kind, '' AS text,
+           'table:{strategy}:p1:' || CAST(nrows AS VARCHAR) || 'x'
+               || CAST(ncols AS VARCHAR) AS media_ref,
+           CAST(0 AS BIGINT) AS "offset"
+    FROM dims
+)
+SELECT doc_id, kind, text, media_ref, "offset"
+FROM (SELECT * FROM markers UNION ALL SELECT * FROM cellrows)
+ORDER BY doc_id, "offset"
+"""
+
+
 # ---------------------------------------------------------------------------
 # Stream-only extraction, END-TO-END oracle (stream ops 9-14 composed;
 # StreamParser.java:119-208 + serialize_tables). The corpus is derived
@@ -1748,29 +1800,14 @@ def _stream_gate_combined(spark: SparkSession, sf: str) -> DataFrame:
 def q_extract_stream_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Hash-checked extraction gate: the pipeline itself (stream-only
     config, text-only docs), not just its kernels in isolation."""
-    from .pipeline import with_spans
-
-    combined = _stream_gate_combined(spark, sf)
-    return (with_spans(combined)
-            .select("doc_id", F.explode("spans").alias("s"))
-            .select("doc_id",
-                    F.col("s.kind").alias("kind"),
-                    F.col("s.text").alias("text"),
-                    F.col("s.media_ref").alias("media_ref"),
-                    F.col("s.offset").cast("long").alias("offset"))
-            .orderBy("doc_id", "offset"))
+    return _gate_spans(_stream_gate_combined(spark, sf))
 
 
 def q_extract_stream_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """Hash-checked metrics of the same stream-only pipeline run:
     status/strategy/tables_found/cells_parsed per document (the oracle
     derives expected counts from the kernel-chain dims)."""
-    combined = _stream_gate_combined(spark, sf)
-    return (combined.select(
-        "doc_id", "status", "strategy",
-        F.col("tables_found").cast("long").alias("tables_found"),
-        F.col("cells_parsed").cast("long").alias("cells_parsed"))
-        .orderBy("doc_id"))
+    return _gate_metrics(_stream_gate_combined(spark, sf))
 
 
 _STREAM_KERNEL_CTES = """
@@ -1871,35 +1908,8 @@ dims AS (
 )"""
 
 
-SQL_EXTRACT_STREAM_SPANS = f"""{_STREAM_KERNEL_CTES},
-rc AS (
-    SELECT doc_id, nrows, ncols, unnest(range(0, nrows)) AS r FROM dims
-),
-rcc AS (
-    SELECT doc_id, ncols, r, unnest(range(0, ncols)) AS c FROM rc
-),
-cellrows AS (
-    SELECT rcc.doc_id,
-           'text' AS kind,
-           coalesce(cells.cell_text, '') AS text,
-           'r' || CAST(rcc.r AS VARCHAR) || 'c' || CAST(rcc.c AS VARCHAR)
-               AS media_ref,
-           CAST(1 + rcc.r * rcc.ncols + rcc.c AS BIGINT) AS "offset"
-    FROM rcc LEFT JOIN cells
-      ON cells.doc_id = rcc.doc_id AND cells.row_id = rcc.r
-     AND cells.col_id = rcc.c
-),
-markers AS (
-    SELECT doc_id, 'media' AS kind, '' AS text,
-           'table:stream:p1:' || CAST(nrows AS VARCHAR) || 'x'
-               || CAST(ncols AS VARCHAR) AS media_ref,
-           CAST(0 AS BIGINT) AS "offset"
-    FROM dims
-)
-SELECT doc_id, kind, text, media_ref, "offset"
-FROM (SELECT * FROM markers UNION ALL SELECT * FROM cellrows)
-ORDER BY doc_id, "offset"
-"""
+SQL_EXTRACT_STREAM_SPANS = (f"{_STREAM_KERNEL_CTES}"
+                            + _spans_tail_sql("stream"))
 
 SQL_EXTRACT_STREAM_METRICS = f"""{_STREAM_KERNEL_CTES}
 SELECT doc_id,
@@ -2707,7 +2717,9 @@ def _ocr_gate_combined(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(0).alias("offset"))).alias("spans"))
     media = built.select("media_ref", "doc_id", F.lit(1).alias("page"),
                          "payload")
-    return extract(docs, media, ExtractConfig(mode=MODE_OCRSTREAM),
+    return extract(docs, media,
+                   ExtractConfig(mode=MODE_OCRSTREAM,
+                                 ocr_backend="embedded"),
                    num_partitions=8)
 
 
@@ -2715,27 +2727,13 @@ def q_extract_ocr_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Hash-checked extraction gate for the OCR-stream path: the real
     pipeline (media payloads, embedded OCR words, ocrstream-only
     config) vs a full DuckDB transliteration of the kernel."""
-    from .pipeline import with_spans
-
-    combined = _ocr_gate_combined(spark, sf)
-    return (with_spans(combined)
-            .select("doc_id", F.explode("spans").alias("s"))
-            .select("doc_id",
-                    F.col("s.kind").alias("kind"),
-                    F.col("s.text").alias("text"),
-                    F.col("s.media_ref").alias("media_ref"),
-                    F.col("s.offset").cast("long").alias("offset"))
-            .orderBy("doc_id", "offset"))
+    return _gate_spans(_ocr_gate_combined(spark, sf))
 
 
 def q_extract_ocr_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """Metrics of the same ocrstream-only run, hash-checked."""
-    combined = _ocr_gate_combined(spark, sf)
-    return (combined.select(
-        "doc_id", "status", "strategy",
-        F.col("tables_found").cast("long").alias("tables_found"),
-        F.col("cells_parsed").cast("long").alias("cells_parsed"))
-        .orderBy("doc_id"))
+    return _gate_metrics(_ocr_gate_combined(spark, sf))
+
 
 
 
@@ -2818,28 +2816,12 @@ def q_extract_lattice_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Hash-checked extraction gate for the lattice path: drawn rasters
     through the real payload codec + pipeline vs the exact-recovery
     oracle."""
-    from .pipeline import with_spans
-
-    combined = _lattice_gate_combined(spark, sf)
-    return (with_spans(combined)
-            .select("doc_id", F.explode("spans").alias("s"))
-            .select("doc_id",
-                    F.col("s.kind").alias("kind"),
-                    F.col("s.text").alias("text"),
-                    F.col("s.media_ref").alias("media_ref"),
-                    F.col("s.offset").cast("long").alias("offset"))
-            .orderBy("doc_id", "offset"))
+    return _gate_spans(_lattice_gate_combined(spark, sf))
 
 
 def q_extract_lattice_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """Metrics of the same lattice-only run, hash-checked."""
-    combined = _lattice_gate_combined(spark, sf)
-    return (combined.select(
-        "doc_id", "status", "strategy",
-        F.col("tables_found").cast("long").alias("tables_found"),
-        F.col("cells_parsed").cast("long").alias("cells_parsed"),
-        F.col("ocr_fallbacks").cast("long").alias("ocr_fallbacks"))
-        .orderBy("doc_id"))
+    return _gate_metrics(_lattice_gate_combined(spark, sf), with_ocr=True)
 
 
 _LAT_KERNEL_CTES = r"""WITH
@@ -2905,30 +2887,7 @@ cells AS (
 )
 """
 
-SQL_EXTRACT_LATTICE_SPANS = _LAT_KERNEL_CTES + r"""
-, rc AS (SELECT doc_id, nrows, ncols, unnest(range(0, nrows)) AS r FROM dims),
-rcc AS (SELECT doc_id, ncols, r, unnest(range(0, ncols)) AS c FROM rc),
-cellrows AS (
-    SELECT rcc.doc_id, 'text' AS kind,
-           coalesce(cells.cell_text, '') AS text,
-           'r' || CAST(rcc.r AS VARCHAR) || 'c' || CAST(rcc.c AS VARCHAR)
-               AS media_ref,
-           CAST(1 + rcc.r * rcc.ncols + rcc.c AS BIGINT) AS "offset"
-    FROM rcc LEFT JOIN cells
-      ON cells.doc_id = rcc.doc_id AND cells.row_id = rcc.r
-     AND cells.col_id = rcc.c
-),
-markers AS (
-    SELECT doc_id, 'media' AS kind, '' AS text,
-           'table:lattice:p1:' || CAST(nrows AS VARCHAR) || 'x'
-               || CAST(ncols AS VARCHAR) AS media_ref,
-           CAST(0 AS BIGINT) AS "offset"
-    FROM dims
-)
-SELECT doc_id, kind, text, media_ref, "offset"
-FROM (SELECT * FROM markers UNION ALL SELECT * FROM cellrows)
-ORDER BY doc_id, "offset"
-"""
+SQL_EXTRACT_LATTICE_SPANS = _LAT_KERNEL_CTES + _spans_tail_sql('lattice')
 
 SQL_EXTRACT_LATTICE_METRICS = _LAT_KERNEL_CTES + r"""
 SELECT doc_id,
@@ -2995,7 +2954,7 @@ words AS (
 -- line order: sort lines by min(top) (stable on first-appearance =
 -- line_k order here); words in line by (left, word_k)
 linetops AS (
-    SELECT doc_id, line_k, min(top) AS line_top, min(word_k) AS fw
+    SELECT doc_id, line_k, min(top) AS line_top
     FROM words GROUP BY doc_id, line_k
 ),
 lineord AS (
@@ -3204,7 +3163,7 @@ wcell2 AS (
                ELSE col0 END AS col
     FROM wcell
 ),
-cells AS (
+cellraw AS (
     SELECT doc_id, row_id, col,
            trim(string_agg(text, ' ' ORDER BY left_x, widx)) AS val
     FROM wcell2 GROUP BY doc_id, row_id, col
@@ -3214,7 +3173,6 @@ votes AS (
     SELECT doc_id, col,
            count(CASE WHEN trim(val) <> '' THEN 1 END) AS nonempty,
            count(CASE WHEN trim(val) <> ''
-                       AND length(trim(replace(val, 'CR', ''))) >= 0
                        AND regexp_matches(trim(replace(val, 'CR', '')),
                                           '^(?i)[\s$\-.,0-9CR]+$')
                  THEN 1 END) AS numish,
@@ -3224,7 +3182,7 @@ votes AS (
                        AND regexp_matches(trim(val),
                            '^\d{1,2}\s?[A-Za-z]{3}(?:\s?\d{2,4})?$')
                  THEN 1 END) AS dateish
-    FROM cells GROUP BY doc_id, col
+    FROM cellraw GROUP BY doc_id, col
 ),
 coltype AS (
     SELECT doc_id, col,
@@ -3247,37 +3205,18 @@ normed AS (
                    trim(regexp_replace(c.val, '\s+', ' ', 'g')),
                    '^(\d{1,2})([A-Za-z]{3})\b', '\1 \2')
                ELSE c.val END AS val
-    FROM cells c JOIN coltype ct USING (doc_id, col)
+    FROM cellraw c JOIN coltype ct USING (doc_id, col)
 ),
 dims AS (
     SELECT g.doc_id, max(g.row_id) + 1 AS nrows, d.ncols
     FROM gridlines g JOIN dims0 d USING (doc_id)
     GROUP BY g.doc_id, d.ncols
+),
+cells AS (
+    SELECT doc_id, row_id, col AS col_id, val AS cell_text FROM normed
 )"""
 
-SQL_EXTRACT_OCR_SPANS = _OCR_KERNEL_CTES + r"""
-, rc AS (SELECT doc_id, nrows, ncols, unnest(range(0, nrows)) AS r FROM dims),
-rcc AS (SELECT doc_id, ncols, r, unnest(range(0, ncols)) AS c FROM rc),
-cellrows AS (
-    SELECT rcc.doc_id, 'text' AS kind,
-           coalesce(n.val, '') AS text,
-           'r' || CAST(rcc.r AS VARCHAR) || 'c' || CAST(rcc.c AS VARCHAR)
-               AS media_ref,
-           CAST(1 + rcc.r * rcc.ncols + rcc.c AS BIGINT) AS "offset"
-    FROM rcc LEFT JOIN normed n
-      ON n.doc_id = rcc.doc_id AND n.row_id = rcc.r AND n.col = rcc.c
-),
-markers AS (
-    SELECT doc_id, 'media' AS kind, '' AS text,
-           'table:ocrstream:p1:' || CAST(nrows AS VARCHAR) || 'x'
-               || CAST(ncols AS VARCHAR) AS media_ref,
-           CAST(0 AS BIGINT) AS "offset"
-    FROM dims
-)
-SELECT doc_id, kind, text, media_ref, "offset"
-FROM (SELECT * FROM markers UNION ALL SELECT * FROM cellrows)
-ORDER BY doc_id, "offset"
-"""
+SQL_EXTRACT_OCR_SPANS = _OCR_KERNEL_CTES + _spans_tail_sql('ocrstream')
 
 SQL_EXTRACT_OCR_METRICS = _OCR_KERNEL_CTES + r"""
 SELECT doc_id,

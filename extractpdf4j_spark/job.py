@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help='tesseract language(s), e.g. "eng" or "eng+fra"')
     p.add_argument("--tess-psm", type=int, default=6)
     p.add_argument("--tess-oem", type=int, default=1)
+    p.add_argument("--ocr-backend", default="auto",
+                   choices=["auto", "embedded"],
+                   help="embedded forces the deterministic word-layer backend")
     p.add_argument("--run-id", default=None)
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--no-resume", action="store_true")
@@ -98,6 +101,7 @@ def main(argv: list[str] | None = None) -> int:
         tess_lang=args.tess_lang,
         tess_psm=args.tess_psm,
         tess_oem=args.tess_oem,
+        ocr_backend=args.ocr_backend,
     )
     run_id = args.run_id or f"run-{int(time.time())}"
 

@@ -146,9 +146,14 @@ class OcrStats:
     cells_ocred: int = 0
 
 
-def default_backend(lang: str = "eng", oem: int = 1) -> OcrBackend:
+def default_backend(lang: str = "eng", oem: int = 1,
+                    prefer: str = "auto") -> OcrBackend:
     """Prefer real Tesseract when importable, else the deterministic fake.
-    ``lang``/``oem`` flow from ExtractConfig.tess_lang/tess_oem."""
+    ``lang``/``oem``/``prefer`` flow from ExtractConfig.tess_lang /
+    tess_oem / ocr_backend; ``prefer="embedded"`` forces the word-layer
+    backend regardless of what is installed (reproducible runs)."""
+    if prefer == "embedded":
+        return EmbeddedWordsBackend()
     try:
         return PytesseractBackend(lang=lang, oem=oem)
     except NotImplementedError:

@@ -261,7 +261,8 @@ def _make_extract_pages(cfg: ExtractConfig):
     strategies = cfg.strategies()
 
     def extract_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        backend = default_backend(cfg.tess_lang, cfg.tess_oem)
+        backend = default_backend(cfg.tess_lang, cfg.tess_oem,
+                                  cfg.ocr_backend)
         cols = [f.name for f in PAGE_RESULT_SCHEMA.fields]
         for pdf in batches:
             rows: list[tuple] = []
