@@ -127,6 +127,7 @@ HEAVY_QUERIES = [
     "q_ivf_ann", "q_simhash", "q_lsh_ann", "q_fuzzy_header",
     "q_extract_ocr_spans", "q_extract_ocr_metrics",
     "q_extract_lattice_spans", "q_extract_lattice_metrics",
+    "q_extract_hybrid_spans", "q_extract_hybrid_metrics",
     "q_hybrid_pick",
 ]
 

@@ -1810,8 +1810,7 @@ def q_extract_stream_metrics(spark: SparkSession, sf: str) -> DataFrame:
     return _gate_metrics(_stream_gate_combined(spark, sf))
 
 
-_STREAM_KERNEL_CTES = """
-WITH g AS (
+_STREAM_GATE_G = """
     SELECT 'sd' || lpad(CAST(doc AS VARCHAR), 2, '0') AS doc_id,
            c * 120.0 + (doc % 4) * 3.0 + t * (w0 + 7.0) AS x,
            700.0 - r * 14.0 AS y,
@@ -1827,7 +1826,10 @@ WITH g AS (
                    ((p_partkey // 20) % 10) // 2 AS c,
                    (p_partkey // 20) % 2 AS t
             FROM part))
-),
+"""
+
+# kernel steps only — prepend any WITH g AS (...) glyph derivation
+_STREAM_KERNEL_BODY = """
 -- stream kernel step 1: Y-bucket row clustering, Java Math.round
 bucketed AS (
     SELECT *, CAST(floor(y / 2.0 + 0.5) AS BIGINT) AS buck FROM g
@@ -1906,6 +1908,10 @@ dims AS (
           FROM rowed GROUP BY doc_id) r
     JOIN docbounds b USING (doc_id)
 )"""
+
+_STREAM_KERNEL_CTES = ("WITH g AS (" + _STREAM_GATE_G + "),\n"
+                       + _STREAM_KERNEL_BODY)
+
 
 
 SQL_EXTRACT_STREAM_SPANS = (f"{_STREAM_KERNEL_CTES}"
@@ -2753,7 +2759,8 @@ def q_extract_ocr_metrics(spark: SparkSession, sf: str) -> DataFrame:
 _LAT_GATE_NDOCS = 16
 
 
-def _lattice_gate_combined(spark: SparkSession, sf: str) -> DataFrame:
+def _lattice_gate_combined(spark: SparkSession, sf: str,
+                           cfg=None) -> DataFrame:
     import pandas as pd
     from .config import ExtractConfig, MODE_LATTICE
     from .pipeline import extract
@@ -2808,7 +2815,7 @@ def _lattice_gate_combined(spark: SparkSession, sf: str) -> DataFrame:
                      F.lit(1).alias("offset"))).alias("spans"))
     media = built.select("media_ref", "doc_id", F.lit(1).alias("page"),
                          "payload")
-    return extract(docs, media, ExtractConfig(mode=MODE_LATTICE),
+    return extract(docs, media, cfg or ExtractConfig(mode=MODE_LATTICE),
                    num_partitions=8)
 
 
@@ -3228,6 +3235,208 @@ FROM dims ORDER BY doc_id
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# HYBRID extraction, END-TO-END oracle: the same lattice-gate corpus run
+# with the DEFAULT (hybrid) config — all three strategies execute and the
+# scored argmax picks the winner (stream here: its dense table out-scores
+# the border-padded lattice grid, and the empty word layer scores
+# ocrstream 0.0). The oracle computes BOTH candidate tables — the stream
+# kernel body re-instantiated over the pt glyphs and the lattice
+# exact-recovery chain — scores them with the exact
+# 0.6*fill + 0.3*structure + 0.1*richness formula and replays the
+# reference tie-break (HybridParser.java:257-263), then serializes the
+# per-doc winner. Gates the scored competition itself, not just each
+# strategy in isolation.
+# ---------------------------------------------------------------------------
+
+
+def _hybrid_gate_combined(spark: SparkSession, sf: str) -> DataFrame:
+    from .config import ExtractConfig
+    return _lattice_gate_combined(spark, sf, ExtractConfig())
+
+
+def q_extract_hybrid_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-checked hybrid gate: winner spans after the scored argmax."""
+    return _gate_spans(_hybrid_gate_combined(spark, sf))
+
+
+def q_extract_hybrid_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Winner strategy + dims of the same hybrid run, hash-checked."""
+    return _gate_metrics(_hybrid_gate_combined(spark, sf))
+
+
+_HYB_GATE_G = r"""
+g AS (
+    SELECT 'ld' || lpad(CAST(d AS VARCHAR), 2, '0') AS doc_id,
+           CAST(((50 + 150 * c + (d % 3) * 5 + 70) * 72) // 100 AS DOUBLE)
+               AS x,
+           CAST(792 - (((110 + 100 * r) * 72) // 100) - 4 AS DOUBLE) AS y,
+           CAST(10.0 AS DOUBLE) AS w,
+           'v' || CAST(d AS VARCHAR) || 'r' || CAST(r AS VARCHAR)
+               || 'c' || CAST(c AS VARCHAR) AS token
+    FROM (SELECT CAST(u.d AS BIGINT) AS d
+          FROM unnest(generate_series(0, 15)) AS u(d)),
+         unnest(generate_series(0, 5)) AS ur(r),
+         unnest(generate_series(0, 4)) AS uc(c)
+    WHERE r < 4 + d % 3 AND c < 3 + d % 2 AND NOT (r = 1 AND c = 1)
+    UNION ALL
+    SELECT 'ld' || lpad(CAST(d AS VARCHAR), 2, '0'),
+           CAST(((50 + (d % 3) * 5 + 70) * 72) // 100 + 20 AS DOUBLE),
+           CAST(792 - ((110 * 72) // 100) - 4 AS DOUBLE),
+           CAST(10.0 AS DOUBLE),
+           'z' || CAST(d AS VARCHAR)
+    FROM (SELECT CAST(u.d AS BIGINT) AS d
+          FROM unnest(generate_series(0, 15)) AS u(d))
+)
+"""
+
+_HYB_LAT_AND_SCORES = r"""
+, lds AS (
+    SELECT CAST(u.d AS BIGINT) AS d,
+           'ld' || lpad(CAST(u.d AS VARCHAR), 2, '0') AS doc_id,
+           4 + CAST(u.d AS BIGINT) % 3 AS lnr,
+           3 + CAST(u.d AS BIGINT) % 2 AS lnc,
+           (CAST(u.d AS BIGINT) % 3) * 5 AS j
+    FROM unnest(generate_series(0, 15)) AS u(d)
+),
+lrowb AS (
+    SELECT doc_id, CAST(0 AS DOUBLE) AS b FROM lds
+    UNION ALL
+    SELECT doc_id, CAST(60 + 100 * u.i AS DOUBLE)
+    FROM lds, unnest(generate_series(0, lnr)) AS u(i)
+    UNION ALL
+    SELECT doc_id, CAST(1099 AS DOUBLE) FROM lds
+),
+lcolb AS (
+    SELECT doc_id, CAST(0 AS DOUBLE) AS b FROM lds
+    UNION ALL
+    SELECT doc_id, CAST(50 + 150 * u.c + j AS DOUBLE)
+    FROM lds, unnest(generate_series(0, lnc)) AS u(c)
+    UNION ALL
+    SELECT doc_id, CAST(849 AS DOUBLE) FROM lds
+),
+ldims AS (SELECT doc_id, lnr + 2 AS nrows, lnc + 2 AS ncols FROM lds),
+llocated AS (
+    SELECT gg.doc_id, gg.token, gg.x,
+           (SELECT count(*) FROM lrowb rb
+            WHERE rb.doc_id = gg.doc_id
+              AND rb.b <= (792.0 - (gg.y + 4.0)) * (100.0 / 72.0)) - 1
+               AS ri,
+           (SELECT count(*) FROM lcolb cb
+            WHERE cb.doc_id = gg.doc_id
+              AND cb.b <= (gg.x + 5.0) * (100.0 / 72.0)) - 1 AS ci
+    FROM g gg
+),
+lcells AS (
+    SELECT doc_id, ri AS row_id, ci AS col_id,
+           string_agg(token, ' ' ORDER BY x) AS cell_text
+    FROM llocated GROUP BY doc_id, ri, ci
+)
+
+, snon AS (
+    SELECT doc_id, count(*) AS ne FROM cells
+    WHERE trim(cell_text) <> '' GROUP BY doc_id
+),
+smulti AS (
+    SELECT doc_id, count(*) AS mu FROM (
+        SELECT doc_id, row_id FROM cells WHERE trim(cell_text) <> ''
+        GROUP BY doc_id, row_id HAVING count(*) > 1)
+    GROUP BY doc_id
+),
+sscore AS (
+    SELECT d.doc_id,
+           0.6 * CAST(coalesce(n.ne, 0) AS DOUBLE) / (d.nrows * d.ncols)
+         + 0.3 * CAST(coalesce(m.mu, 0) AS DOUBLE) / d.nrows
+         + 0.1 * ln(1 + d.ncols) / ln(4) AS s
+    FROM dims d LEFT JOIN snon n USING (doc_id)
+    LEFT JOIN smulti m USING (doc_id)
+),
+lnon AS (
+    SELECT doc_id, count(*) AS ne FROM lcells
+    WHERE trim(cell_text) <> '' GROUP BY doc_id
+),
+lmulti AS (
+    SELECT doc_id, count(*) AS mu FROM (
+        SELECT doc_id, row_id FROM lcells WHERE trim(cell_text) <> ''
+        GROUP BY doc_id, row_id HAVING count(*) > 1)
+    GROUP BY doc_id
+),
+lscore AS (
+    SELECT d.doc_id,
+           0.6 * CAST(coalesce(n.ne, 0) AS DOUBLE) / (d.nrows * d.ncols)
+         + 0.3 * CAST(coalesce(m.mu, 0) AS DOUBLE) / d.nrows
+         + 0.1 * ln(1 + d.ncols) / ln(4) AS s
+    FROM ldims d LEFT JOIN lnon n USING (doc_id)
+    LEFT JOIN lmulti m USING (doc_id)
+),
+-- HybridParser.java:257-263 exact argmax with tie preference
+-- lattice >= others, then ocrstream (score 0.0: empty word layer), else stream
+pick AS (
+    SELECT s.doc_id,
+           CASE WHEN l.s >= s.s AND l.s >= 0.0 THEN 'lattice'
+                WHEN 0.0 >= s.s AND 0.0 >= l.s THEN 'ocrstream'
+                ELSE 'stream' END AS strategy
+    FROM sscore s JOIN lscore l USING (doc_id)
+),
+wdims AS (
+    SELECT p.doc_id, p.strategy,
+           CASE p.strategy WHEN 'lattice' THEN ld.nrows
+                WHEN 'stream' THEN d.nrows ELSE 0 END AS nrows,
+           CASE p.strategy WHEN 'lattice' THEN ld.ncols
+                WHEN 'stream' THEN d.ncols ELSE 0 END AS ncols
+    FROM pick p JOIN dims d USING (doc_id) JOIN ldims ld USING (doc_id)
+),
+wcells AS (
+    SELECT c.* FROM cells c JOIN pick p USING (doc_id)
+    WHERE p.strategy = 'stream'
+    UNION ALL
+    SELECT c.* FROM lcells c JOIN pick p USING (doc_id)
+    WHERE p.strategy = 'lattice'
+)
+"""
+
+SQL_EXTRACT_HYBRID_SPANS = ("WITH " + _HYB_GATE_G.strip() + ",\n"
+                            + _STREAM_KERNEL_BODY.strip()
+                            + _HYB_LAT_AND_SCORES + r"""
+, rc AS (SELECT doc_id, strategy, nrows, ncols,
+                unnest(range(0, nrows)) AS r FROM wdims),
+rcc AS (SELECT doc_id, ncols, r, unnest(range(0, ncols)) AS c FROM rc),
+cellrows AS (
+    SELECT rcc.doc_id, 'text' AS kind,
+           coalesce(wcells.cell_text, '') AS text,
+           'r' || CAST(rcc.r AS VARCHAR) || 'c' || CAST(rcc.c AS VARCHAR)
+               AS media_ref,
+           CAST(1 + rcc.r * rcc.ncols + rcc.c AS BIGINT) AS "offset"
+    FROM rcc LEFT JOIN wcells
+      ON wcells.doc_id = rcc.doc_id AND wcells.row_id = rcc.r
+     AND wcells.col_id = rcc.c
+),
+markers AS (
+    SELECT doc_id, 'media' AS kind, '' AS text,
+           'table:' || strategy || ':p1:' || CAST(nrows AS VARCHAR) || 'x'
+               || CAST(ncols AS VARCHAR) AS media_ref,
+           CAST(0 AS BIGINT) AS "offset"
+    FROM wdims
+)
+SELECT doc_id, kind, text, media_ref, "offset"
+FROM (SELECT * FROM markers UNION ALL SELECT * FROM cellrows)
+ORDER BY doc_id, "offset"
+""")
+
+SQL_EXTRACT_HYBRID_METRICS = ("WITH " + _HYB_GATE_G.strip() + ",\n"
+                              + _STREAM_KERNEL_BODY.strip()
+                              + _HYB_LAT_AND_SCORES + r"""
+SELECT doc_id,
+       'ok' AS status,
+       strategy,
+       CAST(1 AS BIGINT) AS tables_found,
+       CAST(nrows * ncols AS BIGINT) AS cells_parsed
+FROM wdims ORDER BY doc_id
+""")
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (not SQL-expressible: the extraction pipeline itself)
 # ---------------------------------------------------------------------------
@@ -3321,6 +3530,8 @@ QUERIES = {
     "q_html_main": q_html_main,
     "q_dom_stats": q_dom_stats,
     "q_html_links": q_html_links,
+    "q_extract_hybrid_spans": q_extract_hybrid_spans,
+    "q_extract_hybrid_metrics": q_extract_hybrid_metrics,
     "q_extract_lattice_spans": q_extract_lattice_spans,
     "q_extract_lattice_metrics": q_extract_lattice_metrics,
     "q_extract_ocr_spans": q_extract_ocr_spans,
@@ -3386,6 +3597,8 @@ ORACLES = {
     "q_html_links": SQL_HTML_LINKS,
     # full stream-kernel transliteration gating the real pipeline
     # end-to-end (stream-only config over derived text docs)
+    "q_extract_hybrid_spans": SQL_EXTRACT_HYBRID_SPANS,
+    "q_extract_hybrid_metrics": SQL_EXTRACT_HYBRID_METRICS,
     "q_extract_lattice_spans": SQL_EXTRACT_LATTICE_SPANS,
     "q_extract_lattice_metrics": SQL_EXTRACT_LATTICE_METRICS,
     "q_extract_ocr_spans": SQL_EXTRACT_OCR_SPANS,
