@@ -227,7 +227,10 @@ def headline(sf_dir: str, cores: int, replicate: int = 1,
         # the SAME binary depending on start state. While the minimum
         # is still dropping >10% per extra sample, keep sampling with
         # longer idles (bounded: <= extra_max samples).
-        extra_gap = int(os.environ.get("SPARK_GRAFT_EXTRA_GAP", "60"))
+        # >=75 s matches the BENCH/BASELINE.md minimum idle cooldown: a
+        # 60 s gap could sample two consecutively throttled runs and declare
+        # convergence on a hot number
+        extra_gap = int(os.environ.get("SPARK_GRAFT_EXTRA_GAP", "75"))
         extra_max = (int(os.environ.get("SPARK_GRAFT_EXTRA_RUNS", "4"))
                      if adaptive else 0)
         for _ in range(extra_max):

@@ -3254,7 +3254,13 @@ FROM dims ORDER BY doc_id
 
 def _hybrid_gate_combined(spark: SparkSession, sf: str) -> DataFrame:
     from .config import ExtractConfig
-    return _lattice_gate_combined(spark, sf, ExtractConfig())
+    # ocr_backend is pinned to the embedded word layer so the hash gate is
+    # environment-independent: under "auto" a host WITH pytesseract would
+    # real-OCR the drawn-grid rasters and the hybrid scoring competition
+    # (and therefore the gate hash) would depend on the installed engine —
+    # the same non-determinism f256df2 fixed for the OCR gate.
+    return _lattice_gate_combined(spark, sf,
+                                  ExtractConfig(ocr_backend="embedded"))
 
 
 def q_extract_hybrid_spans(spark: SparkSession, sf: str) -> DataFrame:

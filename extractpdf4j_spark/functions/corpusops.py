@@ -157,10 +157,14 @@ def pack_shards(df: DataFrame, token_col: str, budget: int,
     with_b = df.withColumn("_h", h).withColumn("bucket", h % n_buckets)
     cum_before = (F.sum(F.col(token_col)).over(w)
                   - F.col(token_col))
+    # exact 64-bit integer division (SQL `div`), mirroring the oracle's
+    # DuckDB `//`: floating floor(cum/budget) would diverge between the
+    # engines once per-bucket prefix sums pass 2^53 tokens
     return (with_b
-            .withColumn("shard", F.floor(cum_before / F.lit(budget))
-                        .cast("long"))
-            .drop("_h"))
+            .withColumn("_cum", cum_before.cast("long"))
+            .withColumn("shard",
+                        F.expr(f"_cum div {int(budget)}").cast("long"))
+            .drop("_h", "_cum"))
 
 
 # ---------------------------------------------------------------------------
