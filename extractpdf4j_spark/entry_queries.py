@@ -535,22 +535,12 @@ FROM documents ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 def q_ann_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 via functions/similarity.cosine_topk —
+    dim=64 threads through so the dot is codegen-unrolled, not an
+    interpreted HOF fold (the gate exercises the library hot path)."""
+    from .functions.similarity import cosine_topk
     e = spark.read.parquet(f"{sf}/embeddings.parquet")
-    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    e = e.select("vec_id", dbl.alias("emb"))
-    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
-    j = e.crossJoin(F.broadcast(q))
-
-    def dot(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                           F.lit(0.0), lambda acc, v: acc + v)
-
-    cos = dot(F.col("emb"), F.col("qemb")) / (
-        F.sqrt(dot(F.col("emb"), F.col("emb")))
-        * F.sqrt(dot(F.col("qemb"), F.col("qemb"))))
-    return (j.select("vec_id", F.round(cos, 6).alias("cosine"))
-            .orderBy(F.col("cosine").desc(), F.col("vec_id"))
-            .limit(10))
+    return cosine_topk(e, query_id=0, k=10, dim=64)
 
 
 SQL_ANN_COSINE = """
@@ -1343,7 +1333,7 @@ def q_knn_join(spark: SparkSession, sf: str) -> DataFrame:
          .select(F.col("vec_id").alias("query_id"), "embedding"))
     # rank is int32 from row_number(); widen to match DuckDB's BIGINT so
     # the driver's value hash agrees
-    return (knn_join(e, q, k=5)
+    return (knn_join(e, q, k=5, dim=64)
             .withColumn("rank", F.col("rank").cast("long"))
             .orderBy("query_id", "rank"))
 
@@ -1354,6 +1344,56 @@ q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 3),
 c AS (
     SELECT query_id, vec_id, {DUCK_COSINE} AS cosine
     FROM e, q
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+    FROM c
+)
+SELECT query_id, vec_id, cosine, rank
+FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# 22a-scale. ANN scale probe: kNN join over a 10x-replicated corpus
+# (20k vectors at sf0.1, 2k at the driver's sf0.01 correctness sweep).
+# The 2k-row embeddings table is too small to expose the dot-product CPU
+# cost; this probe makes the family's hot path (N*Q codegen-unrolled
+# dots) a measured bench quantity. Replication is deterministic
+# (vec_id*10 + r, identical payload — ties resolve on id in BOTH
+# engines), mirrored in the oracle by CROSS JOIN range(0,10).
+# ---------------------------------------------------------------------------
+
+def q_ann_scale(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.similarity import knn_join
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    big = (e.select("vec_id", "embedding",
+                    F.explode(F.sequence(F.lit(0), F.lit(9))).alias("r"))
+           .select((F.col("vec_id") * 10 + F.col("r")).cast("long")
+                   .alias("vec_id"), "embedding"))
+    q = (e.filter(F.col("vec_id") < 8)
+         .select(F.col("vec_id").cast("long").alias("query_id"),
+                 "embedding"))
+    return (knn_join(big, q, k=5, dim=64)
+            .withColumn("rank", F.col("rank").cast("long"))
+            .orderBy("query_id", "rank"))
+
+
+SQL_ANN_SCALE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+big AS (
+    SELECT CAST(vec_id * 10 + r AS BIGINT) AS vec_id, emb
+    FROM e CROSS JOIN range(0, 10) AS t(r)
+),
+q AS (SELECT CAST(vec_id AS BIGINT) AS query_id, emb AS qemb
+      FROM e WHERE vec_id < 8),
+c AS (
+    SELECT query_id, big.vec_id,
+           round(list_dot_product(big.emb, qemb)
+               / (sqrt(list_dot_product(big.emb, big.emb))
+                * sqrt(list_dot_product(qemb, qemb))), 6) AS cosine
+    FROM big, q
 ),
 r AS (
     SELECT *, row_number() OVER (
@@ -1655,7 +1695,7 @@ LIMIT 40
 def q_embed_quantize(spark: SparkSession, sf: str) -> DataFrame:
     from .functions.similarity import quantize_embeddings
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    q8 = quantize_embeddings(emb)
+    q8 = quantize_embeddings(emb, dim=64)
     return (q8.select("vec_id",
                       F.round("scale", 6).alias("scale6"),
                       F.posexplode(F.slice("qvec", 1, 16))
@@ -3515,6 +3555,7 @@ QUERIES = {
     "q_ivf_ann": q_ivf_ann,
     "q_embed_neardup": q_embed_neardup,
     "q_knn_join": q_knn_join,
+    "q_ann_scale": q_ann_scale,
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
     "q_media_features": q_media_features,
@@ -3580,6 +3621,7 @@ ORACLES = {
     "q_ivf_ann": SQL_IVF_ANN,
     "q_embed_neardup": SQL_EMBED_NEARDUP,
     "q_knn_join": SQL_KNN_JOIN,
+    "q_ann_scale": SQL_ANN_SCALE,
     "q_asof_join": SQL_ASOF_JOIN,
     "q_range_join": SQL_RANGE_JOIN,
     "q_media_features": SQL_MEDIA_FEATURES,

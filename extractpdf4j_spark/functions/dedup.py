@@ -310,7 +310,8 @@ def simhash_duplicates(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def duplicate_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
-                       max_iter: int = 15) -> DataFrame:
+                       max_iter: int = 15,
+                       check_every: int = 1) -> DataFrame:
     """Connected components over a near-duplicate pair list — the step
     that turns pairwise matches into keep-one-per-cluster decisions in a
     production dedup pipeline. Returns (node, cluster) where cluster is
@@ -323,9 +324,14 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
     lineage between rounds (iterative DataFrame plans otherwise grow
     exponentially). The old label rides through the same min-aggregation
     (``own`` column), so the convergence check is a filter-count over the
-    freshly checkpointed round output — no extra join, no extra shuffle —
-    at 100 TB keep the same plan shape but budget fixed rounds instead
-    of checking convergence every time.
+    freshly checkpointed round output — no extra join, no extra shuffle.
+
+    ``check_every`` is the budget-rounds knob for production scale: the
+    convergence count is a driver action (a full job submission per
+    round), so at 100 TB run ``check_every=N`` (count every Nth round)
+    or ``check_every >= max_iter`` (pure fixed-round budget: the count
+    runs only on the final round, solely to warn on non-convergence).
+    Default 1 preserves the check-every-round behavior the gate pins.
     """
     import warnings
 
@@ -341,7 +347,7 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
     labels = labels.localCheckpoint(eager=True)
     label_t = labels.schema["label"].dataType
     changed = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (edges.join(labels, edges["v"] == labels["node"])
                .select(edges["u"].alias("node"),
                        F.col("label").alias("cand"),
@@ -353,8 +359,14 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
                                     F.min("own").alias("own")))
         new = new.localCheckpoint(eager=True)
         # every node has exactly one non-null own row, so own == the
-        # previous label; the count scans the checkpointed partitions only
-        changed = new.filter(F.col("label") != F.col("own")).count()
+        # previous label; the count scans the checkpointed partitions
+        # only. Under check_every > 1 the driver action is skipped on
+        # budget rounds (changed stays None = unknown) and always runs
+        # on the final round so the non-convergence warning stays live.
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            changed = new.filter(F.col("label") != F.col("own")).count()
+        else:
+            changed = None
         labels = new.select("node", "label")
         if changed == 0:
             break

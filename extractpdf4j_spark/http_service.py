@@ -31,6 +31,8 @@ pointed at.
 from __future__ import annotations
 
 import base64
+import email
+import email.policy
 import json
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -97,6 +99,27 @@ def _extract_pdf(body: bytes) -> tuple[int, str]:
     return 200, tables_as_csv(tables)
 
 
+def _multipart_file(body: bytes, content_type: str) -> bytes | None:
+    """Extract the ``file`` part from a ``multipart/form-data`` body —
+    request parity with the reference endpoint
+    (PdfExtractController.java:26-30, ``@RequestParam("file")
+    MultipartFile``). Stdlib ``email`` does the MIME work: the HTTP body
+    IS a MIME multipart entity once the Content-Type header is
+    prepended. Returns the part's raw bytes, or None when no ``file``
+    part exists (Spring's missing-required-part case)."""
+    msg = email.message_from_bytes(
+        b"Content-Type: " + content_type.encode("latin-1")
+        + b"\r\nMIME-Version: 1.0\r\n\r\n" + body,
+        policy=email.policy.default)
+    if not msg.is_multipart():
+        return None
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if name == "file":
+            return part.get_payload(decode=True) or b""
+    return None
+
+
 class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *a):  # quiet by default
         pass
@@ -125,9 +148,26 @@ class _Handler(BaseHTTPRequestHandler):
             # PdfExtractController.java:35-37 parity
             self._send(400, "Please select a file to upload.")
             return
-        ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+        raw_ctype = self.headers.get("Content-Type") or ""
+        ctype = raw_ctype.split(";")[0].strip().lower()
         try:
-            if ctype == "application/pdf" or body[:5] == b"%PDF-":
+            if ctype == "multipart/form-data":
+                # reference request parity: the upload arrives as the
+                # form part named "file" (PdfExtractController.java:30)
+                file_bytes = _multipart_file(body, raw_ctype)
+                if file_bytes is None:
+                    # Spring's missing-@RequestParam response class
+                    self._send(400, "Required part 'file' is not present.")
+                    return
+                if not file_bytes:
+                    # PdfExtractController.java:35-37 parity
+                    self._send(400, "Please select a file to upload.")
+                    return
+                if file_bytes[:5] == b"%PDF-":
+                    code, text = _extract_pdf(file_bytes)
+                else:
+                    code, text = _extract_json(file_bytes)
+            elif ctype == "application/pdf" or body[:5] == b"%PDF-":
                 code, text = _extract_pdf(body)
             else:
                 code, text = _extract_json(body)

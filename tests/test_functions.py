@@ -258,6 +258,25 @@ def test_duplicate_clusters_warns_on_max_iter(spark):
     assert {r["cluster"] for r in done.collect()} == {0}
 
 
+def test_duplicate_clusters_budget_rounds_mode(spark):
+    """check_every > 1 (the 100 TB budget-rounds knob: convergence is a
+    driver action per round) yields identical clusters; a pure
+    fixed-round budget (check_every >= max_iter) that falls short still
+    warns via the final-round check."""
+    import pytest
+    from extractpdf4j_spark.functions.dedup import duplicate_clusters
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "a long, b long")
+    base = {(r["node"], r["cluster"])
+            for r in duplicate_clusters(chain, max_iter=15).collect()}
+    budget = {(r["node"], r["cluster"])
+              for r in duplicate_clusters(chain, max_iter=15,
+                                          check_every=4).collect()}
+    assert budget == base
+    with pytest.warns(RuntimeWarning, match="max_iter"):
+        duplicate_clusters(chain, max_iter=2, check_every=99).collect()
+
+
 def test_ivf_trained_centroids_recall(spark):
     """Data-derived centroids (driver-side sampled spherical k-means)
     plug into ivf_topk and beat-or-match chance recall vs brute force;

@@ -76,6 +76,53 @@ def test_pdf_body_without_backend_is_503(base_url):
     assert ei.value.code == 503
 
 
+def _multipart(parts):
+    """Build a multipart/form-data body: parts = [(name, filename, bytes)]."""
+    boundary = "xX-test-boundary-Xx"
+    body = b""
+    for name, filename, data in parts:
+        body += (f"--{boundary}\r\n"
+                 f'Content-Disposition: form-data; name="{name}"'
+                 + (f'; filename="{filename}"' if filename else "")
+                 + "\r\nContent-Type: application/octet-stream\r\n\r\n"
+                 ).encode() + data + b"\r\n"
+    body += f"--{boundary}--\r\n".encode()
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+def test_multipart_file_part_gets_reference_csv_framing(base_url):
+    """Request parity with PdfExtractController.java:26-30: the upload
+    arrives as the form part named "file"."""
+    body, ctype = _multipart([("file", "doc.json", _doc_body())])
+    status, text = _post(f"{base_url}/api/extract", body, ctype=ctype)
+    assert status == 200
+    assert text.startswith("--- Table 1 ---\n")
+    assert any("salary" in ln for ln in text.splitlines())
+
+
+def test_multipart_empty_file_is_400_with_reference_message(base_url):
+    body, ctype = _multipart([("file", "empty.pdf", b"")])
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{base_url}/api/extract", body, ctype=ctype)
+    assert ei.value.code == 400
+    assert ei.value.read().decode() == "Please select a file to upload."
+
+
+def test_multipart_missing_file_part_is_400(base_url):
+    body, ctype = _multipart([("other", None, b"whatever")])
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{base_url}/api/extract", body, ctype=ctype)
+    assert ei.value.code == 400
+    assert ei.value.read().decode() == "Required part 'file' is not present."
+
+
+def test_multipart_pdf_without_backend_is_503(base_url):
+    body, ctype = _multipart([("file", "x.pdf", b"%PDF-1.4 minimal")])
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{base_url}/api/extract", body, ctype=ctype)
+    assert ei.value.code == 503
+
+
 def test_health(base_url):
     with urllib.request.urlopen(f"{base_url}/health") as r:
         assert r.status == 200 and r.read() == b"ok"
