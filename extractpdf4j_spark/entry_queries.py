@@ -1099,7 +1099,11 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     pairs = (minhash_duplicates(d, k=8, bands=4, threshold=0.25,
                                 max_bucket=None)
              .select("a", "b"))
-    return duplicate_clusters(pairs).orderBy("node")
+    # the pair graph is tiny next to the corpus: size the per-round
+    # propagation shuffles to 8 partitions (result is partitioning-
+    # independent; per-stage task scheduling dominated the rounds at the
+    # session's corpus-scale setting)
+    return duplicate_clusters(pairs, num_partitions=8).orderBy("node")
 
 
 def _dedup_clusters_oracle_sql() -> str:

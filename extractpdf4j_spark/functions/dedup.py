@@ -311,7 +311,8 @@ def simhash_duplicates(df: DataFrame, text_col: str = "text",
 
 def duplicate_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
                        max_iter: int = 15,
-                       check_every: int = 1) -> DataFrame:
+                       check_every: int = 1,
+                       num_partitions: int | None = None) -> DataFrame:
     """Connected components over a near-duplicate pair list — the step
     that turns pairwise matches into keep-one-per-cluster decisions in a
     production dedup pipeline. Returns (node, cluster) where cluster is
@@ -332,12 +333,34 @@ def duplicate_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b",
     or ``check_every >= max_iter`` (pure fixed-round budget: the count
     runs only on the final round, solely to warn on non-convergence).
     Default 1 preserves the check-every-round behavior the gate pins.
+
+    ``num_partitions`` sizes the per-round shuffles (joins/aggs follow
+    the session's ``spark.sql.shuffle.partitions``, which is set and
+    restored around the loop). The standard iterative-graph tuning
+    lever: the pair graph is usually orders of magnitude smaller than
+    the corpus, and per-stage task-scheduling overhead dominates each
+    round when the session partitioning is sized for corpus-scale
+    scans. None = leave the session setting untouched.
     """
     import warnings
 
     edges = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
              .union(pairs.select(F.col(b_col).alias("u"),
                                  F.col(a_col).alias("v"))))
+    spark = pairs.sparkSession
+    prev_sp = None
+    if num_partitions is not None:
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    try:
+        return _propagate_min_labels(edges, max_iter, check_every, warnings)
+    finally:
+        if prev_sp is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
+def _propagate_min_labels(edges: DataFrame, max_iter: int,
+                          check_every: int, warnings) -> DataFrame:
     # checkpoint the edge list BEFORE iterating: without this every round
     # re-executes the upstream pair-generation pipeline (its lineage),
     # not just the propagation join
