@@ -17,6 +17,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+# Partitioning used by the E2E extraction gates. The gate hashes must be
+# invariant to this (tests/test_gate_partition_invariance.py re-runs the
+# gates at 4 vs 8); it is a module variable, not a constant, so that test
+# can swing it without duplicating the corpus builders.
+GATE_PARTITIONS = 8
+
 # ---------------------------------------------------------------------------
 # Shared derivations
 # ---------------------------------------------------------------------------
@@ -1838,7 +1844,7 @@ def _stream_gate_combined(spark: SparkSession, sf: str) -> DataFrame:
                 F.lit("").alias("media_ref"),
                 F.lit(0).alias("offset"))).alias("spans")))
     return extract(docs, None, ExtractConfig(mode=MODE_STREAM),
-                   num_partitions=8)
+                   num_partitions=GATE_PARTITIONS)
 
 
 def q_extract_stream_spans(spark: SparkSession, sf: str) -> DataFrame:
@@ -2315,6 +2321,41 @@ ORDER BY doc_id
 """
 
 
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (corpusops.decontaminate): a 2% slice
+    of the corpus (deterministic 60-bit id-hash pick) plays the eval
+    benchmark; every document sharing >=1 distinct word trigram with it
+    is flagged with exact overlap counts. Gate covers the broadcast
+    gram-set probe + single-pass dual count."""
+    from .functions.corpusops import decontaminate
+    from .functions.dedup import _hash60
+    d = _docs(spark, sf)
+    ev = d.filter(_hash60(F.col("doc_id").cast("string")) % 50 == 0)
+    return decontaminate(d, ev, n=3, min_overlap=1).orderBy("doc_id")
+
+
+SQL_DECONTAMINATE = f"""
+WITH {DUCK_SHINGLES},
+ev AS (
+    SELECT DISTINCT shash FROM shf
+    WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 50 = 0
+),
+j AS (
+    SELECT s.doc_id,
+           CASE WHEN e.shash IS NULL THEN 0 ELSE 1 END AS hit
+    FROM shf s LEFT JOIN ev e ON s.shash = e.shash
+)
+SELECT doc_id,
+       CAST(sum(hit) AS BIGINT) AS overlap_grams,
+       CAST(count(*) AS BIGINT) AS total_grams,
+       round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS overlap_frac
+FROM j GROUP BY doc_id
+HAVING sum(hit) >= 1
+ORDER BY doc_id
+"""
+
+
 def q_curate(spark: SparkSession, sf: str) -> DataFrame:
     """The composed curation pipeline end-to-end: planted dups + planted
     boilerplate footers -> exact dedup keep-one -> boilerplate strip ->
@@ -2770,7 +2811,7 @@ def _ocr_gate_combined(spark: SparkSession, sf: str) -> DataFrame:
     return extract(docs, media,
                    ExtractConfig(mode=MODE_OCRSTREAM,
                                  ocr_backend="embedded"),
-                   num_partitions=8)
+                   num_partitions=GATE_PARTITIONS)
 
 
 def q_extract_ocr_spans(spark: SparkSession, sf: str) -> DataFrame:
@@ -2860,7 +2901,7 @@ def _lattice_gate_combined(spark: SparkSession, sf: str,
     media = built.select("media_ref", "doc_id", F.lit(1).alias("page"),
                          "payload")
     return extract(docs, media, cfg or ExtractConfig(mode=MODE_LATTICE),
-                   num_partitions=8)
+                   num_partitions=GATE_PARTITIONS)
 
 
 def q_extract_lattice_spans(spark: SparkSession, sf: str) -> DataFrame:
@@ -3500,7 +3541,7 @@ def q_extract_metrics(spark: SparkSession, sf: str) -> DataFrame:
     from .pipeline import extract
 
     docs, media = ensure_fixture_corpus(spark, sf, limit=120)
-    combined = extract(docs, media, ExtractConfig(), num_partitions=8)
+    combined = extract(docs, media, ExtractConfig(), num_partitions=GATE_PARTITIONS)
     return (combined.select("doc_id", "status", "strategy", "tables_found",
                             "cells_parsed", "ocr_fallbacks")
             .orderBy("doc_id"))
@@ -3513,7 +3554,7 @@ def q_extract_spans(spark: SparkSession, sf: str) -> DataFrame:
     from .pipeline import extract, with_spans
 
     docs, media = ensure_fixture_corpus(spark, sf, limit=60)
-    combined = extract(docs, media, ExtractConfig(), num_partitions=8)
+    combined = extract(docs, media, ExtractConfig(), num_partitions=GATE_PARTITIONS)
     return (with_spans(combined)
             .select("doc_id", F.explode("spans").alias("s"))
             .select("doc_id", F.col("s.kind").alias("kind"),
@@ -3577,6 +3618,7 @@ QUERIES = {
     "q_chunk_docs": q_chunk_docs,
     "q_repetition": q_repetition,
     "q_curate": q_curate,
+    "q_decontaminate": q_decontaminate,
     "q_dedup_incr": q_dedup_incr,
     "q_html_main": q_html_main,
     "q_dom_stats": q_dom_stats,
@@ -3643,6 +3685,7 @@ ORACLES = {
     "q_chunk_docs": SQL_CHUNK_DOCS,
     "q_repetition": SQL_REPETITION,
     "q_curate": SQL_CURATE,
+    "q_decontaminate": SQL_DECONTAMINATE,
     "q_dedup_incr": SQL_DEDUP_INCR,
     "q_html_main": SQL_HTML_MAIN,
     "q_dom_stats": SQL_DOM_STATS,

@@ -27,6 +27,7 @@ __all__ = [
     "hash_sample", "quota_sample", "pack_shards",
     "pii_scrub", "unigram_logprob", "chunk_documents",
     "repetition_metrics", "curate_corpus",
+    "decontaminate", "remove_contaminated",
     "EMAIL_RE", "IPV4_RE", "LONGNUM_RE",
 ]
 
@@ -324,6 +325,63 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     return (scored.groupBy(id_col)
             .agg(F.count("*").alias("n_tokens"),
                  F.round(F.avg("lp"), 6).alias("avg_logprob")))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(corpus: DataFrame, eval_df: DataFrame, n: int = 13,
+                  min_overlap: int = 1, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  eval_text_col: str = "text") -> DataFrame:
+    """Flag corpus documents sharing word n-grams with an eval set.
+
+    The standard pre-training decontamination pass (GPT-3 appendix C /
+    PaLM style: 13-gram collision against benchmark text): returns
+    ``(id_col, overlap_grams, total_grams, overlap_frac)`` for corpus
+    documents whose distinct-``n``-gram overlap with the eval set is
+    >= ``min_overlap``. Feed the result to :func:`remove_contaminated`
+    (or inspect ``overlap_frac`` for partial-contamination triage).
+
+    Scale shape: the eval side is small by construction (benchmarks are
+    thousands of docs vs the 100 TB corpus), so its distinct gram-hash
+    set is BROADCAST; corpus gram rows (shuffle-free arrays_zip
+    construction, 8-byte 60-bit hashes — ``dedup.shingle_hash_rows``)
+    probe it map-side with a left broadcast join, and one
+    map-side-combined groupBy per doc produces both counts in a single
+    corpus pass. The corpus text is never shuffled and never compared
+    pairwise."""
+    from .dedup import shingle_hash_rows
+
+    g = shingle_hash_rows(corpus, text_col=text_col, id_col=id_col, n=n)
+    e = (shingle_hash_rows(eval_df, text_col=eval_text_col,
+                           id_col=id_col, n=n)
+         .select("shash").distinct()
+         .withColumn("_hit", F.lit(1)))
+    joined = g.join(F.broadcast(e), "shash", "left")
+    return (joined.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("total_grams"),
+                 F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                  .cast("long").alias("overlap_grams"))
+            .filter(F.col("overlap_grams") >= min_overlap)
+            .withColumn("overlap_frac",
+                        F.round(F.col("overlap_grams")
+                                / F.col("total_grams"), 6))
+            .select(id_col, "overlap_grams", "total_grams",
+                    "overlap_frac"))
+
+
+def remove_contaminated(corpus: DataFrame, eval_df: DataFrame,
+                        n: int = 13, min_overlap: int = 1,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        eval_text_col: str = "text") -> DataFrame:
+    """Corpus minus :func:`decontaminate`'s flagged documents
+    (broadcast-able anti-join on the id — the flagged set is small)."""
+    flagged = decontaminate(corpus, eval_df, n=n, min_overlap=min_overlap,
+                            text_col=text_col, id_col=id_col,
+                            eval_text_col=eval_text_col)
+    return corpus.join(flagged.select(id_col), id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

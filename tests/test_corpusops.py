@@ -205,3 +205,38 @@ def test_pack_shards_partition_property(spark, toks):
         buckets.setdefault(b, set()).add(s)
     for shards in buckets.values():
         assert shards == set(range(len(shards)))
+
+
+def test_decontaminate_counts_and_removal(spark):
+    from extractpdf4j_spark.functions.corpusops import (decontaminate,
+                                                        remove_contaminated)
+    corpus = spark.createDataFrame([
+        ("c0", "alpha beta gamma delta epsilon"),      # shares a trigram
+        ("c1", "one two three four five"),             # clean
+        ("c2", "alpha beta gamma zeta"),               # shares 1 of 2
+        ("c3", "six seven eight nine"),                # clean
+    ], "doc_id string, text string")
+    evals = spark.createDataFrame(
+        [("e0", "alpha beta gamma delta")],
+        "doc_id string, text string")
+
+    flagged = {r["doc_id"]: r for r in
+               decontaminate(corpus, evals, n=3).collect()}
+    # c0 grams: {abg, bgd, gde}; eval grams: {abg, bgd} -> 2/3 overlap
+    assert set(flagged) == {"c0", "c2"}
+    assert flagged["c0"]["overlap_grams"] == 2
+    assert flagged["c0"]["total_grams"] == 3
+    assert abs(flagged["c0"]["overlap_frac"] - round(2 / 3, 6)) < 1e-9
+    # c2 grams: {abg, bgz}; overlap {abg} -> 1/2
+    assert flagged["c2"]["overlap_grams"] == 1
+    assert flagged["c2"]["total_grams"] == 2
+
+    kept = sorted(r["doc_id"]
+                  for r in remove_contaminated(corpus, evals, n=3).collect())
+    assert kept == ["c1", "c3"]
+
+    # min_overlap raises the bar: only c0 reaches 2 shared grams
+    strict = sorted(r["doc_id"] for r in
+                    decontaminate(corpus, evals, n=3,
+                                  min_overlap=2).collect())
+    assert strict == ["c0"]
