@@ -2321,6 +2321,44 @@ ORDER BY doc_id
 """
 
 
+def q_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature rebalancing (corpusops.temperature_sample): per-lang
+    quotas proportional to n_lang^0.5 for a 120-doc target, documents
+    picked by 60-bit id-hash rank within each language. Both engines
+    compute the n^alpha weights as IEEE doubles from identical integer
+    counts, so the ceil'd quotas agree exactly."""
+    from .functions.corpusops import temperature_sample
+    d = _docs(spark, sf)
+    return (temperature_sample(d, group_col="lang", target_total=120,
+                               alpha=0.5)
+            .orderBy("lang", "doc_id"))
+
+
+SQL_TEMPERATURE_SAMPLE = """
+WITH counts AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),
+w AS (SELECT lang, n_g, pow(CAST(n_g AS DOUBLE), 0.5) AS w_raw FROM counts),
+tot AS (SELECT sum(w_raw) AS w_tot FROM w),
+quota AS (
+    SELECT lang,
+           least(n_g, CAST(ceil(120.0 * w_raw / w_tot) AS BIGINT)) AS n_keep
+    FROM w, tot
+),
+ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 15))::BIGINT, doc_id)
+               AS sample_rank
+    FROM documents
+)
+SELECT r.doc_id, r.lang, CAST(r.sample_rank AS BIGINT) AS sample_rank
+FROM ranked r JOIN quota q ON r.lang = q.lang
+WHERE r.sample_rank <= q.n_keep
+ORDER BY r.lang, r.doc_id
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination (corpusops.decontaminate): a 2% slice
     of the corpus (deterministic 60-bit id-hash pick) plays the eval
@@ -3619,6 +3657,7 @@ QUERIES = {
     "q_repetition": q_repetition,
     "q_curate": q_curate,
     "q_decontaminate": q_decontaminate,
+    "q_temperature_sample": q_temperature_sample,
     "q_dedup_incr": q_dedup_incr,
     "q_html_main": q_html_main,
     "q_dom_stats": q_dom_stats,
@@ -3686,6 +3725,7 @@ ORACLES = {
     "q_repetition": SQL_REPETITION,
     "q_curate": SQL_CURATE,
     "q_decontaminate": SQL_DECONTAMINATE,
+    "q_temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "q_dedup_incr": SQL_DEDUP_INCR,
     "q_html_main": SQL_HTML_MAIN,
     "q_dom_stats": SQL_DOM_STATS,

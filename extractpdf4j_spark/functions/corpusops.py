@@ -27,7 +27,7 @@ __all__ = [
     "hash_sample", "quota_sample", "pack_shards",
     "pii_scrub", "unigram_logprob", "chunk_documents",
     "repetition_metrics", "curate_corpus",
-    "decontaminate", "remove_contaminated",
+    "decontaminate", "remove_contaminated", "temperature_sample",
     "EMAIL_RE", "IPV4_RE", "LONGNUM_RE",
 ]
 
@@ -325,6 +325,52 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     return (scored.groupBy(id_col)
             .agg(F.count("*").alias("n_tokens"),
                  F.round(F.avg("lp"), 6).alias("avg_logprob")))
+
+
+# ---------------------------------------------------------------------------
+# Temperature sampling (multilingual/domain rebalancing)
+# ---------------------------------------------------------------------------
+
+def temperature_sample(df: DataFrame, group_col: str, target_total: int,
+                       alpha: float = 0.5,
+                       key_col: str = "doc_id") -> DataFrame:
+    """Rebalance a corpus across groups with temperature ``alpha``.
+
+    The standard multilingual pre-training mix (mBERT/XLM-R style):
+    group ``g`` with ``n_g`` documents gets a quota proportional to
+    ``n_g ** alpha`` — ``alpha=1`` keeps natural proportions, ``alpha=0``
+    gives every group an equal share, values between up-weight the tail.
+    Deterministic: within each group, documents are ranked by the 60-bit
+    id hash (the same Bernoulli ordering :func:`hash_sample` uses) and
+    the first ``min(n_g, ceil(target_total * w_g))`` are kept. Returns
+    ``(key_col, group_col, sample_rank)``.
+
+    Scale shape: the per-group count/weight table is tiny (groups are
+    languages or domains) and broadcast back; the only corpus-wide
+    exchange is the per-group rank window — identical to
+    :func:`quota_sample`'s, keyed on the group, never global. For a
+    group so large its window partition won't fit an executor,
+    pre-thin with :func:`hash_sample` first; ranks are hash-ordered so
+    the composition keeps the same documents."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_g"))
+    w = counts.withColumn(
+        "w_raw", F.pow(F.col("n_g").cast("double"), F.lit(float(alpha))))
+    tot = w.agg(F.sum("w_raw").alias("w_tot"))
+    quota = (w.crossJoin(F.broadcast(tot))
+             .withColumn(
+                 "n_keep",
+                 F.least(F.col("n_g"),
+                         F.ceil(F.lit(float(target_total)) * F.col("w_raw")
+                                / F.col("w_tot"))))
+             .select(group_col, "n_keep"))
+    rank_w = Window.partitionBy(group_col).orderBy(
+        _hash60(F.col(key_col).cast("string")), key_col)
+    return (df.select(key_col, group_col)
+            .withColumn("sample_rank",
+                        F.row_number().over(rank_w).cast("long"))
+            .join(F.broadcast(quota), group_col)
+            .filter(F.col("sample_rank") <= F.col("n_keep"))
+            .select(key_col, group_col, "sample_rank"))
 
 
 # ---------------------------------------------------------------------------

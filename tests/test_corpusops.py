@@ -240,3 +240,34 @@ def test_decontaminate_counts_and_removal(spark):
                     decontaminate(corpus, evals, n=3,
                                   min_overlap=2).collect())
     assert strict == ["c0"]
+
+
+def test_temperature_sample_quotas(spark):
+    from extractpdf4j_spark.functions.corpusops import temperature_sample
+    import math
+    # 64 docs in "big", 4 in "small": alpha=0.5 weights 8 vs 2 -> a
+    # 20-doc target gives big ceil(16)=16, small min(4, ceil(4))=4
+    rows = ([(f"b{i:02d}", "big") for i in range(64)]
+            + [(f"s{i}", "small") for i in range(4)])
+    d = spark.createDataFrame(rows, "doc_id string, lang string")
+    out = temperature_sample(d, group_col="lang", target_total=20,
+                             alpha=0.5).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], []).append(r["sample_rank"])
+    assert len(by["big"]) == 16 and sorted(by["big"]) == list(range(1, 17))
+    assert len(by["small"]) == 4
+    # alpha=1 reproduces natural proportions: quotas ceil(20*64/68)=19,
+    # ceil(20*4/68)=2
+    nat = temperature_sample(d, group_col="lang", target_total=20,
+                             alpha=1.0).collect()
+    byn = {}
+    for r in nat:
+        byn.setdefault(r["lang"], 0)
+        byn[r["lang"]] += 1
+    assert byn == {"big": math.ceil(20 * 64 / 68), "small": 2}
+    # determinism: same input -> identical picked ids
+    again = temperature_sample(d, group_col="lang", target_total=20,
+                               alpha=0.5).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in out)
