@@ -271,3 +271,51 @@ def test_temperature_sample_quotas(spark):
                                alpha=0.5).collect()
     assert sorted(r["doc_id"] for r in again) == sorted(
         r["doc_id"] for r in out)
+
+
+def _plan_of(df):
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_decontaminate_plan_broadcasts_eval_grams(spark):
+    """Plan evidence for the 100 TB shape: the corpus gram rows probe
+    the eval gram set through a BROADCAST join (the corpus side is never
+    exchanged for the probe), even with auto-broadcast disabled — the
+    broadcast is explicit in the operator."""
+    from extractpdf4j_spark.functions.corpusops import decontaminate
+    corpus = spark.range(0, 50).selectExpr(
+        "CAST(id AS STRING) AS doc_id",
+        "concat('w', CAST(id % 7 AS STRING), ' x y z q', "
+        "CAST(id AS STRING)) AS text")
+    evals = spark.createDataFrame([("e0", "w1 x y z")],
+                                  "doc_id string, text string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan_of(decontaminate(corpus, evals, n=3))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_temperature_sample_plan_broadcasts_quota(spark):
+    """The per-group quota table attaches via broadcast; the only
+    corpus-wide exchange is the per-group rank window's."""
+    from extractpdf4j_spark.functions.corpusops import temperature_sample
+    d = spark.range(0, 100).selectExpr(
+        "CAST(id AS STRING) AS doc_id",
+        "CASE WHEN id % 3 = 0 THEN 'en' ELSE 'de' END AS lang")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan_of(temperature_sample(d, "lang", target_total=30))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
