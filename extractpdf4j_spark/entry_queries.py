@@ -2321,6 +2321,63 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide paragraph dedup (corpusops.dedup_paragraphs): plant
+    one long paragraph on every 4th doc plus a short exempt token; the
+    global first occurrence (min doc_id, pos) keeps its copy, later
+    copies drop, sub-5-char lines are exempt from dedup. Gate covers
+    the eligibility split, the hash-keyed first-occurrence window and
+    the pos-ordered reassembly with kept/dropped counts."""
+    from .functions.corpusops import dedup_paragraphs
+    d = _docs(spark, sf).select("doc_id", "text")
+    planted = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat("text",
+                 F.lit("\nthe same long repeated paragraph body\nok"))
+    ).otherwise(F.col("text"))
+    return (dedup_paragraphs(d.select("doc_id", planted.alias("text")),
+                             min_chars=5)
+            .orderBy("doc_id"))
+
+
+SQL_DEDUP_PARAGRAPHS = """
+WITH pdocs AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0
+                THEN text || chr(10)
+                     || 'the same long repeated paragraph body'
+                     || chr(10) || 'ok'
+                ELSE text END AS text
+    FROM documents
+),
+split AS (SELECT doc_id, string_split(text, chr(10)) AS lst FROM pdocs),
+lines AS (
+    SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, lst[u.i] AS line
+    FROM split, unnest(generate_series(1, len(lst))) AS u(i)
+),
+elig AS (
+    SELECT doc_id, pos, line,
+           row_number() OVER (
+               PARTITION BY ('0x' || substring(md5(line), 1, 15))::BIGINT
+               ORDER BY doc_id, pos) AS rn
+    FROM lines WHERE length(line) >= 5
+),
+allr AS (
+    SELECT * FROM elig
+    UNION ALL
+    SELECT doc_id, pos, line, 1 AS rn FROM lines WHERE length(line) < 5
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
+                           chr(10) ORDER BY pos), '') AS text,
+       CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+       CAST(count(*) - count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT)
+           AS n_dropped
+FROM allr GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def q_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature rebalancing (corpusops.temperature_sample): per-lang
     quotas proportional to n_lang^0.5 for a 120-doc target, documents
@@ -3658,6 +3715,7 @@ QUERIES = {
     "q_curate": q_curate,
     "q_decontaminate": q_decontaminate,
     "q_temperature_sample": q_temperature_sample,
+    "q_dedup_paragraphs": q_dedup_paragraphs,
     "q_dedup_incr": q_dedup_incr,
     "q_html_main": q_html_main,
     "q_dom_stats": q_dom_stats,
@@ -3726,6 +3784,7 @@ ORACLES = {
     "q_curate": SQL_CURATE,
     "q_decontaminate": SQL_DECONTAMINATE,
     "q_temperature_sample": SQL_TEMPERATURE_SAMPLE,
+    "q_dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
     "q_dedup_incr": SQL_DEDUP_INCR,
     "q_html_main": SQL_HTML_MAIN,
     "q_dom_stats": SQL_DOM_STATS,

@@ -28,6 +28,7 @@ __all__ = [
     "pii_scrub", "unigram_logprob", "chunk_documents",
     "repetition_metrics", "curate_corpus",
     "decontaminate", "remove_contaminated", "temperature_sample",
+    "dedup_paragraphs",
     "EMAIL_RE", "IPV4_RE", "LONGNUM_RE",
 ]
 
@@ -325,6 +326,56 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
     return (scored.groupBy(id_col)
             .agg(F.count("*").alias("n_tokens"),
                  F.round(F.avg("lp"), 6).alias("avg_logprob")))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide paragraph dedup (keep first occurrence)
+# ---------------------------------------------------------------------------
+
+def dedup_paragraphs(df: DataFrame, min_chars: int = 5,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Remove repeated paragraphs across the corpus, keeping the single
+    first occurrence (FineWeb/C4-style paragraph-level dedup; units are
+    newline-delimited lines, same as :func:`doc_lines`).
+
+    "First" is global and deterministic: minimum ``(id, pos)`` over all
+    occurrences of the paragraph. Returns ``(id, text, n_kept,
+    n_dropped)``; documents whose every paragraph was seen earlier
+    survive with empty text (the drop decision belongs to the caller).
+
+    Unlike :func:`strip_boilerplate` (which removes every copy of
+    frequent lines given a frequency threshold), this keeps exactly one
+    copy of everything — the right op when any repetition is
+    contamination but the content itself should survive once.
+
+    Skew design: paragraphs shorter than ``min_chars`` are exempt from
+    dedup (always kept). That is both the C4 semantics — one-word lines
+    and blanks aren't "paragraphs" — and the scale guard: the only
+    corpus-wide exchange keyed on the paragraph hash carries ONLY
+    eligible lines, so the pathological hot keys (empty line, single
+    punctuation) never reach the rank window; real paragraphs are
+    near-unique, so the window partitions stay small. Reassembly is one
+    shuffle on the doc id, memory bounded by the largest single
+    document."""
+    lines = doc_lines(df, text_col, id_col)
+    eligible = lines.filter(F.length("line") >= min_chars)
+    exempt = lines.filter(F.length("line") < min_chars)
+    w = Window.partitionBy(_hash60(F.col("line"))).orderBy(id_col, "pos")
+    ranked = eligible.withColumn("_rn", F.row_number().over(w))
+    marked = ranked.unionByName(exempt.withColumn("_rn", F.lit(1)))
+    keep = F.col("_rn") == 1
+    return (marked.groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(keep, F.struct("pos", "line")))),
+                         lambda s: s["line"]),
+                     "\n").alias(text_col),
+                 F.count(F.when(keep, F.lit(1))).cast("long")
+                 .alias("n_kept"),
+                 (F.count("*") - F.count(F.when(keep, F.lit(1))))
+                 .cast("long").alias("n_dropped")))
 
 
 # ---------------------------------------------------------------------------

@@ -319,3 +319,23 @@ def test_temperature_sample_plan_broadcasts_quota(spark):
         assert "SortMergeJoin" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_dedup_paragraphs_keep_first(spark):
+    from extractpdf4j_spark.functions.corpusops import dedup_paragraphs
+    d = spark.createDataFrame([
+        (1, "unique alpha paragraph\nshared body text\nok"),
+        (2, "shared body text\nanother unique one\nok"),
+        (3, "shared body text"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup_paragraphs(d, min_chars=5).collect()}
+    # doc 1 owns the first occurrence of the shared paragraph; "ok" is
+    # below min_chars so it's exempt everywhere
+    assert out[1]["text"] == "unique alpha paragraph\nshared body text\nok"
+    assert out[1]["n_kept"] == 3 and out[1]["n_dropped"] == 0
+    assert out[2]["text"] == "another unique one\nok"
+    assert out[2]["n_kept"] == 2 and out[2]["n_dropped"] == 1
+    # doc 3 loses its only line but survives with empty text
+    assert out[3]["text"] == ""
+    assert out[3]["n_kept"] == 0 and out[3]["n_dropped"] == 1
