@@ -1132,6 +1132,48 @@ SELECT node, min(label) AS cluster FROM reach GROUP BY node ORDER BY node
 SQL_DEDUP_CLUSTERS = _dedup_clusters_oracle_sql()
 
 
+def q_dedup_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed near-duplicate REMOVAL (FineWeb-style): sig → LSH pairs →
+    exact Jaccard verify (>=0.5; the corpus is cleanly bimodal: noise
+    pairs <=0.04, planted near-dups >=0.88) → connected components →
+    keep min doc_id per cluster. Gate output is the surviving corpus
+    keyed by md5(text) so the hash pins both WHICH docs survive and that
+    their payloads ride through the removal join untouched."""
+    from .functions.dedup import fuzzy_dedup
+    d = _docs(spark, sf)
+    kept = fuzzy_dedup(d, jaccard_threshold=0.5, max_bucket=None,
+                       num_partitions=8)
+    return (kept.select(
+        "doc_id", "lang", "source",
+        F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .orderBy("doc_id"))
+
+
+def _dedup_fuzzy_oracle_sql() -> str:
+    jaccard_subq = SQL_NGRAM_JACCARD.replace("ORDER BY p.a, p.b", "")
+    return f"""
+WITH RECURSIVE vp AS (
+    SELECT a, b FROM ({jaccard_subq}) WHERE jaccard >= 0.5
+),
+ed AS (SELECT a AS u, b AS v FROM vp UNION ALL SELECT b AS u, a AS v FROM vp),
+reach AS (
+    SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM ed)
+    UNION
+    SELECT ed.u AS node, reach.label
+    FROM ed JOIN reach ON ed.v = reach.node
+),
+cl AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+drp AS (SELECT node FROM cl WHERE node <> cluster)
+SELECT d.doc_id, d.lang, d.source, md5(d.text) AS text_hash
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM drp)
+ORDER BY d.doc_id
+"""
+
+
+SQL_DEDUP_FUZZY = _dedup_fuzzy_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # 17. SimHash (training-pipeline dedup; functions/dedup.py:simhash64)
 # ---------------------------------------------------------------------------
@@ -2416,6 +2458,184 @@ ORDER BY r.lang, r.doc_id
 """
 
 
+def _planted_urls(d: DataFrame) -> DataFrame:
+    """Deterministic URL per document, derived from doc_id (the planted-
+    input convention): u = doc_id % 211 seeds every component, so docs
+    sharing u share an identical URL (exact URL dups appear once the
+    corpus passes 211 docs). Components exercise each normalization
+    rule: upper-case scheme/host, www. prefix, default and non-default
+    ports, a co.uk 3-label registered domain, double-slash and trailing-
+    slash paths, tracking params, unsorted params, fragments."""
+    u = (F.col("doc_id") % 211).cast("long")
+    us = u.cast("string")
+    scheme = F.when(u % 2 == 1, F.lit("https")).otherwise(F.lit("HTTP"))
+    www = F.when(u % 3 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    tld = (F.when(u % 5 == 0, F.lit("com")).when(u % 5 == 1, F.lit("org"))
+           .when(u % 5 == 2, F.lit("co.uk")).when(u % 5 == 3, F.lit("net"))
+           .otherwise(F.lit("io")))
+    port = (F.when(u % 7 == 0, F.lit(":80")).when(u % 7 == 1, F.lit(":443"))
+            .when(u % 7 == 2, F.lit(":8080")).otherwise(F.lit("")))
+    slash = F.when(u % 11 == 0, F.lit("//")).otherwise(F.lit("/"))
+    trail = F.when(u % 2 == 0, F.lit("/")).otherwise(F.lit(""))
+    query = (F.when(u % 4 == 0, F.lit(""))
+             .when(u % 4 == 1, F.concat(F.lit("?utm_source=tw&id="), us))
+             .when(u % 4 == 2, F.lit("?b=2&a=1"))
+             .otherwise(F.concat(F.lit("?id="), us,
+                                 F.lit("&utm_campaign=x&a=1"))))
+    frag = (F.when(u % 6 == 0, F.concat(F.lit("#sec"), us))
+            .otherwise(F.lit("")))
+    url = F.concat(scheme, F.lit("://"), www, F.lit("Example"),
+                   (u % 17).cast("string"), F.lit("."), tld, port,
+                   F.lit("/Cat"), (u % 9).cast("string"), slash,
+                   F.lit("item"), us, trail, query, frag)
+    return d.withColumn("url", url)
+
+
+# DuckDB mirror of _planted_urls (identical construction, CASE by u)
+_URL_PLANT_SQL = """
+planted AS (
+    SELECT doc_id,
+           (CASE WHEN (doc_id % 211) % 2 = 1 THEN 'https' ELSE 'HTTP' END)
+           || '://'
+           || (CASE WHEN (doc_id % 211) % 3 = 0 THEN 'WWW.' ELSE '' END)
+           || 'Example' || CAST((doc_id % 211) % 17 AS VARCHAR) || '.'
+           || (CASE (doc_id % 211) % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+               WHEN 2 THEN 'co.uk' WHEN 3 THEN 'net' ELSE 'io' END)
+           || (CASE (doc_id % 211) % 7 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+               WHEN 2 THEN ':8080' ELSE '' END)
+           || '/Cat' || CAST((doc_id % 211) % 9 AS VARCHAR)
+           || (CASE WHEN (doc_id % 211) % 11 = 0 THEN '//' ELSE '/' END)
+           || 'item' || CAST(doc_id % 211 AS VARCHAR)
+           || (CASE WHEN (doc_id % 211) % 2 = 0 THEN '/' ELSE '' END)
+           || (CASE (doc_id % 211) % 4 WHEN 0 THEN ''
+               WHEN 1 THEN '?utm_source=tw&id='
+                           || CAST(doc_id % 211 AS VARCHAR)
+               WHEN 2 THEN '?b=2&a=1'
+               ELSE '?id=' || CAST(doc_id % 211 AS VARCHAR)
+                    || '&utm_campaign=x&a=1' END)
+           || (CASE WHEN (doc_id % 211) % 6 = 0
+               THEN '#sec' || CAST(doc_id % 211 AS VARCHAR) ELSE '' END)
+           AS url
+    FROM documents
+)"""
+
+# verbatim replay of urlops parse regexes (RE2-safe on both engines)
+_URL_PARTS_SQL = r"""
+parts AS (
+    SELECT doc_id, url,
+           lower(regexp_extract(url,
+               '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+           lower(regexp_extract(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+               '^([^:]*)', 1)) AS host,
+           regexp_extract(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+               ':([0-9]+)$', 1) AS port,
+           regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path,
+           regexp_extract(url, '\?([^#]*)', 1) AS query
+    FROM planted
+)"""
+
+# verbatim replay of urlops.normalize_urls (www strip, default-port
+# drop, slash collapse/trim, tracking-param scrub + bytewise param
+# sort, fragment drop) and the registered-domain heuristic
+_URL_NORM_SQL = r"""
+hosts AS (
+    SELECT *, regexp_replace(host, '^www\.', '') AS h,
+           regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'),
+                          '/$', '') AS p,
+           coalesce(array_to_string(list_sort(list_filter(
+               string_split(regexp_replace(query,
+                   '(^|&)(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&]*',
+                   '', 'g'), '&'), x -> x <> '')), '&'), '') AS q
+    FROM parts
+),
+normed AS (
+    SELECT doc_id, url,
+           scheme || '://' || h
+           || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                    OR (scheme = 'https' AND port = '443') THEN ''
+               ELSE ':' || port END)
+           || (CASE WHEN p = '' THEN '/' ELSE p END)
+           || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS norm_url,
+           (CASE WHEN len(string_split(h, '.')) >= 3
+                      AND string_split(h, '.')[-2] IN
+                          ('co','com','net','org','gov','ac','edu')
+                 THEN string_split(h, '.')[-3] || '.'
+                      || string_split(h, '.')[-2] || '.'
+                      || string_split(h, '.')[-1]
+                 WHEN len(string_split(h, '.')) >= 2
+                 THEN string_split(h, '.')[-2] || '.'
+                      || string_split(h, '.')[-1]
+                 ELSE h END) AS domain
+    FROM hosts
+)"""
+
+
+def q_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization (urlops.normalize_urls): parse, lowercase
+    scheme/host, strip www./default ports/fragments, collapse slashes,
+    scrub tracking params, sort the rest; registered-domain heuristic
+    incl. co.uk-style 3-label suffixes. Pure codegen projection."""
+    from .functions.urlops import normalize_urls
+    d = _planted_urls(_docs(spark, sf).select("doc_id"))
+    return (normalize_urls(d)
+            .select("doc_id", "url", "norm_url", "domain")
+            .orderBy("doc_id"))
+
+
+SQL_URL_NORMALIZE = f"""
+WITH {_URL_PLANT_SQL},
+{_URL_PARTS_SQL},
+{_URL_NORM_SQL}
+SELECT doc_id, url, norm_url, domain FROM normed ORDER BY doc_id
+"""
+
+
+def q_domain_curate(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed URL-level curation front: normalize → keep-one per
+    normalized URL (min doc_id) → drop blocklisted registered domains
+    (broadcast anti-join) → cap 2 docs per domain by id-hash rank
+    (RefinedWeb-style anti-spam quota)."""
+    from .functions.urlops import (normalize_urls, url_dedup,
+                                   filter_blocked_domains, domain_cap)
+    d = _planted_urls(_docs(spark, sf).select("doc_id"))
+    kept = url_dedup(normalize_urls(d))
+    unblocked = filter_blocked_domains(
+        kept, ["example3.com", "example5.co.uk"])
+    return (domain_cap(unblocked, cap=2)
+            .select("doc_id", "domain", "norm_url", "sample_rank")
+            .orderBy("doc_id"))
+
+
+SQL_DOMAIN_CURATE = f"""
+WITH {_URL_PLANT_SQL},
+{_URL_PARTS_SQL},
+{_URL_NORM_SQL},
+kept AS (
+    SELECT doc_id, norm_url, domain FROM (
+        SELECT doc_id, norm_url, domain,
+               row_number() OVER (PARTITION BY norm_url ORDER BY doc_id)
+                   AS rn
+        FROM normed) WHERE rn = 1
+),
+unblocked AS (
+    SELECT doc_id, norm_url, domain FROM kept
+    WHERE domain NOT IN ('example3.com', 'example5.co.uk')
+),
+capped AS (
+    SELECT doc_id, domain, norm_url,
+           CAST(row_number() OVER (PARTITION BY domain
+               ORDER BY {_H60_DOCID_SQL}, doc_id) AS BIGINT)
+               AS sample_rank
+    FROM unblocked
+)
+SELECT doc_id, domain, norm_url, sample_rank FROM capped
+WHERE sample_rank <= 2 ORDER BY doc_id
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination (corpusops.decontaminate): a 2% slice
     of the corpus (deterministic 60-bit id-hash pick) plays the eval
@@ -3690,6 +3910,7 @@ QUERIES = {
     "q_minhash_pairs": q_minhash_pairs,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_fuzzy": q_dedup_fuzzy,
     "q_simhash": q_simhash,
     "q_lsh_ann": q_lsh_ann,
     "q_ivf_ann": q_ivf_ann,
@@ -3716,6 +3937,8 @@ QUERIES = {
     "q_decontaminate": q_decontaminate,
     "q_temperature_sample": q_temperature_sample,
     "q_dedup_paragraphs": q_dedup_paragraphs,
+    "q_url_normalize": q_url_normalize,
+    "q_domain_curate": q_domain_curate,
     "q_dedup_incr": q_dedup_incr,
     "q_html_main": q_html_main,
     "q_dom_stats": q_dom_stats,
@@ -3759,6 +3982,7 @@ ORACLES = {
     "q_minhash_pairs": SQL_MINHASH_PAIRS,
     "q_ngram_jaccard": SQL_NGRAM_JACCARD,
     "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "q_dedup_fuzzy": SQL_DEDUP_FUZZY,
     "q_simhash": SQL_SIMHASH,
     "q_lsh_ann": SQL_LSH_ANN,
     "q_ivf_ann": SQL_IVF_ANN,
@@ -3785,6 +4009,8 @@ ORACLES = {
     "q_decontaminate": SQL_DECONTAMINATE,
     "q_temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "q_dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
+    "q_url_normalize": SQL_URL_NORMALIZE,
+    "q_domain_curate": SQL_DOMAIN_CURATE,
     "q_dedup_incr": SQL_DEDUP_INCR,
     "q_html_main": SQL_HTML_MAIN,
     "q_dom_stats": SQL_DOM_STATS,

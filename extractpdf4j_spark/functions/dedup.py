@@ -443,3 +443,42 @@ def dedup_keep_one(df: DataFrame, text_col: str = "text",
     payload columns never cross a second exchange."""
     norm = normalized_text_hash(F.col(text_col))
     return _keep_one_hashed(df.withColumn("_th", norm), id_col)
+
+
+def fuzzy_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", k: int = 8, bands: int = 4,
+                shingle_n: int = 3, jaccard_threshold: float = 0.8,
+                max_bucket: int | None = 1000, max_iter: int = 15,
+                check_every: int = 1,
+                num_partitions: int | None = None) -> DataFrame:
+    """Near-duplicate REMOVAL, end to end: the composed fuzzy-dedup
+    pass a web-scale curation pipeline actually runs (FineWeb/RefinedWeb
+    style). Signatures → LSH candidate pairs → exact n-gram Jaccard
+    verification → connected components → keep the minimum ``id_col``
+    per cluster; returns the surviving corpus rows (all input columns).
+
+    Every stage is one of this module's individually-gated operators, so
+    the composition adds no new shuffle pattern: the corpus is scanned
+    twice (signatures + verification shingles), candidate generation is
+    banded equi-joins (never all-pairs), verification is an integer-hash
+    equi-join restricted to candidates, clustering is min-label
+    propagation over the verified pair graph (tiny next to the corpus —
+    size its rounds with ``num_partitions``), and the final removal is a
+    broadcast-friendly left_anti join on ``id_col`` (the drop set is
+    bounded by the duplicate count, not the corpus). Verification
+    happens BEFORE clustering so an LSH false positive can never bridge
+    two unrelated clusters — at 100 TB a single bad edge merges millions
+    of documents into one keep-one group.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    pairs = lsh_candidate_pairs(sigs, id_col, k, bands, max_bucket)
+    verified = (ngram_jaccard_pairs(df, pairs, text_col, id_col, shingle_n)
+                .filter(F.col("jaccard") >= jaccard_threshold)
+                .select("a", "b"))
+    clusters = duplicate_clusters(verified, max_iter=max_iter,
+                                  check_every=check_every,
+                                  num_partitions=num_partitions)
+    # cluster label IS the minimum member id: drop every non-label node
+    drop = (clusters.filter(F.col("node") != F.col("cluster"))
+            .select(F.col("node").alias(id_col)))
+    return df.join(drop, id_col, "left_anti")

@@ -1,0 +1,136 @@
+"""URL curation ops — the front of a web-scale training-data pipeline.
+
+C4/RefinedWeb/FineWeb-style URL handling: parse → normalize → registered
+domain → URL-level dedup → domain blocklist → per-domain caps. Everything
+is JVM codegen (RE2-safe regex, plain array expressions — no higher-order
+lambdas, which Spark 4 runs interpreted); the only shuffles are the ones
+the semantics force (one window for URL keep-one, one window for the
+per-domain cap) and the blocklist join broadcasts a tiny dimension.
+
+These operators go beyond the reference engine's PDF surface; they are
+the corpus-curation duties the north rule's web-scale tier needs (the
+same family as functions/corpusops.py). DuckDB oracle mirrors live in
+entry_queries.py (q_url_normalize / q_domain_curate) and replay every
+regex and case rule verbatim.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# RE2-safe (no backrefs/lookaround): identical semantics under Java
+# regex and DuckDB's RE2.
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+_FRAGMENT_RE = r"#(.*)$"
+# tracking params dropped by normalization (C4-style query scrub)
+TRACKING_PARAM_RE = r"(^|&)(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=[^&]*"
+# second-level labels that behave like public suffixes (registered
+# domain = 3 labels under these, else 2): deliberately a small fixed
+# heuristic set, NOT the full PSL — both engines inline the same list
+SECOND_LEVEL_SUFFIXES = ("co", "com", "net", "org", "gov", "ac", "edu")
+
+
+def with_url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Split ``url_col`` into scheme/host/port/path/query/fragment
+    columns (raw, case-preserved except nothing); pure regexp_extract
+    projection, no shuffle. Unparseable fields come back ''."""
+    u = F.col(url_col)
+    hostport = F.regexp_extract(u, _AUTHORITY_RE, 1)
+    return (df
+            .withColumn("scheme", F.regexp_extract(u, _SCHEME_RE, 1))
+            .withColumn("host", F.regexp_extract(hostport, r"^([^:]*)", 1))
+            .withColumn("port", F.regexp_extract(hostport, r":([0-9]+)$", 1))
+            .withColumn("path", F.regexp_extract(u, _PATH_RE, 1))
+            .withColumn("query", F.regexp_extract(u, _QUERY_RE, 1))
+            .withColumn("fragment", F.regexp_extract(u, _FRAGMENT_RE, 1)))
+
+
+def _registered_domain(host_col):
+    """Registered-domain heuristic on an already-lowercased host: last
+    two labels, or last three when the second-level label is in
+    SECOND_LEVEL_SUFFIXES (example.co.uk). try_element_at keeps ANSI
+    mode happy on short hosts; CASE branches evaluate lazily."""
+    labs = F.split(host_col, r"\.")
+    n = F.size(labs)
+    l1 = F.try_element_at(labs, F.lit(-1))
+    l2 = F.try_element_at(labs, F.lit(-2))
+    l3 = F.try_element_at(labs, F.lit(-3))
+    return (F.when((n >= 3) & l2.isin(*SECOND_LEVEL_SUFFIXES),
+                   F.concat_ws(".", l3, l2, l1))
+            .when(n >= 2, F.concat_ws(".", l2, l1))
+            .otherwise(host_col))
+
+
+def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Canonicalize URLs for dedup/quota purposes. Adds ``norm_url`` and
+    ``domain`` (registered domain). Rules, in order:
+
+    - scheme and host lowercased; one leading ``www.`` stripped
+    - default ports dropped (``:80`` for http, ``:443`` for https);
+      other explicit ports kept
+    - path: runs of ``/`` collapsed, trailing ``/`` stripped, empty
+      path → ``/``
+    - query: tracking params removed (TRACKING_PARAM_RE), empty params
+      dropped, the rest sorted bytewise and rejoined; empty query drops
+      the ``?``
+    - fragment always dropped
+
+    Pure projection (regex + sort_array/array_remove — all codegen); at
+    100 TB this runs inside the scan stage and the normalized key is
+    what every downstream shuffle hashes on.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    hostport = F.regexp_extract(u, _AUTHORITY_RE, 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    host_n = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    default_port = (((scheme == "http") & (port == "80"))
+                    | ((scheme == "https") & (port == "443")))
+    port_part = F.when((port == "") | default_port, F.lit("")) \
+                 .otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    path_c = F.regexp_replace(path, r"/{2,}", "/")
+    path_s = F.regexp_replace(path_c, r"/$", "")
+    path_n = F.when(path_s == "", F.lit("/")).otherwise(path_s)
+    query = F.regexp_extract(u, _QUERY_RE, 1)
+    q_clean = F.regexp_replace(query, TRACKING_PARAM_RE, "")
+    q_sorted = F.array_join(
+        F.sort_array(F.array_remove(F.split(q_clean, "&"), "")), "&")
+    q_part = F.when(q_sorted == "", F.lit("")) \
+              .otherwise(F.concat(F.lit("?"), q_sorted))
+    norm = F.concat(scheme, F.lit("://"), host_n, port_part, path_n, q_part)
+    return (df.withColumn("norm_url", norm)
+            .withColumn("domain", _registered_domain(host_n)))
+
+
+def url_dedup(df: DataFrame, url_col: str = "norm_url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (min ``id_col``) per normalized URL — the
+    crawl-level exact dedup that runs before any content hashing. One
+    window shuffle on the URL; same shape as dedup.dedup_keep_one."""
+    w = Window.partitionBy(url_col).orderBy(id_col)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def filter_blocked_domains(df: DataFrame, blocked: list[str],
+                           domain_col: str = "domain") -> DataFrame:
+    """Drop rows whose registered domain is on a blocklist. The list is
+    a broadcast anti-join (never a shuffle of the corpus side); real
+    blocklists are ~1e5 rows — trivially broadcastable."""
+    spark = df.sparkSession
+    bl = spark.createDataFrame([(d,) for d in blocked], [domain_col])
+    return df.join(F.broadcast(bl), domain_col, "left_anti")
+
+
+def domain_cap(df: DataFrame, cap: int, domain_col: str = "domain",
+               key_col: str = "doc_id") -> DataFrame:
+    """Keep at most ``cap`` documents per registered domain, chosen by
+    deterministic key hash (RefinedWeb-style anti-spam quota). Delegates
+    to corpusops.quota_sample — one window shuffle on the domain; adds
+    ``sample_rank``."""
+    from .corpusops import quota_sample
+    return quota_sample(df, domain_col, cap, key_col)

@@ -1,0 +1,108 @@
+"""Unit tests for the URL curation family (functions/urlops.py) and the
+composed fuzzy_dedup pass (functions/dedup.py) — hand-computed expected
+values on tiny literal inputs; the corpus-scale hash gates live in
+test_entry_queries.py (q_url_normalize / q_domain_curate /
+q_dedup_fuzzy)."""
+
+from pyspark.sql import functions as F
+
+
+def _urls(spark, urls):
+    return spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], ["doc_id", "url"])
+
+
+def test_normalize_rules(spark):
+    from extractpdf4j_spark.functions.urlops import normalize_urls
+    cases = {
+        # scheme/host lowercase, www strip, default port drop, fragment
+        "HTTP://WWW.Example.COM:80/a/b#frag": "http://example.com/a/b",
+        # https default port; trailing slash; double slash collapse
+        "https://site.org:443//x//y/": "https://site.org/x/y",
+        # non-default port kept; empty path -> /
+        "http://host.net:8080": "http://host.net:8080/",
+        # tracking params dropped, rest sorted, empty params removed
+        "http://h.io/p?utm_source=a&b=2&a=1&gclid=z": "http://h.io/p?a=1&b=2",
+        # all params tracking -> no '?'
+        "http://h.io/p?utm_campaign=x": "http://h.io/p",
+    }
+    out = {r["url"]: r["norm_url"]
+           for r in normalize_urls(_urls(spark, list(cases))).collect()}
+    assert out == cases
+
+
+def test_registered_domain(spark):
+    from extractpdf4j_spark.functions.urlops import normalize_urls
+    cases = {
+        "http://www.news.example.co.uk/a": "example.co.uk",   # 3-label
+        "http://sub.deep.example.com/a": "example.com",       # 2-label
+        "http://localhost/a": "localhost",                    # 1 label
+        "http://www.example.io/a": "example.io",
+    }
+    out = {r["url"]: r["domain"]
+           for r in normalize_urls(_urls(spark, list(cases))).collect()}
+    assert out == cases
+
+
+def test_url_dedup_and_blocklist_and_cap(spark):
+    from extractpdf4j_spark.functions.urlops import (
+        normalize_urls, url_dedup, filter_blocked_domains, domain_cap)
+    urls = [
+        "http://a.com/x",                  # 0
+        "HTTP://WWW.A.com:80/x",           # 1 same after normalization
+        "http://spam.net/y",               # 2 blocked
+        "http://b.org/1", "http://b.org/2", "http://b.org/3",  # 3,4,5
+    ]
+    n = normalize_urls(_urls(spark, urls))
+    kept = url_dedup(n)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 2, 3, 4, 5]
+
+    unblocked = filter_blocked_domains(kept, ["spam.net"])
+    assert sorted(r["doc_id"] for r in unblocked.collect()) == [0, 3, 4, 5]
+
+    capped = domain_cap(unblocked, cap=2)
+    rows = capped.collect()
+    per_dom = {}
+    for r in rows:
+        per_dom.setdefault(r["domain"], []).append(r["doc_id"])
+    assert len(per_dom["b.org"]) == 2          # capped from 3
+    assert per_dom["a.com"] == [0]
+    assert all(r["sample_rank"] <= 2 for r in rows)
+
+
+def test_fuzzy_dedup_removes_near_dups_keeps_min_id(spark):
+    from extractpdf4j_spark.functions.dedup import fuzzy_dedup
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest tonight")
+    docs = [
+        (10, base),
+        (11, base + " extra"),                       # near-dup of 10
+        (12, base.replace("green", "blue")),         # near-dup of 10
+        (20, "completely different text about spark shuffles and "
+             "partitions in a large distributed cluster environment"),
+        (21, "another unrelated document mentioning parquet files and "
+             "arrow batches moving between executors all day"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    kept = sorted(r["doc_id"]
+                  for r in fuzzy_dedup(df, jaccard_threshold=0.5,
+                                       max_bucket=None,
+                                       num_partitions=4).collect())
+    assert kept == [10, 20, 21]
+
+
+def test_fuzzy_dedup_verification_blocks_lsh_false_positives(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+    from extractpdf4j_spark.functions.dedup import (
+        fuzzy_dedup, minhash_signatures, lsh_candidate_pairs)
+    # two unrelated docs CAN share an LSH band by chance; with a high
+    # threshold the Jaccard verify must keep both. Use threshold just
+    # above their true jaccard so any candidate pair is rejected.
+    docs = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma completely different tail words here")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    kept = sorted(r["doc_id"]
+                  for r in fuzzy_dedup(df, jaccard_threshold=0.9,
+                                       max_bucket=None,
+                                       num_partitions=4).collect())
+    assert kept == [1, 2]
