@@ -1174,6 +1174,88 @@ ORDER BY d.doc_id
 SQL_DEDUP_FUZZY = _dedup_fuzzy_oracle_sql()
 
 
+_NGRAM_PLANT = ("shared boilerplate passage repeated across many "
+                "documents verbatim")
+
+
+def q_dedup_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-doc exact substring dedup (dedup.remove_duplicate_ngrams,
+    n=6): plant a 9-token passage on every 5th doc; the globally-first
+    occurrence (min doc_id, pos) keeps its copy and every other
+    occurrence loses the covered tokens — plus whatever duplicated
+    6-grams occur naturally between the corpus's planted near-dup docs.
+    Gate pins the duplicated-window table, the min-(id,pos) keeper rule,
+    interval-union token removal and the original-case keep-marked
+    reassembly (matching is on the lowercased stream)."""
+    from .functions.dedup import remove_duplicate_ngrams
+    d = _docs(spark, sf).select("doc_id", "text")
+    planted = F.when(F.col("doc_id") % 5 == 0,
+                     F.concat("text", F.lit(" " + _NGRAM_PLANT))
+                     ).otherwise(F.col("text"))
+    out = remove_duplicate_ngrams(
+        d.select("doc_id", planted.alias("text")), n=6)
+    return (out.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash"),
+        "n_kept", "n_dropped")
+        .orderBy("doc_id"))
+
+
+SQL_DEDUP_NGRAMS = r"""
+WITH pdocs AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN text || ' """ + _NGRAM_PLANT + r"""'
+                ELSE text END AS text
+    FROM documents
+),
+norm AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                        ' ') AS lt,
+           string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                        ' ') AS ot
+    FROM pdocs
+),
+occ AS (
+    SELECT doc_id, u.i AS pos, len(lt) AS ntok,
+           concat_ws(' ', lt[u.i + 1], lt[u.i + 2], lt[u.i + 3],
+                     lt[u.i + 4], lt[u.i + 5], lt[u.i + 6]) AS sh
+    FROM norm, unnest(generate_series(0, greatest(len(lt) - 6, 0))) AS u(i)
+),
+ranked AS (
+    SELECT doc_id, pos, ntok,
+           row_number() OVER (
+               PARTITION BY ('0x' || substring(md5(sh), 1, 15))::BIGINT
+               ORDER BY doc_id, pos) AS rn
+    FROM occ WHERE sh <> ''
+),
+drp AS (
+    SELECT DISTINCT r.doc_id, u.tp
+    FROM (SELECT * FROM ranked WHERE rn >= 2) r,
+         unnest(generate_series(r.pos, least(r.pos + 5, r.ntok - 1)))
+             AS u(tp)
+),
+toks AS (
+    SELECT doc_id, u.i - 1 AS tp, ot[u.i] AS tok
+    FROM norm, unnest(generate_series(1, len(ot))) AS u(i)
+),
+asm AS (
+    SELECT t.doc_id,
+           coalesce(string_agg(CASE WHEN d.tp IS NULL THEN t.tok END,
+                               ' ' ORDER BY t.tp), '') AS text,
+           CAST(count(CASE WHEN d.tp IS NULL THEN 1 END) AS BIGINT)
+               AS n_kept,
+           CAST(count(*) - count(CASE WHEN d.tp IS NULL THEN 1 END)
+                AS BIGINT) AS n_dropped
+    FROM toks t
+    LEFT JOIN drp d ON t.doc_id = d.doc_id AND t.tp = d.tp
+    GROUP BY t.doc_id
+)
+SELECT doc_id, md5(text) AS text_hash, n_kept, n_dropped
+FROM asm ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # 17. SimHash (training-pipeline dedup; functions/dedup.py:simhash64)
 # ---------------------------------------------------------------------------
@@ -3911,6 +3993,7 @@ QUERIES = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_fuzzy": q_dedup_fuzzy,
+    "q_dedup_ngrams": q_dedup_ngrams,
     "q_simhash": q_simhash,
     "q_lsh_ann": q_lsh_ann,
     "q_ivf_ann": q_ivf_ann,
@@ -3983,6 +4066,7 @@ ORACLES = {
     "q_ngram_jaccard": SQL_NGRAM_JACCARD,
     "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
     "q_dedup_fuzzy": SQL_DEDUP_FUZZY,
+    "q_dedup_ngrams": SQL_DEDUP_NGRAMS,
     "q_simhash": SQL_SIMHASH,
     "q_lsh_ann": SQL_LSH_ANN,
     "q_ivf_ann": SQL_IVF_ANN,

@@ -482,3 +482,70 @@ def fuzzy_dedup(df: DataFrame, text_col: str = "text",
     drop = (clusters.filter(F.col("node") != F.col("cluster"))
             .select(F.col("node").alias(id_col)))
     return df.join(drop, id_col, "left_anti")
+
+
+def remove_duplicate_ngrams(df: DataFrame, n: int = 6,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Cross-document EXACT SUBSTRING dedup (the suffix-array dedup of
+    "Deduplicating Training Data Makes Language Models Better",
+    re-expressed relationally): any n-token window that occurs more than
+    once in the corpus keeps its globally-first occurrence
+    (minimum ``(id, pos)``) and every OTHER occurrence has its covered
+    tokens removed. Complements :func:`~..corpusops.dedup_paragraphs`
+    (units are arbitrary token windows, not newline-delimited lines) and
+    the near-dup family (removes verbatim boilerplate passages between
+    documents that are NOT near-duplicates overall).
+
+    Matching is on the lowercased whitespace-collapsed token stream (the
+    family's shared normalization); the rebuilt text keeps the ORIGINAL
+    token casing — positions align because both tokenizations split the
+    same collapsed stream. Returns ``(id, text, n_kept, n_dropped)``;
+    docs whose every token was covered survive with empty text.
+
+    Scale shape: windows come from the shuffle-free ``_gram_rows``
+    construction (arrays_zip over shifted slices, inside the scan
+    partition); the duplicated-window table is a map-side-combinable
+    aggregation on the 60-bit window hash whose min-(id,pos) keeper
+    rides the same combine; occurrences re-join that table on the hash
+    (skewed hot windows — stop-word runs — are AQE skew-join territory,
+    and the join output is bounded by the occurrence count either way);
+    the final keep-marked reassembly is the family's standard one
+    doc-keyed shuffle. Nothing global, no driver actions.
+    """
+    occ = (_gram_rows(df, text_col, id_col, n)
+           .withColumn("_wh", _hash60(F.col("sh"))).drop("sh"))
+    wins = (occ.groupBy("_wh")
+            .agg(F.count("*").alias("_c"),
+                 F.min(F.struct(F.col(id_col).alias("i"),
+                                F.col("_pos").alias("p"))).alias("_k"))
+            .filter(F.col("_c") >= 2)
+            .select("_wh", "_k"))
+    removed = (occ.join(wins, "_wh")
+               .filter(~((F.col(id_col) == F.col("_k.i"))
+                         & (F.col("_pos") == F.col("_k.p")))))
+    drop = (removed.select(
+                F.col(id_col),
+                F.explode(F.sequence(
+                    F.col("_pos"),
+                    F.least(F.col("_pos") + n - 1, F.col("_ntok") - 1)))
+                .alias("_tp"))
+            .distinct()
+            .withColumn("_drop", F.lit(1)))
+    orig_toks = F.split(
+        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    toks = df.select(F.col(id_col),
+                     F.posexplode(orig_toks).alias("_tp", "_tok"))
+    marked = toks.join(drop, [id_col, "_tp"], "left_outer")
+    keep = F.col("_drop").isNull()
+    kept_n = F.count(F.when(keep, F.lit(1)))
+    return (marked.groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(keep, F.struct(F.col("_tp").alias("p"),
+                                                   F.col("_tok").alias("t"))))),
+                         lambda s: s["t"]),
+                     " ").alias(text_col),
+                 kept_n.cast("long").alias("n_kept"),
+                 (F.count("*") - kept_n).cast("long").alias("n_dropped")))

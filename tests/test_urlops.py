@@ -70,6 +70,44 @@ def test_url_dedup_and_blocklist_and_cap(spark):
     assert all(r["sample_rank"] <= 2 for r in rows)
 
 
+def _plan_of(df):
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_normalize_urls_plan_is_pure_projection(spark):
+    """100 TB shape: parse+normalize+registered-domain is a single
+    codegen projection — zero exchanges; it runs inside the scan stage
+    and downstream shuffles hash the already-normalized key."""
+    from extractpdf4j_spark.functions.urlops import normalize_urls
+    d = spark.range(0, 10).selectExpr(
+        "id AS doc_id", "concat('http://h', id, '.com/p') AS url")
+    plan = _plan_of(normalize_urls(d))
+    assert "Exchange" not in plan, plan
+
+
+def test_blocklist_plan_broadcasts(spark):
+    """The domain blocklist joins as an explicit broadcast anti-join;
+    the corpus side is never exchanged for the filter, even with
+    auto-broadcast disabled."""
+    from extractpdf4j_spark.functions.urlops import (normalize_urls,
+                                                     filter_blocked_domains)
+    d = normalize_urls(spark.range(0, 10).selectExpr(
+        "id AS doc_id", "concat('http://h', id, '.com/p') AS url"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan_of(filter_blocked_domains(d, ["h1.com", "h2.com"]))
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_fuzzy_dedup_removes_near_dups_keeps_min_id(spark):
     from extractpdf4j_spark.functions.dedup import fuzzy_dedup
     base = ("the quick brown fox jumps over the lazy dog and then runs "
@@ -106,3 +144,43 @@ def test_fuzzy_dedup_verification_blocks_lsh_false_positives(spark):
                                        max_bucket=None,
                                        num_partitions=4).collect())
     assert kept == [1, 2]
+
+
+def test_remove_duplicate_ngrams_hand_computed(spark):
+    """Cross-doc, intra-doc and case-preservation semantics on literal
+    inputs (n=6): keeper is the global min (doc_id, pos) occurrence;
+    every other occurrence's covered tokens are removed (interval
+    union); matching is lowercased, rebuild keeps original case."""
+    from extractpdf4j_spark.functions.dedup import remove_duplicate_ngrams
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "x y a b c d e f q"),        # shares 6-gram at pos 2
+        (3, "p q r s t u v p q r s t u v"),   # intra-doc repeat
+        (4, "Hello World Foo Bar Baz Qux Quux"),
+        (5, "hello world foo bar baz qux END"),  # case-insensitive match
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_ngrams(df, n=6).collect()}
+    assert out[1]["text"] == "a b c d e f g h"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (8, 0)
+    assert out[2]["text"] == "x y q"
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (3, 6)
+    # windows (3,0) and (3,1) keep; (3,7)/(3,8) drop tokens 7..13
+    assert out[3]["text"] == "p q r s t u v"
+    assert (out[3]["n_kept"], out[3]["n_dropped"]) == (7, 7)
+    # doc 4 is the keeper (min id) and keeps ORIGINAL case
+    assert out[4]["text"] == "Hello World Foo Bar Baz Qux Quux"
+    assert out[5]["text"] == "END"
+    assert (out[5]["n_kept"], out[5]["n_dropped"]) == (1, 6)
+
+
+def test_remove_duplicate_ngrams_no_dups_is_identity(spark):
+    from extractpdf4j_spark.functions.dedup import remove_duplicate_ngrams
+    docs = [(1, "alpha beta gamma delta epsilon zeta eta"),
+            (2, "one two three four five six seven")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"]
+           for r in remove_duplicate_ngrams(df, n=6).collect()}
+    assert out == {1: "alpha beta gamma delta epsilon zeta eta",
+                   2: "one two three four five six seven"}
