@@ -123,7 +123,8 @@ HEAVY_QUERIES = [
     # minhash family in dependency order: sig/pairs warm the shared
     # shingle+signature lineage that q_dedup_clusters re-executes
     "q_minhash_sig", "q_minhash_pairs", "q_ngram_jaccard",
-    "q_dedup_clusters", "q_dedup_fuzzy", "q_dedup_ngrams",
+    "q_dedup_clusters", "q_dedup_fuzzy", "q_dedup_fuzzy_incr",
+    "q_dedup_ngrams",
     "q_curate", "q_media_features", "q_ann_scale",
     "q_embed_neardup",
     "q_ivf_ann", "q_simhash", "q_lsh_ann", "q_fuzzy_header",

@@ -1174,6 +1174,110 @@ ORDER BY d.doc_id
 SQL_DEDUP_FUZZY = _dedup_fuzzy_oracle_sql()
 
 
+def q_dedup_fuzzy_incr(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental fuzzy ingest (dedup.fuzzy_dedup_against_corpus):
+    batch = every 3rd doc, corpus = the rest; batch docs near-dupping
+    any corpus doc (verified Jaccard >= 0.5) drop first, survivors then
+    fuzzy-dedup within the batch. Gate pins the cross-corpus banding,
+    candidate-restricted verification and the two-stage drop order (a
+    corpus-covered doc cannot anchor a batch-internal cluster)."""
+    from .functions.dedup import fuzzy_dedup_against_corpus
+    d = _docs(spark, sf)
+    batch = d.filter(F.col("doc_id") % 3 == 0)
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    kept = fuzzy_dedup_against_corpus(batch, corpus,
+                                      jaccard_threshold=0.5,
+                                      max_bucket=None, num_partitions=8)
+    return (kept.select(
+        "doc_id", "lang", "source",
+        F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .orderBy("doc_id"))
+
+
+def _dedup_fuzzy_incr_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE {DUCK_SHINGLES},
+sigs AS (
+    SELECT doc_id,
+           {_DUCK_MINHASH_COMPONENTS}
+    FROM shf GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, 0 AS band_id, [h0, h1] AS band_val FROM sigs
+    UNION ALL SELECT doc_id, 1, [h2, h3] FROM sigs
+    UNION ALL SELECT doc_id, 2, [h4, h5] FROM sigs
+    UNION ALL SELECT doc_id, 3, [h6, h7] FROM sigs
+),
+counts AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+cross_pairs AS (
+    SELECT DISTINCT n.doc_id AS a, c.doc_id AS b
+    FROM banded n JOIN banded c
+      ON n.band_id = c.band_id AND n.band_val = c.band_val
+    WHERE n.doc_id % 3 = 0 AND c.doc_id % 3 <> 0
+),
+cinter AS (
+    SELECT p.a, p.b, count(*) AS ninter
+    FROM cross_pairs p
+    JOIN shf sa ON sa.doc_id = p.a
+    JOIN shf sb ON sb.doc_id = p.b AND sb.shash = sa.shash
+    GROUP BY p.a, p.b
+),
+cjac AS (
+    SELECT p.a,
+           round(coalesce(i.ninter, 0) * 1.0
+                 / (ca.n + cb.n - coalesce(i.ninter, 0)), 6) AS jaccard
+    FROM cross_pairs p
+    JOIN counts ca ON ca.doc_id = p.a
+    JOIN counts cb ON cb.doc_id = p.b
+    LEFT JOIN cinter i ON i.a = p.a AND i.b = p.b
+),
+dropped AS (SELECT DISTINCT a AS doc_id FROM cjac WHERE jaccard >= 0.5),
+bpairs AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM banded x JOIN banded y
+      ON x.band_id = y.band_id AND x.band_val = y.band_val
+     AND x.doc_id < y.doc_id
+    WHERE x.doc_id % 3 = 0 AND y.doc_id % 3 = 0
+      AND x.doc_id NOT IN (SELECT doc_id FROM dropped)
+      AND y.doc_id NOT IN (SELECT doc_id FROM dropped)
+),
+binter AS (
+    SELECT p.a, p.b, count(*) AS ninter
+    FROM bpairs p
+    JOIN shf sa ON sa.doc_id = p.a
+    JOIN shf sb ON sb.doc_id = p.b AND sb.shash = sa.shash
+    GROUP BY p.a, p.b
+),
+vp AS (
+    SELECT p.a, p.b
+    FROM bpairs p
+    JOIN counts ca ON ca.doc_id = p.a
+    JOIN counts cb ON cb.doc_id = p.b
+    LEFT JOIN binter i ON i.a = p.a AND i.b = p.b
+    WHERE round(coalesce(i.ninter, 0) * 1.0
+                / (ca.n + cb.n - coalesce(i.ninter, 0)), 6) >= 0.5
+),
+ed AS (SELECT a AS u, b AS v FROM vp UNION ALL SELECT b AS u, a AS v FROM vp),
+reach AS (
+    SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM ed)
+    UNION
+    SELECT ed.u AS node, reach.label
+    FROM ed JOIN reach ON ed.v = reach.node
+),
+cl AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+drp AS (SELECT node FROM cl WHERE node <> cluster)
+SELECT d.doc_id, d.lang, d.source, md5(d.text) AS text_hash
+FROM documents d
+WHERE d.doc_id % 3 = 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+  AND d.doc_id NOT IN (SELECT node FROM drp)
+ORDER BY d.doc_id
+"""
+
+
+SQL_DEDUP_FUZZY_INCR = _dedup_fuzzy_incr_oracle_sql()
+
+
 _NGRAM_PLANT = ("shared boilerplate passage repeated across many "
                 "documents verbatim")
 
@@ -3994,6 +4098,7 @@ QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_fuzzy": q_dedup_fuzzy,
     "q_dedup_ngrams": q_dedup_ngrams,
+    "q_dedup_fuzzy_incr": q_dedup_fuzzy_incr,
     "q_simhash": q_simhash,
     "q_lsh_ann": q_lsh_ann,
     "q_ivf_ann": q_ivf_ann,
@@ -4067,6 +4172,7 @@ ORACLES = {
     "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
     "q_dedup_fuzzy": SQL_DEDUP_FUZZY,
     "q_dedup_ngrams": SQL_DEDUP_NGRAMS,
+    "q_dedup_fuzzy_incr": SQL_DEDUP_FUZZY_INCR,
     "q_simhash": SQL_SIMHASH,
     "q_lsh_ann": SQL_LSH_ANN,
     "q_ivf_ann": SQL_IVF_ANN,

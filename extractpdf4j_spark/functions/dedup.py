@@ -156,16 +156,7 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     band. Buckets larger than ``max_bucket`` are dropped (hot-key guard);
     pass ``max_bucket=None`` for exhaustive pairs (the correctness-gate
     paths do, so the DuckDB oracles need no cap clause)."""
-    rows_per_band = k // bands
-    band_cols = [
-        F.struct(F.lit(b).alias("band_id"),
-                 F.array(*[F.col(f"h{b * rows_per_band + r}")
-                           for r in range(rows_per_band)]).alias("band_val"))
-        for b in range(bands)
-    ]
-    banded = (sigs.select(F.col(id_col), F.explode(F.array(*band_cols))
-                          .alias("band"))
-              .select(id_col, "band.band_id", "band.band_val"))
+    banded = _banded_sigs(sigs, id_col, k, bands)
     if max_bucket is not None:
         sized = (banded.groupBy("band_id", "band_val")
                  .agg(F.count("*").alias("bucket_n")))
@@ -549,3 +540,100 @@ def remove_duplicate_ngrams(df: DataFrame, n: int = 6,
                      " ").alias(text_col),
                  kept_n.cast("long").alias("n_kept"),
                  (F.count("*") - kept_n).cast("long").alias("n_dropped")))
+
+
+def _banded_sigs(sigs: DataFrame, id_col: str, k: int,
+                 bands: int) -> DataFrame:
+    """(id, band_id, band_val) rows from a signature table — the LSH
+    banding shared by in-corpus and cross-corpus candidate generation."""
+    rows_per_band = k // bands
+    band_cols = [
+        F.struct(F.lit(b).alias("band_id"),
+                 F.array(*[F.col(f"h{b * rows_per_band + r}")
+                           for r in range(rows_per_band)]).alias("band_val"))
+        for b in range(bands)
+    ]
+    return (sigs.select(F.col(id_col), F.explode(F.array(*band_cols))
+                        .alias("band"))
+            .select(id_col, "band.band_id", "band.band_val"))
+
+
+def fuzzy_dedup_against_corpus(new_df: DataFrame, corpus_df: DataFrame,
+                               text_col: str = "text",
+                               id_col: str = "doc_id", k: int = 8,
+                               bands: int = 4, shingle_n: int = 3,
+                               jaccard_threshold: float = 0.8,
+                               max_bucket: int | None = 1000,
+                               max_iter: int = 15, check_every: int = 1,
+                               num_partitions: int | None = None,
+                               corpus_sigs: DataFrame | None = None
+                               ) -> DataFrame:
+    """Incremental NEAR-duplicate ingest: drop new-batch documents that
+    are near-dups (verified n-gram Jaccard >= threshold) of ANY corpus
+    document, then :func:`fuzzy_dedup` the survivors within the batch —
+    the fuzzy analog of :func:`dedup_against_corpus`, i.e. what a daily
+    crawl ingest runs against yesterday's corpus.
+
+    Scale shape (100 TB corpus, small daily batch): the corpus appears
+    ONLY through its signature table (pass a materialized one via
+    ``corpus_sigs`` so the corpus text is never rescanned for candidate
+    generation) and through the shingles of the candidate-matched
+    corpus docs alone (a left_semi restriction BEFORE shingling — the
+    verification cost is bounded by the candidate count, not the corpus
+    size). Banding is an equi-join on (band_id, band_val) with the
+    hot-bucket cap applied to the corpus side; batch-internal cleanup
+    runs AFTER the corpus drop, so a batch doc can never survive via a
+    batch-mate that the corpus already covered."""
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signatures(corpus_df, text_col, id_col, k,
+                                         shingle_n)
+    new_sigs = minhash_signatures(new_df, text_col, id_col, k, shingle_n)
+    nbd = (_banded_sigs(new_sigs, id_col, k, bands)
+           .withColumnRenamed(id_col, "a"))
+    cbd = (_banded_sigs(corpus_sigs, id_col, k, bands)
+           .withColumnRenamed(id_col, "b"))
+    if max_bucket is not None:
+        sized = (cbd.groupBy("band_id", "band_val")
+                 .agg(F.count("*").alias("_bn")))
+        cbd = (cbd.join(sized, ["band_id", "band_val"])
+               .filter(F.col("_bn") <= max_bucket).drop("_bn"))
+    # the candidate pair set is read by four downstream joins (two
+    # shingle restrictions, the intersection, the count attach) — cache
+    # it so the banding lineage runs once, same convention as
+    # ngram_jaccard_pairs' shingle cache
+    cross = (nbd.join(cbd, ["band_id", "band_val"])
+             .select("a", "b").distinct().cache())
+    # verify on true shingle Jaccard, shingling ONLY candidate docs
+    sh_new = shingle_hash_rows(
+        new_df.join(cross.select(F.col("a").alias(id_col)).distinct(),
+                    id_col, "left_semi"), text_col, id_col,
+        shingle_n).cache()
+    sh_cor = shingle_hash_rows(
+        corpus_df.join(cross.select(F.col("b").alias(id_col)).distinct(),
+                       id_col, "left_semi"), text_col, id_col,
+        shingle_n).cache()
+    sa = sh_new.select(F.col(id_col).alias("a"), F.col("shash").alias("s"))
+    sb = sh_cor.select(F.col(id_col).alias("b"), F.col("shash").alias("s"))
+    inter = (cross.join(sa, "a").join(sb, ["b", "s"])
+             .groupBy("a", "b").agg(F.count("*").alias("ninter")))
+    ca = (sh_new.groupBy(id_col).agg(F.count("*").alias("na"))
+          .withColumnRenamed(id_col, "a"))
+    cb = (sh_cor.groupBy(id_col).agg(F.count("*").alias("nb"))
+          .withColumnRenamed(id_col, "b"))
+    j = (cross.join(ca, "a").join(cb, "b")
+         .join(inter, ["a", "b"], "left")
+         .withColumn("ninter", F.coalesce(F.col("ninter"), F.lit(0))))
+    union = F.col("na") + F.col("nb") - F.col("ninter")
+    jac = F.when(union > 0, F.col("ninter") / union).otherwise(F.lit(0.0))
+    dropped = (j.filter(F.round(jac, 6) >= jaccard_threshold)
+               .select(F.col("a").alias(id_col)).distinct())
+    # Truncate lineage here: fuzzy_dedup re-reads its input once per
+    # internal stage (signatures, verification shingles, removal join),
+    # and without this every read would re-execute the whole
+    # cross-corpus verification above. The checkpoint is batch-sized —
+    # the side that is small by construction in an incremental ingest.
+    fresh = (new_df.join(dropped, id_col, "left_anti")
+             .localCheckpoint(eager=False))
+    return fuzzy_dedup(fresh, text_col, id_col, k, bands, shingle_n,
+                       jaccard_threshold, max_bucket, max_iter,
+                       check_every, num_partitions)

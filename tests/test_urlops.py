@@ -184,3 +184,26 @@ def test_remove_duplicate_ngrams_no_dups_is_identity(spark):
            for r in remove_duplicate_ngrams(df, n=6).collect()}
     assert out == {1: "alpha beta gamma delta epsilon zeta eta",
                    2: "one two three four five six seven"}
+
+
+def test_fuzzy_dedup_against_corpus_two_stage(spark):
+    """Corpus near-dups drop first; batch-internal clusters form only
+    among the survivors; unique docs pass through."""
+    from extractpdf4j_spark.functions.dedup import fuzzy_dedup_against_corpus
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest tonight")
+    other = ("a completely different report about spark adaptive "
+             "execution and shuffle partition coalescing behavior today")
+    corpus = spark.createDataFrame([(100, base)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(1, base + " extra"),       # near-dup of corpus 100 -> dropped
+         (2, other),                 # batch-internal keeper (min id)
+         (3, other + " tail"),       # near-dup of 2 -> dropped
+         (4, "totally unrelated text mentioning parquet files and "
+             "arrow batches moving between executors all day")],
+        ["doc_id", "text"])
+    kept = sorted(r["doc_id"] for r in
+                  fuzzy_dedup_against_corpus(
+                      batch, corpus, jaccard_threshold=0.5,
+                      max_bucket=None, num_partitions=4).collect())
+    assert kept == [2, 4]
