@@ -2,7 +2,7 @@
 
 The reference has no streaming (its Spring service is blocking
 request/response, PdfExtractController.java:40-44), but a corpus-scale
-deployment ingests documents continuously. Four shapes:
+deployment ingests documents continuously. Five shapes:
 
 * :func:`stream_extraction` — ``readStream`` on the documents location →
   ``foreachBatch`` running the same extraction plan per micro-batch →
@@ -24,6 +24,10 @@ deployment ingests documents continuously. Four shapes:
   first arrival of a normalized text hash is the keeper (per-hash state
   bounded by distinct content, not stream length); later arrivals in any
   batch emit ``is_duplicate=true`` at arrival time.
+* :func:`stream_fuzzy_dedup` — cross-batch NEAR-dup removal via
+  ``foreachBatch`` + an accumulated signature table: each micro-batch
+  runs ``fuzzy_dedup_against_corpus`` against everything kept so far,
+  with candidate generation touching only the signature state.
 """
 
 from __future__ import annotations
@@ -301,3 +305,65 @@ def session_metrics(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
                  F.count("*").alias("n_events"),
                  (F.max(ep) - F.min(ep)).alias("duration_sec"),
                  F.round(F.sum("value"), 6).alias("value_sum")))
+
+
+# ---------------------------------------------------------------------------
+# Streaming fuzzy dedup (cross-batch near-dup removal with signature state)
+# ---------------------------------------------------------------------------
+
+def stream_fuzzy_dedup(spark: SparkSession, documents_path: str,
+                       out_dir: str, sigs_dir: str, checkpoint_dir: str,
+                       schema: str = "doc_id long, text string",
+                       trigger_once: bool = True,
+                       **fuzzy_kwargs: Any):
+    """Continuously ingest documents with NEAR-duplicate removal: each
+    micro-batch is deduplicated against everything already kept (the
+    streaming composition of
+    :func:`~.functions.dedup.fuzzy_dedup_against_corpus`), then within
+    itself; survivors append to ``out_dir`` and their MinHash signatures
+    append to ``sigs_dir``. Returns the StreamingQuery.
+
+    Keeper semantics follow :func:`stream_exact_dedup`: arrival time
+    wins — a near-dup of anything kept by an earlier batch drops at
+    arrival, regardless of id ordering across batches (within a batch
+    the min-id rule applies). State is the kept corpus plus its
+    signature table; candidate generation reads ONLY the signature
+    table (``corpus_sigs`` seam), and kept text is read back just for
+    the candidate-restricted verification — per batch that costs one
+    anti-join-sized scan, never a corpus re-shingle. The stream
+    checkpoint gives exactly-once per-batch appends."""
+    from .functions.dedup import (fuzzy_dedup, fuzzy_dedup_against_corpus,
+                                  minhash_signatures)
+    text_col = fuzzy_kwargs.get("text_col", "text")
+    id_col = fuzzy_kwargs.get("id_col", "doc_id")
+    k = fuzzy_kwargs.get("k", 8)
+    shingle_n = fuzzy_kwargs.get("shingle_n", 3)
+
+    docs_stream = (spark.readStream.schema(schema)
+                   .option("maxFilesPerTrigger", "1")
+                   .parquet(documents_path))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        try:
+            corpus = s.read.parquet(f"{out_dir}/kept")
+            sigs = s.read.parquet(sigs_dir)
+            has_state = True
+        except Exception:
+            has_state = False
+        if has_state:
+            kept = fuzzy_dedup_against_corpus(
+                batch_df, corpus, corpus_sigs=sigs, **fuzzy_kwargs)
+        else:
+            kept = fuzzy_dedup(batch_df, **fuzzy_kwargs)
+        kept = kept.localCheckpoint(eager=True)
+        kept.write.mode("append").parquet(f"{out_dir}/kept")
+        (minhash_signatures(kept, text_col, id_col, k, shingle_n)
+         .write.mode("append").parquet(sigs_dir))
+
+    writer = (docs_stream.writeStream
+              .option("checkpointLocation", checkpoint_dir)
+              .foreachBatch(process_batch))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

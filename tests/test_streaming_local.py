@@ -243,3 +243,41 @@ def test_stream_exact_dedup_keeper_spans_arrow_chunks(spark, tmp_path):
     dup_flags = {r["doc_id"]: r["is_duplicate"] for r in out}
     assert dup_flags["d0000"] is False
     assert sum(dup_flags.values()) == 299
+
+
+def test_stream_fuzzy_dedup_cross_batch(spark, tmp_path):
+    """Cross-batch NEAR-dup removal with signature state: batch 2's
+    near-dup of a batch-1 keeper drops at arrival (arrival-time wins);
+    batch-2-internal near-dups keep min id; unique docs pass. The kept
+    corpus and its signature table accumulate across batches."""
+    from extractpdf4j_spark.streaming import stream_fuzzy_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest tonight")
+    other = ("a completely different report about spark adaptive "
+             "execution and shuffle partition coalescing behavior today")
+    src = str(tmp_path / "docs")
+    schema = "doc_id long, text string"
+    b1 = [(10, base), (20, other)]
+    b2 = [(11, base + " extra"),          # near-dup of kept 10 -> drop
+          (30, "totally unrelated text mentioning parquet files and "
+               "arrow batches moving between executors all day"),
+          (31, "totally unrelated text mentioning parquet files and "
+               "arrow batches moving between executors all night")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    q = stream_fuzzy_dedup(
+        spark, src, str(tmp_path / "out"), str(tmp_path / "sigs"),
+        str(tmp_path / "ckpt"), schema=schema,
+        jaccard_threshold=0.5, max_bucket=None, num_partitions=4)
+    q.awaitTermination(240)
+
+    kept = sorted(r["doc_id"] for r in
+                  spark.read.parquet(str(tmp_path / "out" / "kept"))
+                  .collect())
+    assert kept == [10, 20, 30]
+    sigs = spark.read.parquet(str(tmp_path / "sigs"))
+    assert sorted(r["doc_id"] for r in sigs.collect()) == [10, 20, 30]
+    assert {f"h{i}" for i in range(8)} <= set(sigs.columns)
