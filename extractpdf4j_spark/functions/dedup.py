@@ -1,4 +1,7 @@
-"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+plus the composed passes a curation pipeline actually runs: fuzzy_dedup
+(batch near-dup removal), fuzzy_dedup_against_corpus (incremental
+ingest), remove_duplicate_ngrams (cross-doc exact substring dedup).
 
 All hot paths are JVM-side expressions (split/transform/md5/conv/bitwise →
 whole-stage codegen); there is no Python in any per-row path. Hashing is
