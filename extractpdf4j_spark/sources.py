@@ -76,3 +76,120 @@ def write_bucketed(df: DataFrame, ref: str, bucket_col: str,
     if sort:
         w = w.sortBy(bucket_col)
     w.format("parquet").saveAsTable(ref)
+
+
+# ---------------------------------------------------------------------------
+# WARC source (ISO 28500 — the web-crawl archive format)
+# ---------------------------------------------------------------------------
+
+# Imported lazily-light: everything below is stdlib + pyspark.
+import gzip
+import io
+
+import pandas as pd
+
+from pyspark.sql.types import (BinaryType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+WARC_SCHEMA = StructType([
+    StructField("warc_path", StringType()),
+    StructField("record_id", StringType()),
+    StructField("warc_type", StringType()),
+    StructField("target_uri", StringType()),
+    StructField("warc_date", StringType()),
+    StructField("content_type", StringType()),
+    StructField("http_status", IntegerType()),
+    StructField("payload", BinaryType()),
+    StructField("payload_text", StringType()),
+    StructField("record_length", LongType()),
+])
+
+
+def _iter_warc_records(data: bytes):
+    """Walk WARC records by Content-Length (the spec's framing — never
+    by regex-splitting on the version line, which can occur inside
+    payloads). Yields (headers dict lowercase, block bytes). Records
+    missing Content-Length terminate the walk (truncated/corrupt tail)."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos:pos + 2] in (b"\r\n", b"\n\n"):
+            pos += 2
+        if not data.startswith(b"WARC/", pos):
+            break
+        hend = data.find(b"\r\n\r\n", pos)
+        if hend < 0:
+            break
+        headers = {}
+        for line in data[pos:hend].split(b"\r\n")[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[k.strip().lower().decode("ascii", "replace")] = \
+                    v.strip().decode("utf-8", "replace")
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            break
+        body_start = hend + 4
+        yield headers, data[body_start:body_start + clen]
+        pos = body_start + clen
+
+
+def _split_http(block: bytes):
+    """(status, payload) from an HTTP response block; non-HTTP blocks
+    (warcinfo, metadata, conversion records) pass through whole."""
+    if not block.startswith(b"HTTP/"):
+        return None, block
+    hend = block.find(b"\r\n\r\n")
+    if hend < 0:
+        return None, block
+    status_line = block[:block.find(b"\r\n")].split(b" ")
+    try:
+        status = int(status_line[1])
+    except (IndexError, ValueError):
+        status = None
+    return status, block[hend + 4:]
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read WARC archives (plain or gzipped, incl. the member-per-record
+    gzip Common Crawl ships) into one row per record.
+
+    Scale shape: ``binaryFile`` gives one task per archive — the natural
+    WARC parallelism, since crawl archives are written as ~1 GB
+    segments and records inside a segment must be walked sequentially
+    (Content-Length framing). Parsing is an Arrow-batched ``mapInPandas``
+    IO seam, not a per-row UDF; downstream curation (urlops → htmlops →
+    dedup families) runs on the emitted columns fully JVM-side.
+    ``payload_text`` is the UTF-8 (errors=replace) decode for the text
+    pipeline; ``payload`` keeps the exact bytes for multimodal columns.
+    """
+    files = (spark.read.format("binaryFile").load(path)
+             .select("path", "content"))
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":
+                    # concatenated gzip members decompress transparently
+                    data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+                for headers, block in _iter_warc_records(data):
+                    status, payload = _split_http(block)
+                    rows.append((
+                        fpath,
+                        headers.get("warc-record-id"),
+                        headers.get("warc-type"),
+                        headers.get("warc-target-uri"),
+                        headers.get("warc-date"),
+                        headers.get("content-type"),
+                        status,
+                        payload,
+                        payload.decode("utf-8", "replace"),
+                        len(block),
+                    ))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              WARC_SCHEMA.fields])
+
+    return files.mapInPandas(parse, WARC_SCHEMA)

@@ -207,3 +207,92 @@ def test_fuzzy_dedup_against_corpus_two_stage(spark):
                       batch, corpus, jaccard_threshold=0.5,
                       max_bucket=None, num_partitions=4).collect())
     assert kept == [2, 4]
+
+
+def _warc_record(headers: dict, block: bytes) -> bytes:
+    head = b"WARC/1.0\r\n" + b"".join(
+        f"{k}: {v}\r\n".encode() for k, v in headers.items())
+    head += f"Content-Length: {len(block)}\r\n".encode()
+    return head + b"\r\n" + block + b"\r\n\r\n"
+
+
+def _sample_warc() -> bytes:
+    info = _warc_record(
+        {"WARC-Type": "warcinfo",
+         "WARC-Record-ID": "<urn:uuid:info-1>",
+         "WARC-Date": "2026-01-01T00:00:00Z",
+         "Content-Type": "application/warc-fields"},
+        b"software: testcrawler/1.0\r\n")
+    html = (b"<html><head><title>T</title></head>"
+            b"<body><p>Hello crawl world this paragraph carries enough "
+            b"words to classify as main content today</p></body></html>")
+    http_ok = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+               + html)
+    r1 = _warc_record(
+        {"WARC-Type": "response",
+         "WARC-Record-ID": "<urn:uuid:resp-1>",
+         "WARC-Target-URI": "HTTP://WWW.Example.COM:80/a//b/?b=2&a=1#f",
+         "WARC-Date": "2026-01-01T00:00:01Z",
+         "Content-Type": "application/http; msgtype=response"},
+        http_ok)
+    r2 = _warc_record(
+        {"WARC-Type": "response",
+         "WARC-Record-ID": "<urn:uuid:resp-2>",
+         "WARC-Target-URI": "http://other.net/missing",
+         "WARC-Date": "2026-01-01T00:00:02Z",
+         "Content-Type": "application/http; msgtype=response"},
+        b"HTTP/1.1 404 Not Found\r\n\r\ngone")
+    return info + r1 + r2
+
+
+def test_read_warc_plain_and_gzip(spark, tmp_path):
+    """One row per WARC record; HTTP blocks split into status+payload;
+    warcinfo passes through whole; the member-per-record gzip variant
+    (what Common Crawl ships) parses identically."""
+    import gzip as _gzip
+    from extractpdf4j_spark.sources import read_warc
+    raw = _sample_warc()
+    (tmp_path / "a.warc").write_bytes(raw)
+    # gzip each record as its own member, concatenated
+    members = b"".join(_gzip.compress(m + b"\r\n\r\n")
+                       for m in raw.split(b"\r\n\r\n") if m)
+    (tmp_path / "gz").mkdir()
+    (tmp_path / "gz" / "a.warc.gz").write_bytes(members)
+
+    for src in (str(tmp_path / "a.warc"), str(tmp_path / "gz")):
+        rows = {r["record_id"]: r
+                for r in read_warc(spark, src).collect()}
+        assert len(rows) == 3, src
+        info = rows["<urn:uuid:info-1>"]
+        assert info["warc_type"] == "warcinfo"
+        assert info["http_status"] is None
+        assert b"testcrawler" in bytes(info["payload"])
+        ok = rows["<urn:uuid:resp-1>"]
+        assert ok["http_status"] == 200
+        assert ok["target_uri"].startswith("HTTP://WWW.Example.COM")
+        assert ok["payload_text"].startswith("<html>")
+        nf = rows["<urn:uuid:resp-2>"]
+        assert nf["http_status"] == 404
+        assert nf["payload_text"] == "gone"
+
+
+def test_warc_feeds_curation_front(spark, tmp_path):
+    """The emitted columns drive the JVM-side curation families
+    directly: normalize_urls over target_uri, extract_main_content over
+    payload_text — crawl archive to curated text without leaving the
+    DataFrame API."""
+    from extractpdf4j_spark.sources import read_warc
+    from extractpdf4j_spark.functions.urlops import normalize_urls
+    from extractpdf4j_spark.functions.htmlops import extract_main_content
+    (tmp_path / "a.warc").write_bytes(_sample_warc())
+    docs = (read_warc(spark, str(tmp_path / "a.warc"))
+            .filter("warc_type = 'response' AND http_status = 200")
+            .selectExpr("record_id AS doc_id",
+                        "target_uri AS url",
+                        "payload_text AS html"))
+    urls = normalize_urls(docs).select("doc_id", "norm_url", "domain")
+    main = extract_main_content(docs, html_col="html")
+    row = urls.join(main, "doc_id").collect()[0]
+    assert row["norm_url"] == "http://example.com/a/b?a=1&b=2"
+    assert row["domain"] == "example.com"
+    assert "Hello crawl world" in row["main_text"]
