@@ -2644,6 +2644,126 @@ ORDER BY r.lang, r.doc_id
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing
+    (corpusops.pack_sequences): the corpus laid out as one virtual
+    token stream in (bucket, hash, id) order and cut into 2048-token
+    sequences; per document, its stream offset, first sequence, offset
+    within it and sequence span. Spark computes the global prefix sum
+    two-level (per-bucket windows + broadcast bucket offsets); the
+    oracle computes it as one window over the identical total order —
+    same layout, exact 64-bit `div` both sides."""
+    from .functions.corpusops import pack_sequences
+    return (pack_sequences(_docs(spark, sf), token_col="n_chars",
+                           seq_len=2048, n_buckets=4)
+            .select("doc_id", "bucket", "n_chars", "global_start",
+                    "seq_first", "offset_in_seq", "n_seqs")
+            .orderBy("doc_id"))
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH h AS (
+    SELECT doc_id, n_chars, {_H60_DOCID_SQL} AS hh FROM documents
+),
+b AS (SELECT doc_id, n_chars, hh, hh % 4 AS bucket FROM h),
+c AS (
+    SELECT doc_id, bucket, n_chars,
+           CAST(sum(n_chars) OVER (ORDER BY bucket, hh, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - n_chars AS global_start
+    FROM b
+)
+SELECT doc_id, bucket, n_chars, global_start,
+       global_start // 2048 AS seq_first,
+       global_start % 2048 AS offset_in_seq,
+       CASE WHEN n_chars = 0 THEN 0
+            ELSE (global_start % 2048 + n_chars + 2047) // 2048
+       END AS n_seqs
+FROM c ORDER BY doc_id
+"""
+
+
+def q_mix_corpora(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-mixture construction (corpusops.mix_corpora): sources
+    src0/src1/src2/src3 weighted 5:3:1:1 over a 12000-token target,
+    documents taken per source in 60-bit hash order until the quota is
+    crossed (boundary doc kept); unweighted sources drop out. The
+    boundary test is exact long arithmetic (cum*w_tot < target*w) on
+    both engines — no float knife-edge."""
+    from .functions.corpusops import mix_corpora
+    return (mix_corpora(_docs(spark, sf), group_col="source",
+                        weights={"src0": 5, "src1": 3, "src2": 1,
+                                 "src3": 1},
+                        target_tokens=12000, token_col="n_chars")
+            .orderBy("doc_id"))
+
+
+SQL_MIX_CORPORA = f"""
+WITH w(source, wgt) AS (
+    VALUES ('src0', 5), ('src1', 3), ('src2', 1), ('src3', 1)
+),
+c AS (
+    SELECT doc_id, source, n_chars,
+           CAST(sum(n_chars) OVER (
+                    PARTITION BY source
+                    ORDER BY {_H60_DOCID_SQL}, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - n_chars AS cum_before
+    FROM documents
+)
+SELECT doc_id, source, n_chars, cum_before
+FROM c JOIN w USING (source)
+WHERE cum_before * 10 < 12000 * wgt
+ORDER BY doc_id
+"""
+
+
+def q_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style quality tiers (corpusops.logprob_buckets): rank each
+    language's documents by mean unigram logprob (6dp-rounded, fluent
+    first, id tie-break) and deal them into head/middle/tail NTILE
+    buckets. The rounding makes the sort key engine-exact; NTILE is the
+    standard remainder-to-leading-buckets definition in both engines."""
+    from .functions.corpusops import logprob_buckets
+    d = _docs(spark, sf).select("doc_id", "text", "lang")
+    return (logprob_buckets(d, n_buckets=3, group_col="lang")
+            .orderBy("doc_id"))
+
+
+SQL_PPL_BUCKETS = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text),
+                                                   '\s+', ' ', 'g')),
+                               ' ')) AS tok
+    FROM documents
+),
+freq AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS tok_count FROM toks GROUP BY tok
+),
+tot AS (SELECT CAST(sum(tok_count) AS BIGINT) AS corpus_total FROM freq),
+scored AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(CAST(tok_count AS DOUBLE) / corpus_total)), 6)
+               AS avg_logprob
+    FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+),
+r AS (
+    SELECT s.doc_id, d.lang, s.n_tokens, s.avg_logprob,
+           CAST(ntile(3) OVER (PARTITION BY d.lang
+                               ORDER BY s.avg_logprob DESC, s.doc_id)
+                AS BIGINT) AS bucket
+    FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, n_tokens, avg_logprob, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS tier
+FROM r ORDER BY doc_id
+"""
+
+
 def _planted_urls(d: DataFrame) -> DataFrame:
     """Deterministic URL per document, derived from doc_id (the planted-
     input convention): u = doc_id % 211 seeds every component, so docs
@@ -4125,6 +4245,9 @@ QUERIES = {
     "q_decontaminate": q_decontaminate,
     "q_temperature_sample": q_temperature_sample,
     "q_dedup_paragraphs": q_dedup_paragraphs,
+    "q_pack_sequences": q_pack_sequences,
+    "q_mix_corpora": q_mix_corpora,
+    "q_ppl_buckets": q_ppl_buckets,
     "q_url_normalize": q_url_normalize,
     "q_domain_curate": q_domain_curate,
     "q_dedup_incr": q_dedup_incr,
@@ -4199,6 +4322,9 @@ ORACLES = {
     "q_decontaminate": SQL_DECONTAMINATE,
     "q_temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "q_dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
+    "q_pack_sequences": SQL_PACK_SEQUENCES,
+    "q_mix_corpora": SQL_MIX_CORPORA,
+    "q_ppl_buckets": SQL_PPL_BUCKETS,
     "q_url_normalize": SQL_URL_NORMALIZE,
     "q_domain_curate": SQL_DOMAIN_CURATE,
     "q_dedup_incr": SQL_DEDUP_INCR,

@@ -13,6 +13,9 @@ from .dedup import (exact_duplicates, minhash_signatures, lsh_candidate_pairs,
                     minhash_duplicates, ngram_jaccard_pairs, shingle_rows,
                     simhash64, simhash_duplicates)
 from .dedup import shingle_hash_rows
+from .dedup import (dedup_keep_one, dedup_against_corpus, fuzzy_dedup,
+                    fuzzy_dedup_against_corpus, remove_duplicate_ngrams,
+                    duplicate_clusters)
 from .similarity import (cosine_topk, embedding_near_duplicates, knn_join,
                          lsh_bucketed_topk)
 from .textstats import add_text_stats, language_id, fingerprint
@@ -23,4 +26,7 @@ __all__ = [
     "shingle_hash_rows", "simhash64", "simhash_duplicates", "cosine_topk",
     "embedding_near_duplicates", "knn_join", "lsh_bucketed_topk",
     "add_text_stats", "language_id", "fingerprint",
+    "dedup_keep_one", "dedup_against_corpus", "fuzzy_dedup",
+    "fuzzy_dedup_against_corpus", "remove_duplicate_ngrams",
+    "duplicate_clusters",
 ]

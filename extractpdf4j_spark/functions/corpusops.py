@@ -28,7 +28,8 @@ __all__ = [
     "pii_scrub", "unigram_logprob", "chunk_documents",
     "repetition_metrics", "curate_corpus",
     "decontaminate", "remove_contaminated", "temperature_sample",
-    "dedup_paragraphs",
+    "dedup_paragraphs", "pack_sequences", "mix_corpora",
+    "logprob_buckets",
     "EMAIL_RE", "IPV4_RE", "LONGNUM_RE",
 ]
 
@@ -547,3 +548,175 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
                          key_col=id_col)
     return packed.select(id_col, lang_col, "n_tokens", "dup_gram_frac",
                          "sample_rank", "bucket", "shard")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (GPT-style concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(df: DataFrame, token_col: str, seq_len: int,
+                   n_buckets: int = 4, key_col: str = "doc_id") -> DataFrame:
+    """Map every document onto the fixed-length training sequences a
+    GPT-style concat-and-chunk tokenizer run would produce.
+
+    The corpus is laid out as ONE virtual token stream in a
+    deterministic global order — ``(bucket, 60-bit id hash, id)`` — and
+    cut into sequences of ``seq_len`` tokens; documents may span a cut.
+    Output adds, per document (all longs):
+
+    * ``bucket``       — hash bucket (stream segment) the doc sits in,
+    * ``global_start`` — the doc's first-token offset in the stream,
+    * ``seq_first``    — index of the sequence its first token lands in,
+    * ``offset_in_seq``— position of that token within ``seq_first``,
+    * ``n_seqs``       — how many sequences the doc touches (0 for an
+      empty document).
+
+    Scale shape: a global prefix sum without a global window — the
+    classic two-level construction. Per-bucket running sums are one
+    window shuffle with ``n_buckets`` parallel streams (pick buckets ~
+    cluster cores at 100 TB, same knob as :func:`pack_shards`); the
+    bucket totals form an ``n_buckets``-row table whose running offsets
+    are computed in a single tiny window and BROADCAST back. No stage
+    ever orders more than one bucket's rows, and the layout is
+    reproducible across runs, partitionings and engines."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    h = _hash60(F.col(key_col).cast("string"))
+    with_b = (df.withColumn("_h", h)
+              .withColumn("bucket", (h % n_buckets).cast("long")))
+    w = (Window.partitionBy("bucket")
+         .orderBy(F.col("_h").asc(), F.col(key_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum_in_bucket = (F.sum(F.col(token_col)).over(w)
+                     - F.col(token_col)).cast("long")
+    # n_buckets rows: the single-partition window is deliberate and tiny
+    bw = (Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (with_b.groupBy("bucket")
+               .agg(F.sum(token_col).cast("long").alias("_btot"))
+               .withColumn("_boff",
+                           F.coalesce(F.sum("_btot").over(bw),
+                                      F.lit(0)).cast("long"))
+               .select("bucket", "_boff"))
+    tok = F.col(token_col).cast("long")
+    return (with_b
+            .withColumn("_cumb", cum_in_bucket)
+            .join(F.broadcast(offsets), "bucket")
+            .withColumn("global_start",
+                        (F.col("_cumb") + F.col("_boff")).cast("long"))
+            # exact 64-bit `div`, mirroring DuckDB `//` (same reasoning
+            # as pack_shards: float floor() diverges past 2^53 tokens)
+            .withColumn("seq_first",
+                        F.expr(f"global_start div {int(seq_len)}")
+                        .cast("long"))
+            .withColumn("offset_in_seq",
+                        (F.col("global_start") % seq_len).cast("long"))
+            .withColumn(
+                "n_seqs",
+                F.when(tok == 0, F.lit(0)).otherwise(
+                    F.expr(f"(offset_in_seq + {token_col} + "
+                           f"{int(seq_len)} - 1) div {int(seq_len)}"))
+                .cast("long"))
+            .drop("_h", "_cumb", "_boff"))
+
+
+# ---------------------------------------------------------------------------
+# Dataset-mixture construction (weighted source sampling)
+# ---------------------------------------------------------------------------
+
+def mix_corpora(df: DataFrame, group_col: str, weights: dict,
+                target_tokens: int, token_col: str,
+                key_col: str = "doc_id") -> DataFrame:
+    """Build a training mixture: give each source/domain group a token
+    budget proportional to its integer weight and keep documents (in
+    deterministic 60-bit hash order) until the budget is reached.
+
+    The Pile/LLaMA-style mixture step: ``weights`` maps group value ->
+    integer relative weight; group ``g`` gets ``target_tokens * w_g /
+    sum(w)`` tokens. A document is kept iff its first token falls inside
+    the budget (the boundary document is kept, so every non-empty quota
+    takes at least one document and budgets are met or exceeded by at
+    most one document). Groups missing from ``weights`` are dropped.
+    Returns ``(key_col, group_col, token_col, cum_before)``.
+
+    The boundary test is exact integer arithmetic — ``cum_before *
+    w_tot < target_tokens * w_g`` on longs — so both engines agree
+    bit-for-bit with no float knife-edge (the CLAUDE.md quota rule).
+    Overflow bound: cum_before * w_tot must stay under 2^63 — with
+    100 TB ~ 2.5e13 tokens per group that allows total weight ~ 360k;
+    keep weights small integers (they are ratios, not counts).
+
+    Scale shape: the quota table is ``len(weights)`` literal rows,
+    broadcast; the only corpus-wide exchange is the per-group running-sum
+    window (:func:`quota_sample`'s shape). Skewed groups sort their
+    partition — pre-thin a pathological group with :func:`hash_sample`
+    first; hash order makes the composition keep the same documents."""
+    if not weights:
+        raise ValueError("weights must be a non-empty {group: int} map")
+    for g, wgt in weights.items():
+        if int(wgt) != wgt or wgt < 0:
+            raise ValueError(f"weight for {g!r} must be a non-negative "
+                             f"integer, got {wgt!r}")
+    w_tot = int(sum(weights.values()))
+    if w_tot <= 0:
+        raise ValueError("weights must sum to a positive total")
+    spark = df.sparkSession
+    quota = spark.createDataFrame(
+        [(g, int(wgt)) for g, wgt in sorted(weights.items())],
+        f"{group_col} string, _w long")
+    h = _hash60(F.col(key_col).cast("string"))
+    win = (Window.partitionBy(group_col)
+           .orderBy(h.asc(), F.col(key_col).asc())
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum_before = (F.sum(F.col(token_col)).over(win)
+                  - F.col(token_col)).cast("long")
+    return (df.withColumn("cum_before", cum_before)
+            .join(F.broadcast(quota), group_col)
+            .filter(F.col("cum_before") * F.lit(w_tot)
+                    < F.lit(int(target_tokens)) * F.col("_w"))
+            .select(key_col, group_col,
+                    F.col(token_col).cast("long").alias(token_col),
+                    "cum_before"))
+
+
+# ---------------------------------------------------------------------------
+# Perplexity bucketing (CCNet-style quality tiers)
+# ---------------------------------------------------------------------------
+
+def logprob_buckets(df: DataFrame, n_buckets: int = 3,
+                    group_col: str = "lang", text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split each group into equal-size quality tiers by corpus-LM
+    score (CCNet's head/middle/tail partition, with the unigram model
+    of :func:`unigram_logprob` standing in for its 5-gram LM).
+
+    Documents are ranked within their group by ``avg_logprob``
+    descending (fluent text first; ties broken by id) and dealt into
+    ``n_buckets`` NTILE buckets. Returns ``(id, group, n_tokens,
+    avg_logprob, bucket, tier)`` — ``bucket`` is 1-based, ``tier`` is
+    ``head``/``middle``/``tail`` when ``n_buckets == 3``, else
+    ``b<bucket>``. Downstream: train on head, hash-sample the middle,
+    drop the tail.
+
+    Scale shape: the scoring pass is :func:`unigram_logprob` (vocab
+    agg + broadcast total); bucketing adds one id-keyed join back to
+    the group column and one per-group rank window — nothing global.
+    The 6dp rounding inside unigram_logprob makes the sort key, and
+    therefore every bucket assignment, engine-exact."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    scored = (unigram_logprob(df, text_col=text_col, id_col=id_col)
+              .join(df.select(id_col, group_col), id_col))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("avg_logprob").desc(), F.col(id_col).asc())
+    bucket = F.ntile(n_buckets).over(w).cast("long")
+    if n_buckets == 3:
+        tier = (F.when(F.col("bucket") == 1, F.lit("head"))
+                .when(F.col("bucket") == 2, F.lit("middle"))
+                .otherwise(F.lit("tail")))
+    else:
+        tier = F.concat(F.lit("b"), F.col("bucket").cast("string"))
+    return (scored.withColumn("bucket", bucket)
+            .withColumn("tier", tier)
+            .select(id_col, group_col, "n_tokens", "avg_logprob",
+                    "bucket", "tier"))
