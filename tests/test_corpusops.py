@@ -339,3 +339,96 @@ def test_dedup_paragraphs_keep_first(spark):
     # doc 3 loses its only line but survives with empty text
     assert out[3]["text"] == ""
     assert out[3]["n_kept"] == 0 and out[3]["n_dropped"] == 1
+
+
+def test_pack_sequences_contiguous_stream(spark):
+    from extractpdf4j_spark.functions.corpusops import pack_sequences
+    rows = [(i, (i * 53) % 700) for i in range(1, 120)] + [(0, 0)]
+    d = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = pack_sequences(d, token_col="n_tok", seq_len=512,
+                         n_buckets=4, key_col="doc_id").collect()
+    assert len(out) == 120
+    # the layout is one contiguous token stream: sorted by global_start,
+    # each doc begins exactly where the previous one ended
+    laid = sorted(out, key=lambda r: (r["global_start"], r["doc_id"]))
+    pos = 0
+    for r in laid:
+        assert r["global_start"] == pos
+        pos += r["n_tok"]
+    assert pos == sum(t for _, t in rows)
+    for r in out:
+        assert r["seq_first"] == r["global_start"] // 512
+        assert r["offset_in_seq"] == r["global_start"] % 512
+        if r["n_tok"] == 0:
+            assert r["n_seqs"] == 0
+        else:
+            last = r["global_start"] + r["n_tok"] - 1
+            assert r["n_seqs"] == last // 512 - r["seq_first"] + 1
+
+
+def test_pack_sequences_partition_invariant(spark):
+    from extractpdf4j_spark.functions.corpusops import pack_sequences
+    rows = [(i, 10 + i % 7) for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    a = {r["doc_id"]: (r["bucket"], r["global_start"], r["n_seqs"])
+         for r in pack_sequences(d, "n_tok", 64, n_buckets=4).collect()}
+    # the layout is a pure function of (id hash, token counts): the
+    # same corpus arriving in any partitioning maps onto the same
+    # sequences — the reproducibility a resumable tokenizer run needs
+    b = {r["doc_id"]: (r["bucket"], r["global_start"], r["n_seqs"])
+         for r in pack_sequences(d.repartition(7), "n_tok", 64,
+                                 n_buckets=4).collect()}
+    assert a == b
+
+
+def test_mix_corpora_budget_and_boundary(spark):
+    import pytest
+    from extractpdf4j_spark.functions.corpusops import mix_corpora
+    rows = [(i, "g%d" % (i % 3), 100) for i in range(90)]
+    d = spark.createDataFrame(rows, "doc_id long, grp string, n_tok long")
+    out = mix_corpora(d, group_col="grp", weights={"g0": 3, "g1": 1},
+                      target_tokens=2000, token_col="n_tok").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["grp"], []).append(r)
+    assert set(by_g) == {"g0", "g1"}          # unweighted g2 dropped
+    # quotas: g0 = 2000*3/4 = 1500 tokens, g1 = 500; boundary doc kept
+    # means totals land in [quota, quota + one doc)
+    assert sum(r["n_tok"] for r in by_g["g0"]) == 1500
+    assert sum(r["n_tok"] for r in by_g["g1"]) == 500
+    for rs in by_g.values():                  # kept docs START in-budget
+        for r in rs:
+            assert r["cum_before"] * 4 < 2000 * (3 if r["grp"] == "g0"
+                                                 else 1)
+    with pytest.raises(ValueError):
+        mix_corpora(d, "grp", {}, 100, "n_tok")
+    with pytest.raises(ValueError):
+        mix_corpora(d, "grp", {"g0": 0.5}, 100, "n_tok")
+
+
+def test_mix_corpora_exhausted_group_keeps_everything(spark):
+    from extractpdf4j_spark.functions.corpusops import mix_corpora
+    rows = [(i, "small" if i < 3 else "big", 50) for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, grp string, n_tok long")
+    out = mix_corpora(d, "grp", {"small": 1, "big": 1},
+                      target_tokens=10_000, token_col="n_tok").collect()
+    small = [r for r in out if r["grp"] == "small"]
+    assert len(small) == 3                    # quota exceeds the group
+
+
+def test_logprob_buckets_tiers(spark):
+    from extractpdf4j_spark.functions.corpusops import logprob_buckets
+    rows = [(1, "a a", "en"), (2, "a b", "en"), (3, "c d", "en")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in
+           logprob_buckets(d, n_buckets=3, group_col="lang").collect()}
+    # corpus unigrams: a:3 b:1 c:1 d:1 of 6 -> doc1 (ln .5) most fluent,
+    # doc3 (ln 1/6) least; head/middle/tail in that order
+    assert (out[1]["bucket"], out[1]["tier"]) == (1, "head")
+    assert (out[2]["bucket"], out[2]["tier"]) == (2, "middle")
+    assert (out[3]["bucket"], out[3]["tier"]) == (3, "tail")
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"] \
+        > out[3]["avg_logprob"]
+    two = {r["doc_id"]: r["tier"] for r in
+           logprob_buckets(d, n_buckets=2, group_col="lang").collect()}
+    assert set(two.values()) == {"b1", "b2"}  # non-3 bucket labels
