@@ -2764,6 +2764,66 @@ FROM r ORDER BY doc_id
 """
 
 
+def q_edit_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance pair verification (dedup.edit_similarity_pairs):
+    every 13th doc gets a mutated copy (e->a, a handful of character
+    edits — high similarity), every 11th doc is paired with its natural
+    neighbor (unrelated — low similarity); texts truncated to 200 chars
+    (the op's long-document guard). Spark F.levenshtein and DuckDB
+    levenshtein are both the standard unit-cost distance, verified
+    identical on ASCII."""
+    from .functions.dedup import edit_similarity_pairs
+    d = _docs(spark, sf).select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 13 == 0)
+    mut = planted.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", "e", "a").alias("text"))
+    near = planted.select(F.col("doc_id").alias("a"),
+                          (F.col("doc_id") + 1000000).alias("b"))
+    nat = (d.alias("x")
+           .join(d.alias("y"),
+                 F.col("y.doc_id") == F.col("x.doc_id") + 1)
+           .filter(F.col("x.doc_id") % 11 == 0)
+           .select(F.col("x.doc_id").alias("a"),
+                   F.col("y.doc_id").alias("b")))
+    return (edit_similarity_pairs(d.unionByName(mut),
+                                  near.unionByName(nat),
+                                  prefix_len=200)
+            .orderBy("a", "b"))
+
+
+SQL_EDIT_SIM = """
+WITH mut AS (
+    SELECT doc_id + 1000000 AS doc_id,
+           regexp_replace(text, 'e', 'a', 'g') AS text
+    FROM documents WHERE doc_id % 13 = 0
+),
+alld AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id, text FROM mut
+),
+pairs AS (
+    SELECT doc_id AS a, doc_id + 1000000 AS b
+    FROM documents WHERE doc_id % 13 = 0
+    UNION ALL
+    SELECT x.doc_id AS a, y.doc_id AS b
+    FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
+    WHERE x.doc_id % 11 = 0
+),
+t AS (SELECT doc_id, substring(text, 1, 200) AS tt FROM alld)
+SELECT p.a, p.b,
+       CAST(levenshtein(ta.tt, tb.tt) AS BIGINT) AS edit_distance,
+       round(CASE WHEN greatest(length(ta.tt), length(tb.tt)) > 0
+                  THEN 1.0 - levenshtein(ta.tt, tb.tt) * 1.0
+                        / greatest(length(ta.tt), length(tb.tt))
+                  ELSE 1.0 END, 6) AS edit_sim
+FROM pairs p
+JOIN t ta ON ta.doc_id = p.a
+JOIN t tb ON tb.doc_id = p.b
+ORDER BY p.a, p.b
+"""
+
+
 def _planted_urls(d: DataFrame) -> DataFrame:
     """Deterministic URL per document, derived from doc_id (the planted-
     input convention): u = doc_id % 211 seeds every component, so docs
@@ -4248,6 +4308,7 @@ QUERIES = {
     "q_pack_sequences": q_pack_sequences,
     "q_mix_corpora": q_mix_corpora,
     "q_ppl_buckets": q_ppl_buckets,
+    "q_edit_sim": q_edit_sim,
     "q_url_normalize": q_url_normalize,
     "q_domain_curate": q_domain_curate,
     "q_dedup_incr": q_dedup_incr,
@@ -4325,6 +4386,7 @@ ORACLES = {
     "q_pack_sequences": SQL_PACK_SEQUENCES,
     "q_mix_corpora": SQL_MIX_CORPORA,
     "q_ppl_buckets": SQL_PPL_BUCKETS,
+    "q_edit_sim": SQL_EDIT_SIM,
     "q_url_normalize": SQL_URL_NORMALIZE,
     "q_domain_curate": SQL_DOMAIN_CURATE,
     "q_dedup_incr": SQL_DEDUP_INCR,

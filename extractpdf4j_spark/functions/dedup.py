@@ -640,3 +640,41 @@ def fuzzy_dedup_against_corpus(new_df: DataFrame, corpus_df: DataFrame,
     return fuzzy_dedup(fresh, text_col, id_col, k, bands, shingle_n,
                        jaccard_threshold, max_bucket, max_iter,
                        check_every, num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification
+# ---------------------------------------------------------------------------
+
+def edit_similarity_pairs(df: DataFrame, pairs: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          prefix_len: int | None = None) -> DataFrame:
+    """Exact character-level edit similarity for candidate pairs:
+    ``1 - levenshtein(a, b) / max(len(a), len(b))``.
+
+    The third verification lens next to n-gram Jaccard (set overlap)
+    and SimHash (bit votes): edit distance sees ORDER, so it separates
+    true near-edits ("v1.2" vs "v1.3" boilerplate) from shuffled-token
+    lookalikes that fool bag-of-shingles measures. Returns ``(a, b,
+    edit_distance, edit_sim)`` — distance is a long, similarity rounded
+    to 6dp; a pair of two empty texts scores similarity 1.
+
+    Scale shape: this is the EXPENSIVE verifier — Levenshtein is
+    O(len_a * len_b) per pair — so it must only ever run on the
+    candidate pairs LSH/SimHash banding produced, never all-pairs (the
+    same contract as ``ngram_jaccard_pairs``, with a higher per-pair
+    constant). ``prefix_len`` truncates both sides first: the standard
+    long-document guard, making per-pair cost O(prefix_len^2) while
+    staying exact for short texts. The two id-keyed text joins are the
+    only exchanges; both sides prune to (id, text)."""
+    t = F.col(text_col) if prefix_len is None else \
+        F.substring(F.col(text_col), 1, int(prefix_len))
+    texts = df.select(F.col(id_col), t.alias("_t"))
+    ta = texts.select(F.col(id_col).alias("a"), F.col("_t").alias("_ta"))
+    tb = texts.select(F.col(id_col).alias("b"), F.col("_t").alias("_tb"))
+    j = pairs.join(ta, "a").join(tb, "b")
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    denom = F.greatest(F.length("_ta"), F.length("_tb"))
+    sim = F.when(denom > 0, 1.0 - dist / denom).otherwise(F.lit(1.0))
+    return j.select("a", "b", dist.cast("long").alias("edit_distance"),
+                    F.round(sim, 6).alias("edit_sim"))

@@ -327,3 +327,25 @@ def test_interval_point_join_rejects_reversed_intervals(spark):
     with pytest.raises(SparkRuntimeException, match="max_buckets"):
         interval_point_join(points, rev, "x", "lo", "hi",
                             bucket_width=1.0, max_buckets=1000).collect()
+
+
+def test_edit_similarity_pairs_hand_computed(spark):
+    from extractpdf4j_spark.functions.dedup import edit_similarity_pairs
+    docs = spark.createDataFrame(
+        [(1, "kitten sat here"), (2, "sitten sat here"),
+         (3, "completely different words entirely"), (4, ""), (5, "")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (4, 5)],
+                                  "a long, b long")
+    out = {(r["a"], r["b"]): r
+           for r in edit_similarity_pairs(docs, pairs).collect()}
+    assert out[(1, 2)]["edit_distance"] == 1          # one substitution
+    assert out[(1, 2)]["edit_sim"] == round(1 - 1 / 15, 6)
+    assert out[(1, 3)]["edit_sim"] < 0.5              # unrelated pair
+    assert out[(4, 5)]["edit_distance"] == 0          # empty vs empty
+    assert out[(4, 5)]["edit_sim"] == 1.0
+    # prefix_len guard: distance computed on the truncated texts
+    trunc = {(r["a"], r["b"]): r["edit_distance"]
+             for r in edit_similarity_pairs(docs, pairs,
+                                            prefix_len=6).collect()}
+    assert trunc[(1, 2)] == 1                          # 'kitten'/'sitten'
