@@ -2824,6 +2824,84 @@ ORDER BY p.a, p.b
 """
 
 
+def q_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Stupid-Backoff bigram LM scoring (corpusops.bigram_logprob): the
+    LM trains on the original corpus; every 6th document is scored with
+    e->q mutations planted, so all three branches fire — seen bigrams
+    (conditional prob), unseen bigrams over known words (alpha backoff)
+    and out-of-vocabulary words (1/total floor). The oracle joins the
+    bigram table on the (prev, cur) strings; Spark joins on their
+    60-bit hash — same table, narrower shuffle keys."""
+    from .functions.corpusops import bigram_logprob
+    d = _docs(spark, sf).select("doc_id", "text")
+    planted = F.when(F.col("doc_id") % 6 == 0,
+                     F.regexp_replace("text", "e", "q")) \
+               .otherwise(F.col("text"))
+    scored = d.select("doc_id", planted.alias("text"))
+    return (bigram_logprob(scored, lm_df=d, alpha=0.4)
+            .orderBy("doc_id"))
+
+
+SQL_BIGRAM_LM = r"""
+WITH lm_toks AS (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                                                   '\s+', ' ', 'g')),
+                  ' ')) AS tok
+    FROM documents
+),
+uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM lm_toks GROUP BY tok),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uni),
+lm_lst AS (
+    SELECT string_split(trim(regexp_replace(lower(text),
+                                            '\s+', ' ', 'g')),
+                        ' ') AS lst
+    FROM documents
+),
+big AS (
+    SELECT prev, cur, CAST(count(*) AS BIGINT) AS bcnt FROM (
+        SELECT lst[u.i] AS prev, lst[u.i + 1] AS cur
+        FROM lm_lst, unnest(generate_series(1, len(lst) - 1)) AS u(i)
+    ) GROUP BY prev, cur
+),
+sd AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(
+               CASE WHEN doc_id % 6 = 0 THEN replace(text, 'e', 'q')
+                    ELSE text END), '\s+', ' ', 'g')), ' ') AS lst
+    FROM documents
+),
+rows_ AS (
+    SELECT doc_id, CAST(NULL AS VARCHAR) AS prev, lst[1] AS cur FROM sd
+    UNION ALL
+    SELECT doc_id, lst[u.i] AS prev, lst[u.i + 1] AS cur
+    FROM sd, unnest(generate_series(1, len(lst) - 1)) AS u(i)
+),
+lp AS (
+    SELECT r.doc_id,
+           CASE WHEN r.prev IS NULL THEN
+                    ln(CASE WHEN uc.cnt IS NOT NULL
+                            THEN CAST(uc.cnt AS DOUBLE) / t.total
+                            ELSE 1.0 / t.total END)
+                WHEN b.bcnt IS NOT NULL AND up.cnt IS NOT NULL THEN
+                    ln(CAST(b.bcnt AS DOUBLE) / up.cnt)
+                ELSE
+                    ln(0.4 * (CASE WHEN uc.cnt IS NOT NULL
+                                   THEN CAST(uc.cnt AS DOUBLE) / t.total
+                                   ELSE 1.0 / t.total END))
+           END AS lp
+    FROM rows_ r
+    LEFT JOIN uni uc ON uc.tok = r.cur
+    LEFT JOIN uni up ON up.tok = r.prev
+    LEFT JOIN big b ON b.prev = r.prev AND b.cur = r.cur
+    CROSS JOIN tot t
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(lp), 6) AS avg_logprob
+FROM lp GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _planted_urls(d: DataFrame) -> DataFrame:
     """Deterministic URL per document, derived from doc_id (the planted-
     input convention): u = doc_id % 211 seeds every component, so docs
@@ -4309,6 +4387,7 @@ QUERIES = {
     "q_mix_corpora": q_mix_corpora,
     "q_ppl_buckets": q_ppl_buckets,
     "q_edit_sim": q_edit_sim,
+    "q_bigram_lm": q_bigram_lm,
     "q_url_normalize": q_url_normalize,
     "q_domain_curate": q_domain_curate,
     "q_dedup_incr": q_dedup_incr,
@@ -4387,6 +4466,7 @@ ORACLES = {
     "q_mix_corpora": SQL_MIX_CORPORA,
     "q_ppl_buckets": SQL_PPL_BUCKETS,
     "q_edit_sim": SQL_EDIT_SIM,
+    "q_bigram_lm": SQL_BIGRAM_LM,
     "q_url_normalize": SQL_URL_NORMALIZE,
     "q_domain_curate": SQL_DOMAIN_CURATE,
     "q_dedup_incr": SQL_DEDUP_INCR,

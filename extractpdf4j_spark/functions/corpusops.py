@@ -29,7 +29,7 @@ __all__ = [
     "repetition_metrics", "curate_corpus",
     "decontaminate", "remove_contaminated", "temperature_sample",
     "dedup_paragraphs", "pack_sequences", "mix_corpora",
-    "logprob_buckets",
+    "logprob_buckets", "bigram_logprob",
     "EMAIL_RE", "IPV4_RE", "LONGNUM_RE",
 ]
 
@@ -720,3 +720,81 @@ def logprob_buckets(df: DataFrame, n_buckets: int = 3,
             .withColumn("tier", tier)
             .select(id_col, group_col, "n_tokens", "avg_logprob",
                     "bucket", "tier"))
+
+
+# ---------------------------------------------------------------------------
+# Backoff bigram LM scoring (CCNet-style cross-corpus quality)
+# ---------------------------------------------------------------------------
+
+def bigram_logprob(df: DataFrame, lm_df: DataFrame | None = None,
+                   alpha: float = 0.4, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   lm_text_col: str | None = None) -> DataFrame:
+    """Per-document mean log-score under a Stupid-Backoff bigram LM
+    (Brants et al. 2007) trained on ``lm_df`` — the CCNet setup, where
+    the reference corpus (Wikipedia) scores the crawl, with the 5-gram
+    KenLM replaced by the largest n-gram a join-based engine scores
+    exactly: S(w_i | w_{i-1}) = cnt(w_{i-1} w_i) / cnt(w_{i-1}) when the
+    bigram was seen, else ``alpha`` * S(w_i); S(w) = cnt(w)/total, with
+    a 1/total out-of-vocabulary floor. The first token scores S(w_1).
+    ``lm_df`` defaults to ``df`` (self-scoring — backoff then never
+    fires; pass a held-out reference to exercise it). Returns ``(id,
+    n_tokens, avg_logprob)``, 6dp-rounded.
+
+    Scale shape: bigram construction is the dedup family's shuffle-free
+    arrays_zip-over-shifted-slices (no window, no token exchange); the
+    bigram table is keyed and joined on a 60-bit hash (8-byte shuffle
+    keys); unigram joins reuse :func:`unigram_logprob`'s vocabulary
+    pattern with the same Zipf-prune-and-broadcast advice at 100 TB.
+    All scoring branches are one codegen CASE — no UDFs anywhere."""
+    if lm_df is None:
+        lm_df = df
+    if lm_text_col is None:
+        lm_text_col = text_col
+
+    def _tok_arr(c):
+        return F.split(F.trim(F.regexp_replace(
+            F.lower(c), r"\s+", " ")), " ")
+
+    def _bigram_rows(src: DataFrame, tcol: str, keep_id: bool):
+        t = src.select(F.col(id_col), _tok_arr(F.col(tcol)).alias("_t"))
+        ln = F.greatest(F.size("_t") - 1, F.lit(0))
+        z = F.arrays_zip(F.slice("_t", 1, ln).alias("p"),
+                         F.slice("_t", 2, ln).alias("c"))
+        cols = [F.col(id_col)] if keep_id else []
+        return (t.select(*cols, F.explode(z).alias("_z"))
+                .select(*cols, F.col("_z.p").alias("prev"),
+                        F.col("_z.c").alias("cur")))
+
+    lm_toks = lm_df.select(
+        F.explode(_tok_arr(F.col(lm_text_col))).alias("tok"))
+    uni = lm_toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    total = uni.agg(F.sum("cnt").cast("long").alias("total"))
+    bh = _hash60(F.concat_ws(" ", "prev", "cur"))
+    big = (_bigram_rows(lm_df, lm_text_col, keep_id=False)
+           .select(bh.alias("bh"))
+           .groupBy("bh").agg(F.count("*").cast("long").alias("bcnt")))
+
+    t = df.select(F.col(id_col), _tok_arr(F.col(text_col)).alias("_t"))
+    firsts = t.select(id_col, F.lit(None).cast("string").alias("prev"),
+                      F.element_at("_t", 1).alias("cur"))
+    rows = firsts.unionByName(_bigram_rows(df, text_col, keep_id=True))
+
+    uc = uni.select(F.col("tok").alias("cur"), F.col("cnt").alias("_cc"))
+    up = uni.select(F.col("tok").alias("prev"), F.col("cnt").alias("_pc"))
+    scored = (rows
+              .withColumn("bh", bh)
+              .join(uc, "cur", "left")
+              .join(up, "prev", "left")
+              .join(big, "bh", "left")
+              .crossJoin(F.broadcast(total)))
+    p_uni = F.when(F.col("_cc").isNotNull(),
+                   F.col("_cc") / F.col("total")) \
+             .otherwise(F.lit(1.0) / F.col("total"))
+    lp = (F.when(F.col("prev").isNull(), F.log(p_uni))
+          .when(F.col("bcnt").isNotNull() & F.col("_pc").isNotNull(),
+                F.log(F.col("bcnt") / F.col("_pc")))
+          .otherwise(F.log(F.lit(float(alpha)) * p_uni)))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.round(F.avg(lp), 6).alias("avg_logprob")))

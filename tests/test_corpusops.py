@@ -432,3 +432,33 @@ def test_logprob_buckets_tiers(spark):
     two = {r["doc_id"]: r["tier"] for r in
            logprob_buckets(d, n_buckets=2, group_col="lang").collect()}
     assert set(two.values()) == {"b1", "b2"}  # non-3 bucket labels
+
+
+def test_bigram_logprob_backoff_branches(spark):
+    import math
+    from extractpdf4j_spark.functions.corpusops import bigram_logprob
+    lm = spark.createDataFrame(
+        [(101, "a b"), (102, "a b"), (103, "a c")],
+        "doc_id long, text string")
+    # LM: uni a:3 b:2 c:1 / total 6; bigrams (a,b):2 (a,c):1
+    scored = spark.createDataFrame(
+        [(1, "a b"),    # seen bigram: ln(3/6), ln(2/3)
+         (2, "b a"),    # unseen bigram, known words: ln(2/6), ln(.4*3/6)
+         (3, "z"),      # OOV first token: ln(1/6)
+         (4, "a z")],   # OOV continuation: ln(3/6), ln(.4*1/6)
+        "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in bigram_logprob(scored, lm_df=lm, alpha=0.4).collect()}
+    exp = {
+        1: (math.log(3 / 6) + math.log(2 / 3)) / 2,
+        2: (math.log(2 / 6) + math.log(0.4 * (3 / 6))) / 2,
+        3: math.log(1 / 6),
+        4: (math.log(3 / 6) + math.log(0.4 * (1 / 6))) / 2,
+    }
+    for d, e in exp.items():
+        assert out[d]["avg_logprob"] == round(e, 6), d
+    assert out[1]["n_tokens"] == 2 and out[3]["n_tokens"] == 1
+    # self-scoring default: every bigram is in its own LM, so the
+    # backoff branch never fires and scores are finite conditionals
+    self_scores = bigram_logprob(lm).collect()
+    assert all(r["avg_logprob"] < 0 for r in self_scores)
