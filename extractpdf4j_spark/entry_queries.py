@@ -2902,6 +2902,36 @@ FROM lp GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_event_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream attribution join run on the batch path
+    (streaming.stream_event_join): every purchase matched to the same
+    user's signups at most 30 minutes earlier. The join condition
+    compares raw timestamps (exact on both engines); delay_sec is
+    floor-epoch arithmetic so NTZ/LTZ offsets cancel."""
+    from .streaming import stream_event_join
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    signups = e.filter(F.col("event_type") == "signup")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    return (stream_event_join(signups, purchases, max_delay_sec=1800)
+            .orderBy("l_event_id", "r_event_id"))
+
+
+SQL_EVENT_JOIN = """
+SELECT l.user_id,
+       l.event_id AS l_event_id,
+       r.event_id AS r_event_id,
+       CAST(floor(epoch(r.ts)) AS BIGINT)
+           - CAST(floor(epoch(l.ts)) AS BIGINT) AS delay_sec
+FROM events l
+JOIN events r
+  ON r.user_id = l.user_id
+ AND r.ts >= l.ts
+ AND r.ts <= l.ts + INTERVAL 1800 SECONDS
+WHERE l.event_type = 'signup' AND r.event_type = 'purchase'
+ORDER BY l_event_id, r_event_id
+"""
+
+
 def _planted_urls(d: DataFrame) -> DataFrame:
     """Deterministic URL per document, derived from doc_id (the planted-
     input convention): u = doc_id % 211 seeds every component, so docs
@@ -4388,6 +4418,7 @@ QUERIES = {
     "q_ppl_buckets": q_ppl_buckets,
     "q_edit_sim": q_edit_sim,
     "q_bigram_lm": q_bigram_lm,
+    "q_event_join": q_event_join,
     "q_url_normalize": q_url_normalize,
     "q_domain_curate": q_domain_curate,
     "q_dedup_incr": q_dedup_incr,
@@ -4467,6 +4498,7 @@ ORACLES = {
     "q_ppl_buckets": SQL_PPL_BUCKETS,
     "q_edit_sim": SQL_EDIT_SIM,
     "q_bigram_lm": SQL_BIGRAM_LM,
+    "q_event_join": SQL_EVENT_JOIN,
     "q_url_normalize": SQL_URL_NORMALIZE,
     "q_domain_curate": SQL_DOMAIN_CURATE,
     "q_dedup_incr": SQL_DEDUP_INCR,

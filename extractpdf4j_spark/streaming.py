@@ -2,7 +2,7 @@
 
 The reference has no streaming (its Spring service is blocking
 request/response, PdfExtractController.java:40-44), but a corpus-scale
-deployment ingests documents continuously. Five shapes:
+deployment ingests documents continuously. Six shapes:
 
 * :func:`stream_extraction` — ``readStream`` on the documents location →
   ``foreachBatch`` running the same extraction plan per micro-batch →
@@ -24,6 +24,10 @@ deployment ingests documents continuously. Five shapes:
   first arrival of a normalized text hash is the keeper (per-hash state
   bounded by distinct content, not stream length); later arrivals in any
   batch emit ``is_duplicate=true`` at arrival time.
+* :func:`stream_event_join` — watermarked stream-stream inner join
+  (impression→conversion attribution) with the time-bound condition
+  Spark needs to expire buffered state; the identical expression on a
+  batch input is the gate query ``q_event_join``.
 * :func:`stream_fuzzy_dedup` — cross-batch NEAR-dup removal via
   ``foreachBatch`` + an accumulated signature table: each micro-batch
   runs ``fuzzy_dedup_against_corpus`` against everything kept so far,
@@ -367,3 +371,53 @@ def stream_fuzzy_dedup(spark: SparkSession, documents_path: str,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream attribution join
+# ---------------------------------------------------------------------------
+
+def stream_event_join(left: DataFrame, right: DataFrame,
+                      key_col: str = "user_id", ts_col: str = "ts",
+                      max_delay_sec: int = 1800,
+                      watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked stream-stream inner join: every ``right`` event is
+    matched to the same key's ``left`` events that happened at most
+    ``max_delay_sec`` earlier (the classic impression→conversion
+    attribution join). Returns ``(key, l_event_id, r_event_id,
+    delay_sec)``; ``delay_sec`` is floor-epoch-second arithmetic, so it
+    is engine-exact regardless of the session timezone (differences
+    cancel any NTZ/LTZ offset — the q_event_sessions convention).
+
+    On streaming inputs both sides carry a watermark and the join
+    condition carries the time bound — exactly what Spark needs to
+    EXPIRE buffered rows: a left event older than ``max_delay_sec`` +
+    watermark past the right-side watermark can never match again and
+    its state is dropped, so state is bounded by the join window, not
+    the stream length. On batch inputs the same expression computes the
+    exact answer (the gate query ``q_event_join`` uses it that way).
+
+    Scale shape: one shuffle per side on the join key; the range bound
+    is evaluated post-match (codegen). Hot keys (one user generating a
+    flood) are AQE skew-join territory in batch; in streaming, cap the
+    per-key event rate upstream."""
+    lts = F.col(ts_col).cast("timestamp")
+    l = left.select(F.col(key_col).alias("_k"),
+                    F.col("event_id").alias("l_event_id"),
+                    lts.alias("_lts"))
+    r = right.select(F.col(key_col).alias("_rk"),
+                     F.col("event_id").alias("r_event_id"),
+                     lts.alias("_rts"))
+    if l.isStreaming:
+        l = l.withWatermark("_lts", watermark)
+    if r.isStreaming:
+        r = r.withWatermark("_rts", watermark)
+    cond = ((F.col("_k") == F.col("_rk"))
+            & (F.col("_rts") >= F.col("_lts"))
+            & (F.col("_rts") <= F.col("_lts")
+               + F.expr(f"INTERVAL {int(max_delay_sec)} SECONDS")))
+    delay = (F.col("_rts").cast("long")
+             - F.col("_lts").cast("long")).alias("delay_sec")
+    return (l.join(r, cond)
+            .select(F.col("_k").alias(key_col),
+                    "l_event_id", "r_event_id", delay))

@@ -281,3 +281,59 @@ def test_stream_fuzzy_dedup_cross_batch(spark, tmp_path):
     sigs = spark.read.parquet(str(tmp_path / "sigs"))
     assert sorted(r["doc_id"] for r in sigs.collect()) == [10, 20, 30]
     assert {f"h{i}" for i in range(8)} <= set(sigs.columns)
+
+
+def test_stream_event_join_attribution(spark, tmp_path):
+    """Stream-stream inner join with watermarks on both sides: the
+    streaming answer over micro-batched sources equals the batch answer
+    on the same closed input, matches respect the 30-minute bound, and
+    cross-key pairs never join."""
+    from pyspark.sql.types import (StructType, StructField, LongType,
+                                   TimestampNTZType)
+    from extractpdf4j_spark.streaming import stream_event_join
+    import datetime as dt
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampNTZType()),
+    ])
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # user u: a signup every 25 min; purchases offset so some fall
+    # inside the 30-min window and some outside
+    signups = [(i, i % 3, base + dt.timedelta(minutes=25 * (i // 3)))
+               for i in range(12)]
+    purchases = [(100 + i, i % 3,
+                  base + dt.timedelta(minutes=25 * (i // 3) + 10 + 20 * (i % 2)))
+                 for i in range(12)]
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    lb = spark.createDataFrame(signups, schema)
+    rb = spark.createDataFrame(purchases, schema)
+    lb.repartition(3).write.parquet(lsrc)
+    rb.repartition(3).write.parquet(rsrc)
+
+    want = sorted((r["user_id"], r["l_event_id"], r["r_event_id"],
+                   r["delay_sec"])
+                  for r in stream_event_join(lb, rb,
+                                             max_delay_sec=1800).collect())
+    assert want, "batch join must produce matches"
+    assert all(0 <= w[3] <= 1800 for w in want)
+
+    ls = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(lsrc))
+    rs = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(rsrc))
+    # the two sources replay files in arbitrary event-time order, so the
+    # watermark must cover the whole (closed) input span or genuinely
+    # late rows are dropped — the correct streaming semantics, but not
+    # what an equals-batch assertion wants
+    joined = stream_event_join(ls, rs, max_delay_sec=1800,
+                               watermark="3 hours")
+    assert joined.isStreaming
+    q = (joined.writeStream.format("memory").queryName("evjoin")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["user_id"], r["l_event_id"], r["r_event_id"],
+                  r["delay_sec"])
+                 for r in spark.sql("select * from evjoin").collect())
+    assert got == want
