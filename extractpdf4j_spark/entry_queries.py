@@ -2932,6 +2932,57 @@ ORDER BY l_event_id, r_event_id
 """
 
 
+def q_text_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode/whitespace cleanup (corpusops.clean_text): every 5th doc
+    gets a planted prefix of BOM + zero-width space + BEL control +
+    double spaces + NBSP + trailing tab + a 4-newline run; the cleaned
+    text and before/after lengths are hash-gated. The oracle replays
+    the identical five regexp_replace passes (RE2-safe classes,
+    verified byte-identical between Java regex and RE2)."""
+    from .functions.corpusops import clean_text
+    d = _docs(spark, sf).select("doc_id", "text")
+    junk = ("\ufeffHead\u200b\x07  line\u00a0end \t"
+            "\n\n\n\ntail  x")
+    planted = F.when(F.col("doc_id") % 5 == 0,
+                     F.concat(F.lit(junk), F.col("text"))) \
+               .otherwise(F.col("text"))
+    return (clean_text(d.select("doc_id", planted.alias("text")))
+            .orderBy("doc_id"))
+
+
+SQL_TEXT_CLEAN = r"""
+WITH pdocs AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN chr(65279) || 'Head' || chr(8203) || chr(7)
+                     || '  line' || chr(160) || 'end ' || chr(9)
+                     || repeat(chr(10), 4) || 'tail  x' || text
+                ELSE text END AS text
+    FROM documents
+),
+c AS (
+    SELECT doc_id, length(text) AS n_chars_before,
+           trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '[\x{200B}-\x{200D}\x{FEFF}\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]',
+                               '', 'g'),
+                           '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]',
+                           ' ', 'g'),
+                       '[ \t]+\n', chr(10), 'g'),
+                   '\n{3,}', chr(10) || chr(10), 'g'),
+               '[ \t]{2,}', ' ', 'g')) AS text
+    FROM pdocs
+)
+SELECT doc_id, text,
+       CAST(n_chars_before AS BIGINT) AS n_chars_before,
+       CAST(length(text) AS BIGINT) AS n_chars_after
+FROM c ORDER BY doc_id
+"""
+
+
 def _planted_urls(d: DataFrame) -> DataFrame:
     """Deterministic URL per document, derived from doc_id (the planted-
     input convention): u = doc_id % 211 seeds every component, so docs
@@ -4419,6 +4470,7 @@ QUERIES = {
     "q_edit_sim": q_edit_sim,
     "q_bigram_lm": q_bigram_lm,
     "q_event_join": q_event_join,
+    "q_text_clean": q_text_clean,
     "q_url_normalize": q_url_normalize,
     "q_domain_curate": q_domain_curate,
     "q_dedup_incr": q_dedup_incr,
@@ -4499,6 +4551,7 @@ ORACLES = {
     "q_edit_sim": SQL_EDIT_SIM,
     "q_bigram_lm": SQL_BIGRAM_LM,
     "q_event_join": SQL_EVENT_JOIN,
+    "q_text_clean": SQL_TEXT_CLEAN,
     "q_url_normalize": SQL_URL_NORMALIZE,
     "q_domain_curate": SQL_DOMAIN_CURATE,
     "q_dedup_incr": SQL_DEDUP_INCR,

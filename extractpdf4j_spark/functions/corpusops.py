@@ -29,8 +29,9 @@ __all__ = [
     "repetition_metrics", "curate_corpus",
     "decontaminate", "remove_contaminated", "temperature_sample",
     "dedup_paragraphs", "pack_sequences", "mix_corpora",
-    "logprob_buckets", "bigram_logprob",
+    "logprob_buckets", "bigram_logprob", "clean_text",
     "EMAIL_RE", "IPV4_RE", "LONGNUM_RE",
+    "CTRL_RE", "USPACE_RE",
 ]
 
 
@@ -798,3 +799,56 @@ def bigram_logprob(df: DataFrame, lm_df: DataFrame | None = None,
     return (scored.groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_tokens"),
                  F.round(F.avg(lp), 6).alias("avg_logprob")))
+
+
+# ---------------------------------------------------------------------------
+# Unicode/whitespace text cleanup
+# ---------------------------------------------------------------------------
+
+# RE2-safe classes (verified byte-identical under Java regex and DuckDB);
+# hoisted to constants because py3.11 f-strings reject backslashes
+CTRL_RE = (r"[\x{200B}-\x{200D}\x{FEFF}"
+           r"\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]")
+USPACE_RE = r"[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]"
+TRAILING_WS_RE = r"[ \t]+\n"
+MULTI_NL_RE = r"\n{3,}"
+SPACE_RUN_RE = r"[ \t]{2,}"
+
+
+def clean_text(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """The standard pre-filter text cleanup (C4/Dolma-style): strip the
+    characters that poison tokenizers and dedup hashes without changing
+    visible content. In order:
+
+    1. drop zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) and C0/DEL
+       control characters (keeping tab and newline),
+    2. normalize exotic Unicode spaces (NBSP, en/em/thin/ideographic)
+       to a plain space,
+    3. strip trailing whitespace from every line,
+    4. collapse 3+ consecutive newlines to a paragraph break (2),
+    5. collapse runs of spaces/tabs to one space, and trim.
+
+    Returns ``(id, text, n_chars_before, n_chars_after)`` (longs).
+    Run this BEFORE hashing/dedup: two visually identical documents
+    that differ by a BOM or NBSP hash apart and defeat exact dedup.
+
+    Pure codegen regexp projection — no shuffle, composes with scan
+    pushdown; every pattern is RE2-safe so the DuckDB oracle replays
+    the identical pipeline."""
+    t = F.col(text_col)
+    before = F.length(t).cast("long")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(t, CTRL_RE, ""),
+                        USPACE_RE, " "),
+                    TRAILING_WS_RE, "\n"),
+                MULTI_NL_RE, "\n\n"),
+            SPACE_RUN_RE, " "))
+    return df.select(
+        F.col(id_col), cleaned.alias(text_col),
+        before.alias("n_chars_before"),
+        F.length(cleaned).cast("long").alias("n_chars_after"))

@@ -462,3 +462,33 @@ def test_bigram_logprob_backoff_branches(spark):
     # backoff branch never fires and scores are finite conditionals
     self_scores = bigram_logprob(lm).collect()
     assert all(r["avg_logprob"] < 0 for r in self_scores)
+
+
+def test_clean_text_rules_in_order(spark):
+    from extractpdf4j_spark.functions.corpusops import clean_text
+    rows = [
+        (1, "\ufeffa\u200bb\x07c"),     # zero-width + control drop
+        (2, "x\u00a0y\u2003z"),          # unicode spaces -> ' '
+        (3, "line \t\nnext"),                 # trailing ws stripped
+        (4, "p1\n\n\n\n\np2"),                # >=3 newlines -> 2
+        (5, "a   b\t\tc"),                    # space runs collapse
+        (6, "  padded  "),                    # trim
+        (7, ""),                              # empty survives empty
+    ]
+    out = {r["doc_id"]: r for r in
+           clean_text(spark.createDataFrame(
+               rows, "doc_id long, text string")).collect()}
+    assert out[1]["text"] == "abc"
+    assert out[2]["text"] == "x y z"
+    assert out[3]["text"] == "line\nnext"
+    assert out[4]["text"] == "p1\n\np2"
+    assert out[5]["text"] == "a b c"
+    assert out[6]["text"] == "padded"
+    assert out[7]["text"] == "" and out[7]["n_chars_after"] == 0
+    assert out[1]["n_chars_before"] == 6 and out[1]["n_chars_after"] == 3
+    # idempotent: cleaning cleaned text is a no-op
+    again = {r["doc_id"]: r["text"] for r in clean_text(
+        spark.createDataFrame(
+            [(k, v["text"]) for k, v in out.items()],
+            "doc_id long, text string")).collect()}
+    assert again == {k: v["text"] for k, v in out.items()}
