@@ -2983,6 +2983,52 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc TF-IDF keywords (textstats.tfidf_topk): top-5 tokens by
+    tf * ln(N/df), scores 6dp-rounded before the (score desc, token)
+    rank so ties — common in small docs — break identically on both
+    engines."""
+    from .functions.textstats import tfidf_topk
+    return (tfidf_topk(_docs(spark, sf).select("doc_id", "text"), k=5)
+            .orderBy("doc_id", "rank"))
+
+
+SQL_TFIDF_TOPK = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text),
+                                                   '\s+', ' ', 'g')),
+                  ' ')) AS token
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM toks WHERE token <> '' GROUP BY doc_id, token
+),
+dfreq AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY token
+),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_d
+       FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.token,
+           round(tf.tf * ln(CAST(nd.n_d AS DOUBLE) / dfreq.df_t), 6)
+               AS tfidf
+    FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+),
+ranked AS (
+    SELECT doc_id, token, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token)
+                AS BIGINT) AS rank
+    FROM scored
+)
+SELECT doc_id, rank, token, tfidf
+FROM ranked WHERE rank <= 5
+ORDER BY doc_id, rank
+"""
+
+
 def _planted_urls(d: DataFrame) -> DataFrame:
     """Deterministic URL per document, derived from doc_id (the planted-
     input convention): u = doc_id % 211 seeds every component, so docs
@@ -4471,6 +4517,7 @@ QUERIES = {
     "q_bigram_lm": q_bigram_lm,
     "q_event_join": q_event_join,
     "q_text_clean": q_text_clean,
+    "q_tfidf_topk": q_tfidf_topk,
     "q_url_normalize": q_url_normalize,
     "q_domain_curate": q_domain_curate,
     "q_dedup_incr": q_dedup_incr,
@@ -4552,6 +4599,7 @@ ORACLES = {
     "q_bigram_lm": SQL_BIGRAM_LM,
     "q_event_join": SQL_EVENT_JOIN,
     "q_text_clean": SQL_TEXT_CLEAN,
+    "q_tfidf_topk": SQL_TFIDF_TOPK,
     "q_url_normalize": SQL_URL_NORMALIZE,
     "q_domain_curate": SQL_DOMAIN_CURATE,
     "q_dedup_incr": SQL_DEDUP_INCR,

@@ -3,7 +3,7 @@ fingerprinting. Pure JVM expressions (regexp_count/split/md5)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 STOPWORDS_RE = r"\b(the|and|of|to|in|a|is|for|on|with)\b"
 PUNCT_RE = r"[^A-Za-z0-9\s]"
@@ -72,3 +72,43 @@ def vocab_topk(df, k: int = 50, text_col: str = "text"):
     return (toks.groupBy("token").agg(F.count("*").alias("n"))
             .orderBy(F.col("n").desc(), F.col("token"))
             .limit(k))
+
+
+def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-``k`` distinctive keywords by TF-IDF — the
+    cheap content descriptor feeding clustering, routing and manual
+    corpus triage. ``score = tf * ln(N / df_t)`` with raw in-doc term
+    frequency, document-count IDF and natural log; scores round to 6dp
+    BEFORE ranking so the (score desc, token asc) order — and therefore
+    the kept set — is engine-exact. Returns ``(id, rank, token,
+    tfidf)`` rows (``rank`` 1-based long).
+
+    Scale shape: one token aggregation keyed on (id, token) builds the
+    TF table; the document-frequency table is one more map-side-combined
+    aggregation over its distinct keys and is Zipf-small, broadcast
+    back; N rides a broadcast single-row crossJoin; the final top-k is
+    a per-doc rank window (id-keyed, bounded by the doc's distinct
+    tokens). Nothing global, no text in any shuffle key except the
+    token itself."""
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.split(F.trim(F.regexp_replace(
+                          F.lower(F.col(text_col)), r"\s+", " ")),
+                          " ")).alias("token"))
+            .filter(F.col("token") != ""))
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("token").agg(
+        F.count("*").cast("long").alias("df_t"))
+    n_docs = df.select(F.countDistinct(id_col).cast("long").alias("n_d"))
+    scored = (tf.join(F.broadcast(dfreq), "token")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("tfidf",
+                          F.round(F.col("tf")
+                                  * F.log(F.col("n_d") / F.col("df_t")),
+                                  6)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "rank", "token", "tfidf"))

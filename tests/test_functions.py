@@ -349,3 +349,27 @@ def test_edit_similarity_pairs_hand_computed(spark):
              for r in edit_similarity_pairs(docs, pairs,
                                             prefix_len=6).collect()}
     assert trunc[(1, 2)] == 1                          # 'kitten'/'sitten'
+
+
+def test_tfidf_topk_hand_computed(spark):
+    import math
+    from extractpdf4j_spark.functions.textstats import tfidf_topk
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"),   # apple tf=2 df=1; banana df=2
+         (2, "banana cherry"),        # cherry df=2
+         (3, "cherry date")],         # date df=1
+        "doc_id long, text string")
+    out = {}
+    for r in tfidf_topk(docs, k=2).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["token"], r["tfidf"]))
+    ln = math.log
+    # doc1: apple 2*ln(3/1)=2.197225 beats banana 1*ln(3/2)
+    assert out[1][0][1] == "apple"
+    assert out[1][0][2] == round(2 * ln(3), 6)
+    assert out[1][1][1] == "banana"
+    # doc3: date ln(3) beats cherry ln(3/2)
+    assert [t for _, t, _ in sorted(out[3])] == ["date", "cherry"]
+    # tie-break: doc2's banana and cherry tie at ln(3/2) -> token asc
+    assert [t for _, t, _ in sorted(out[2])] == ["banana", "cherry"]
+    assert all(len(v) <= 2 for v in out.values())
