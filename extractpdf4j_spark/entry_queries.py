@@ -3029,6 +3029,49 @@ ORDER BY doc_id, rank
 """
 
 
+def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source report card (corpusops.corpus_report): every 4th doc
+    is planted as an exact duplicate within its source, so dup_frac is
+    nonzero and must agree with what dedup_keep_one would remove (both
+    use dedup.normalized_text_hash)."""
+    from .functions.corpusops import corpus_report
+    d = _docs(spark, sf)
+    planted = F.when(F.col("doc_id") % 4 == 0,
+                     F.concat(F.lit("duplicate body for "),
+                              F.col("source"))) \
+               .otherwise(F.col("text"))
+    return (corpus_report(d.select("doc_id", "source", "lang",
+                                   planted.alias("text")))
+            .orderBy("source"))
+
+
+SQL_CORPUS_REPORT = r"""
+WITH pdocs AS (
+    SELECT doc_id, source, lang,
+           CASE WHEN doc_id % 4 = 0 THEN 'duplicate body for ' || source
+                ELSE text END AS text
+    FROM documents
+),
+base AS (
+    SELECT source, lang,
+           CAST(length(text) AS BIGINT) AS nc,
+           CAST(len(string_split(trim(regexp_replace(lower(text),
+                                                     '\s+', ' ', 'g')),
+                    ' ')) AS BIGINT) AS nt,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+    FROM pdocs
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       round(avg(nc), 6) AS avg_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+       round(1.0 - count(DISTINCT h) / count(*), 6) AS dup_frac
+FROM base GROUP BY source ORDER BY source
+"""
+
+
 def _planted_urls(d: DataFrame) -> DataFrame:
     """Deterministic URL per document, derived from doc_id (the planted-
     input convention): u = doc_id % 211 seeds every component, so docs
@@ -4518,6 +4561,7 @@ QUERIES = {
     "q_event_join": q_event_join,
     "q_text_clean": q_text_clean,
     "q_tfidf_topk": q_tfidf_topk,
+    "q_corpus_report": q_corpus_report,
     "q_url_normalize": q_url_normalize,
     "q_domain_curate": q_domain_curate,
     "q_dedup_incr": q_dedup_incr,
@@ -4600,6 +4644,7 @@ ORACLES = {
     "q_event_join": SQL_EVENT_JOIN,
     "q_text_clean": SQL_TEXT_CLEAN,
     "q_tfidf_topk": SQL_TFIDF_TOPK,
+    "q_corpus_report": SQL_CORPUS_REPORT,
     "q_url_normalize": SQL_URL_NORMALIZE,
     "q_domain_curate": SQL_DOMAIN_CURATE,
     "q_dedup_incr": SQL_DEDUP_INCR,

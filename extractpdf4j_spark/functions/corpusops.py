@@ -29,7 +29,7 @@ __all__ = [
     "repetition_metrics", "curate_corpus",
     "decontaminate", "remove_contaminated", "temperature_sample",
     "dedup_paragraphs", "pack_sequences", "mix_corpora",
-    "logprob_buckets", "bigram_logprob", "clean_text",
+    "logprob_buckets", "bigram_logprob", "clean_text", "corpus_report",
     "EMAIL_RE", "IPV4_RE", "LONGNUM_RE",
     "CTRL_RE", "USPACE_RE",
 ]
@@ -852,3 +852,46 @@ def clean_text(df: DataFrame, text_col: str = "text",
         F.col(id_col), cleaned.alias(text_col),
         before.alias("n_chars_before"),
         F.length(cleaned).cast("long").alias("n_chars_after"))
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus report card
+# ---------------------------------------------------------------------------
+
+def corpus_report(df: DataFrame, group_col: str = "source",
+                  text_col: str = "text", id_col: str = "doc_id",
+                  lang_col: str = "lang") -> DataFrame:
+    """The per-source QA report every corpus build publishes: document
+    and token counts, size distribution, language spread and the
+    exact-duplicate rate, one row per ``group_col``. Returns
+    ``(group, n_docs, n_tokens, avg_chars, n_langs, n_distinct_texts,
+    dup_frac)`` — counts long, ``avg_chars``/``dup_frac`` 6dp doubles.
+
+    The duplicate rate uses THE exact-dedup normalization
+    (``dedup.normalized_text_hash``), so ``dup_frac`` here predicts
+    exactly what :func:`~.dedup.dedup_keep_one` would remove within
+    each source — report and dedup can never disagree.
+
+    Scale shape: a single map-side-combined aggregation keyed on the
+    group; the two distinct counts are exact (Spark expands them to a
+    two-level aggregate internally — at 100 TB swap
+    ``approx_count_distinct`` in if the report tolerates ~2% error and
+    the expansion shows up in the plan)."""
+    from .dedup import normalized_text_hash
+
+    n_tok = F.size(F.split(F.trim(F.regexp_replace(
+        F.lower(F.col(text_col)), r"\s+", " ")), " ")).cast("long")
+    h = normalized_text_hash(F.col(text_col))
+    base = df.select(F.col(group_col), F.col(id_col), F.col(lang_col),
+                     F.length(text_col).cast("long").alias("_nc"),
+                     n_tok.alias("_nt"), h.alias("_h"))
+    return (base.groupBy(group_col)
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("_nt").cast("long").alias("n_tokens"),
+                 F.round(F.avg("_nc"), 6).alias("avg_chars"),
+                 F.countDistinct(lang_col).cast("long").alias("n_langs"),
+                 F.countDistinct("_h").cast("long")
+                  .alias("n_distinct_texts"))
+            .withColumn("dup_frac",
+                        F.round(1.0 - F.col("n_distinct_texts")
+                                / F.col("n_docs"), 6)))

@@ -492,3 +492,26 @@ def test_clean_text_rules_in_order(spark):
             [(k, v["text"]) for k, v in out.items()],
             "doc_id long, text string")).collect()}
     assert again == {k: v["text"] for k, v in out.items()}
+
+
+def test_corpus_report_agrees_with_dedup(spark):
+    from extractpdf4j_spark.functions.corpusops import corpus_report
+    from extractpdf4j_spark.functions.dedup import dedup_keep_one
+    rows = [(i, "s%d" % (i % 2), ["en", "fr"][i % 2],
+             "dup text" if i < 6 and i % 2 == 0 else f"unique {i}")
+            for i in range(12)]
+    d = spark.createDataFrame(rows,
+                              "doc_id long, source string, lang string, "
+                              "text string")
+    rep = {r["source"]: r for r in corpus_report(d).collect()}
+    # s0: docs 0,2,4 share "dup text" (+"Dup  Text" would too); 6 docs,
+    # 4 distinct
+    assert rep["s0"]["n_docs"] == 6
+    assert rep["s0"]["n_distinct_texts"] == 4
+    assert rep["s0"]["dup_frac"] == round(1 - 4 / 6, 6)
+    assert rep["s1"]["dup_frac"] == 0.0
+    assert rep["s0"]["n_langs"] == 1 and rep["s1"]["n_langs"] == 1
+    # the report's promise: dup_frac predicts dedup_keep_one exactly
+    for s in ("s0", "s1"):
+        kept = dedup_keep_one(d.filter(F.col("source") == s)).count()
+        assert kept == rep[s]["n_distinct_texts"]
