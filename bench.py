@@ -125,6 +125,7 @@ HEAVY_QUERIES = [
     "q_minhash_sig", "q_minhash_pairs", "q_ngram_jaccard",
     "q_dedup_clusters", "q_dedup_fuzzy", "q_dedup_fuzzy_incr",
     "q_dedup_ngrams",
+    "q_bigram_lm",
     "q_curate", "q_media_features", "q_ann_scale",
     "q_embed_neardup",
     "q_ivf_ann", "q_simhash", "q_lsh_ann", "q_fuzzy_header",
