@@ -3072,6 +3072,102 @@ FROM base GROUP BY source ORDER BY source
 """
 
 
+def q_bloom_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom membership prefilter (dedup.bloom_build/bloom_maybe_seen):
+    filter built over the 2/3-corpus, every doc probed, alongside the
+    exact truth. A deliberately tiny filter (1024 bits, k=3) saturates
+    enough to pin FALSE POSITIVES deterministically in the hash —
+    probing verifies the whole double-hash position arithmetic,
+    63-bit-word packing and bit_or/shift parity between engines; the
+    no-false-negative invariant shows as maybe_seen >= truly_seen on
+    every row."""
+    from .functions.dedup import (bloom_build, bloom_maybe_seen,
+                                  normalized_text_hash)
+    d = _docs(spark, sf).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    bloom = bloom_build(corpus, m_bits=1024, k=3)
+    flagged = bloom_maybe_seen(d, bloom, m_bits=1024, k=3)
+    seen = (corpus.select(normalized_text_hash(F.col("text"))
+                          .alias("_th"))
+            .distinct().withColumn("_s", F.lit(1)))
+    truth = (d.withColumn("_th", normalized_text_hash(F.col("text")))
+             .join(seen, "_th", "left")
+             .select("doc_id",
+                     F.coalesce(F.col("_s"), F.lit(0)).cast("long")
+                     .alias("truly_seen")))
+    return (flagged.select("doc_id",
+                           F.col("maybe_seen").cast("long")
+                           .alias("maybe_seen"))
+            .join(truth, "doc_id")
+            .orderBy("doc_id"))
+
+
+SQL_BLOOM_DEDUP = r"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+cn AS (
+    SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM corpus
+),
+ch AS (
+    SELECT CAST('0x' || substr(md5(norm), 1, 15) AS BIGINT) AS h1,
+           CAST('0x' || substr(md5('bloom:' || norm), 1, 15) AS BIGINT)
+               AS h2
+    FROM cn
+),
+cpos AS (
+    SELECT (h1 + u.i * h2) % 1024 AS pos
+    FROM ch, unnest(generate_series(0, 2)) AS u(i)
+),
+bloom AS (
+    SELECT pos // 63 AS word_idx,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS word
+    FROM cpos GROUP BY pos // 63
+),
+bn AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents
+),
+bpos AS (
+    SELECT doc_id,
+           (CAST('0x' || substr(md5(norm), 1, 15) AS BIGINT)
+            + u.i * CAST('0x' || substr(md5('bloom:' || norm), 1, 15)
+                         AS BIGINT)) % 1024 AS pos
+    FROM bn, unnest(generate_series(0, 2)) AS u(i)
+),
+probe AS (
+    SELECT p.doc_id,
+           CASE WHEN b.word IS NOT NULL
+                 AND ((b.word >> CAST(p.pos % 63 AS INTEGER)) & 1) = 1
+                THEN 1 ELSE 0 END AS hit
+    FROM bpos p LEFT JOIN bloom b ON b.word_idx = p.pos // 63
+),
+flags AS (
+    SELECT doc_id, CASE WHEN min(hit) = 1 THEN 1 ELSE 0 END AS maybe_seen
+    FROM probe GROUP BY doc_id
+),
+seen AS (
+    SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ',
+                                            'g'))) AS th
+    FROM corpus
+),
+truth AS (
+    SELECT d.doc_id,
+           CASE WHEN s.th IS NOT NULL THEN 1 ELSE 0 END AS truly_seen
+    FROM (SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ',
+                                         'g'))) AS th
+          FROM documents) d
+    LEFT JOIN seen s ON s.th = d.th
+)
+SELECT f.doc_id,
+       CAST(f.maybe_seen AS BIGINT) AS maybe_seen,
+       CAST(t.truly_seen AS BIGINT) AS truly_seen
+FROM flags f JOIN truth t ON t.doc_id = f.doc_id
+ORDER BY f.doc_id
+"""
+
+
 def _planted_urls(d: DataFrame) -> DataFrame:
     """Deterministic URL per document, derived from doc_id (the planted-
     input convention): u = doc_id % 211 seeds every component, so docs
@@ -4562,6 +4658,7 @@ QUERIES = {
     "q_text_clean": q_text_clean,
     "q_tfidf_topk": q_tfidf_topk,
     "q_corpus_report": q_corpus_report,
+    "q_bloom_dedup": q_bloom_dedup,
     "q_url_normalize": q_url_normalize,
     "q_domain_curate": q_domain_curate,
     "q_dedup_incr": q_dedup_incr,
@@ -4645,6 +4742,7 @@ ORACLES = {
     "q_text_clean": SQL_TEXT_CLEAN,
     "q_tfidf_topk": SQL_TFIDF_TOPK,
     "q_corpus_report": SQL_CORPUS_REPORT,
+    "q_bloom_dedup": SQL_BLOOM_DEDUP,
     "q_url_normalize": SQL_URL_NORMALIZE,
     "q_domain_curate": SQL_DOMAIN_CURATE,
     "q_dedup_incr": SQL_DEDUP_INCR,

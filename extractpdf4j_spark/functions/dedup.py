@@ -678,3 +678,107 @@ def edit_similarity_pairs(df: DataFrame, pairs: DataFrame,
     sim = F.when(denom > 0, 1.0 - dist / denom).otherwise(F.lit(1.0))
     return j.select("a", "b", dist.cast("long").alias("edit_distance"),
                     F.round(sim, 6).alias("edit_sim"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (bounded-memory incremental dedup prefilter)
+# ---------------------------------------------------------------------------
+
+# 63 usable bits per word: bit 63 would need 1<<63, which DuckDB's
+# checked left shift rejects and which flips the sign bit anyway
+BLOOM_WORD_BITS = 63
+
+
+def _bloom_positions(df: DataFrame, m_bits: int, k: int,
+                     text_col: str, id_col: str) -> DataFrame:
+    """(id, word_idx, bit) rows — the k double-hashed Bloom positions of
+    each document's normalized text: pos_i = (h1 + i*h2) mod m with two
+    independent 60-bit md5 hashes (h1 + 6*h2 < 2^63, hence k <= 7)."""
+    if not 1 <= k <= 7:
+        raise ValueError("k must be in 1..7 (int64 overflow bound)")
+    if m_bits <= 0:
+        raise ValueError("m_bits must be positive")
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    h1 = F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(F.concat(F.lit("bloom:"), norm)),
+                            1, 15), 16, 10).cast("long")
+    pos = (h1 + F.col("_i") * h2) % m_bits
+    return (df.select(F.col(id_col), h1.alias("_h1"), h2.alias("_h2"),
+                      F.explode(F.sequence(F.lit(0),
+                                           F.lit(k - 1))).alias("_i"))
+            .select(F.col(id_col),
+                    F.expr(f"(_h1 + _i * _h2) % {int(m_bits)} "
+                           f"div {BLOOM_WORD_BITS}").cast("long")
+                    .alias("word_idx"),
+                    ((F.col("_h1") + F.col("_i") * F.col("_h2"))
+                     % m_bits % BLOOM_WORD_BITS).cast("int").alias("bit")))
+
+
+def bloom_build(corpus: DataFrame, m_bits: int = 1 << 22, k: int = 5,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Build a Bloom filter over the corpus's normalized texts as a
+    ``(word_idx, word)`` table of 63-bit words.
+
+    THE bounded-memory membership structure for incremental dedup at
+    100 TB: the exact distinct-hash set grows with the corpus (8 bytes
+    x N), but the filter is ``m_bits`` forever — size it once for the
+    target false-positive rate (m/n = 14.4 bits/doc and k = 5 gives
+    ~1%) and broadcast it to every ingest. Construction is one
+    map-side-combined ``bit_or`` aggregation over the k position rows
+    per document; the output has at most ``m_bits / 63`` rows
+    regardless of corpus size."""
+    posn = _bloom_positions(corpus, m_bits, k, text_col, id_col)
+    # pyspark's shiftleft() only takes a literal shift amount — the
+    # column-shift form needs the SQL expression
+    return (posn.groupBy("word_idx")
+            .agg(F.bit_or(F.expr("shiftleft(cast(1 as bigint), bit)"))
+                 .alias("word")))
+
+
+def bloom_maybe_seen(batch: DataFrame, bloom: DataFrame,
+                     m_bits: int, k: int, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Flag each batch document ``maybe_seen`` = true iff ALL of its k
+    Bloom positions are set in ``bloom`` (no false negatives; false
+    positives at the filter's design rate — VERIFY flagged docs exactly
+    before dropping them, see :func:`bloom_dedup_against_corpus`).
+
+    The filter table is broadcast (<= m_bits/63 rows); the probe is a
+    per-position broadcast join plus one id-keyed aggregation."""
+    posn = _bloom_positions(batch, m_bits, k, text_col, id_col)
+    hit = (F.col("word").isNotNull()
+           & (F.expr("shiftright(word, bit) & 1") == 1))
+    flags = (posn.join(F.broadcast(bloom), "word_idx", "left")
+             .groupBy(id_col)
+             .agg((F.min(hit.cast("int")) == 1).alias("maybe_seen")))
+    return batch.join(flags, id_col)
+
+
+def bloom_dedup_against_corpus(new_df: DataFrame, corpus: DataFrame,
+                               m_bits: int = 1 << 22, k: int = 5,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               bloom: DataFrame | None = None) -> DataFrame:
+    """:func:`dedup_against_corpus` with a Bloom prefilter: batch docs
+    whose filter probe misses are DEFINITELY new and skip the corpus
+    anti-join entirely; only the (design-rate small) flagged remainder
+    verifies against the exact corpus hash set. Same output as the
+    exact op — the filter only reroutes work, never changes the answer
+    (no false negatives). Pass a prebuilt ``bloom`` (the production
+    shape: the filter is maintained incrementally, the corpus is never
+    rescanned)."""
+    if bloom is None:
+        bloom = bloom_build(corpus, m_bits, k, text_col, id_col)
+    flagged = bloom_maybe_seen(new_df, bloom, m_bits, k, text_col, id_col)
+    definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    suspects = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    seen = (corpus.select(normalized_text_hash(F.col(text_col))
+                          .alias("_th")).distinct())
+    verified_new = (suspects
+                    .withColumn("_th",
+                                normalized_text_hash(F.col(text_col)))
+                    .join(seen, "_th", "left_anti")
+                    .drop("_th"))
+    fresh = definitely_new.unionByName(verified_new) \
+        .withColumn("_th", normalized_text_hash(F.col(text_col)))
+    return _keep_one_hashed(fresh, id_col)

@@ -373,3 +373,34 @@ def test_tfidf_topk_hand_computed(spark):
     # tie-break: doc2's banana and cherry tie at ln(3/2) -> token asc
     assert [t for _, t, _ in sorted(out[2])] == ["banana", "cherry"]
     assert all(len(v) <= 2 for v in out.values())
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    from extractpdf4j_spark.functions.dedup import (
+        bloom_build, bloom_maybe_seen, bloom_dedup_against_corpus,
+        dedup_against_corpus)
+    corpus = spark.createDataFrame(
+        [(i, f"corpus text number {i}") for i in range(60)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100 + i, f"corpus text number {i}") for i in range(0, 60, 2)]
+        + [(500 + i, f"brand new text {i}") for i in range(40)],
+        "doc_id long, text string")
+    bloom = bloom_build(corpus, m_bits=256, k=3)   # tiny -> forces FPs
+    assert bloom.count() <= 256 // 63 + 1
+    flags = {r["doc_id"]: r["maybe_seen"]
+             for r in bloom_maybe_seen(batch, bloom, 256, 3).collect()}
+    # no false negatives: every true member is flagged
+    assert all(flags[100 + i] for i in range(0, 60, 2))
+    # tiny filter is saturated enough to produce false positives,
+    # which the exact-verify stage must then clear
+    got = sorted(r["doc_id"] for r in bloom_dedup_against_corpus(
+        batch, corpus, m_bits=256, k=3).collect())
+    want = sorted(r["doc_id"] for r in dedup_against_corpus(
+        batch, corpus).collect())
+    assert got == want == sorted(500 + i for i in range(40))
+    # a roomy filter lets most new docs skip verification outright
+    roomy = bloom_build(corpus, m_bits=1 << 16, k=5)
+    flags2 = bloom_maybe_seen(batch, roomy, 1 << 16, 5)
+    n_clear = flags2.filter("not maybe_seen").count()
+    assert n_clear >= 35    # ~all 40 brand-new docs probe clear
