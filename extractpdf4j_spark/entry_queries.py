@@ -3168,6 +3168,108 @@ ORDER BY f.doc_id
 """
 
 
+def q_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ encoding (similarity.pq_encode): every vector's 4 subspace
+    codes (nearest sub-centroid under L2, min-code tie-break),
+    posexploded to scalar rows. The oracle recomputes the argmin from
+    VALUES-inlined codebook literals via the ||c||^2 - 2 x.c identity —
+    the same arithmetic the numpy kernel uses."""
+    from .functions.similarity import pq_encode
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    enc = pq_encode(e, n_sub=4, n_cents=8, dim=64, seed=11)
+    return (enc.select("vec_id",
+                       F.posexplode("codes").alias("sub", "code"))
+            .select("vec_id", F.col("sub").cast("long").alias("sub"),
+                    F.col("code").cast("long").alias("code"))
+            .orderBy("vec_id", "sub"))
+
+
+def _pq_codebook_values(n_sub: int = 4, n_cents: int = 8,
+                        sub_dim: int = 16, seed: int = 11) -> str:
+    from .functions.similarity import _pq_codebooks
+    books = _pq_codebooks(n_sub, n_cents, sub_dim, seed)
+    # repr() emits the shortest round-tripping decimal → DuckDB parses
+    # back the identical double the numpy kernel carries
+    return ",\n      ".join(
+        "({}, {}, [{}])".format(s, c, ", ".join(repr(v) for v in comps))
+        for s, cents in enumerate(books)
+        for c, comps in enumerate(cents))
+
+
+_PQ_COMMON_SQL = """
+WITH cb AS (
+    SELECT CAST(sub AS BIGINT) AS sub, CAST(cid AS BIGINT) AS cid, cvec
+    FROM (VALUES {values}) AS t(sub, cid, cvec)
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+subs AS (
+    SELECT vec_id, CAST(u.s AS BIGINT) AS sub,
+           emb[(u.s * 16 + 1):(u.s * 16 + 16)] AS sv
+    FROM e, unnest(generate_series(0, 3)) AS u(s)
+),
+ranked AS (
+    SELECT vec_id, sub, cid,
+           row_number() OVER (
+               PARTITION BY vec_id, sub
+               ORDER BY list_dot_product(cvec, cvec)
+                        - 2 * list_dot_product(sv, cvec), cid) AS rn
+    FROM subs JOIN cb USING (sub)
+)"""
+
+
+def _pq_encode_oracle_sql() -> str:
+    return (_PQ_COMMON_SQL.format(values=_pq_codebook_values()) + """
+SELECT vec_id, sub, CAST(cid AS BIGINT) AS code
+FROM ranked WHERE rn = 1
+ORDER BY vec_id, sub
+""")
+
+
+SQL_PQ_ENCODE = _pq_encode_oracle_sql()
+
+
+def q_pq_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ-ADC approximate inner-product top-k (similarity.pq_topk):
+    the exact query vector scores every encoded vector as the sum of 4
+    codebook sub-dot-products. The oracle pivots the four per-subspace
+    terms and adds them in the numpy kernel's fixed left-to-right
+    order (((s0+s1)+s2)+s3) so the 6dp-rounded scores are bit-stable
+    — an unordered SQL SUM could associate differently."""
+    from .functions.similarity import pq_topk
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return pq_topk(e, query_id=0, k=10, n_sub=4, n_cents=8, dim=64,
+                   seed=11)
+
+
+def _pq_ann_oracle_sql(qid: int = 0, k: int = 10) -> str:
+    return (_PQ_COMMON_SQL.format(values=_pq_codebook_values()) + f""",
+q AS (SELECT emb AS qemb FROM e WHERE vec_id = {qid}),
+persub AS (
+    SELECT r.vec_id, r.sub,
+           list_dot_product(q.qemb[(r.sub * 16 + 1):(r.sub * 16 + 16)],
+                            cb.cvec) AS ds
+    FROM ranked r
+    JOIN cb ON cb.sub = r.sub AND cb.cid = r.cid
+    CROSS JOIN q
+    WHERE r.rn = 1
+),
+pivoted AS (
+    SELECT vec_id,
+           max(CASE WHEN sub = 0 THEN ds END) AS s0,
+           max(CASE WHEN sub = 1 THEN ds END) AS s1,
+           max(CASE WHEN sub = 2 THEN ds END) AS s2,
+           max(CASE WHEN sub = 3 THEN ds END) AS s3
+    FROM persub GROUP BY vec_id
+)
+SELECT vec_id, round(((s0 + s1) + s2) + s3, 6) AS pq_score
+FROM pivoted
+ORDER BY pq_score DESC, vec_id LIMIT {k}
+""")
+
+
+SQL_PQ_ANN = _pq_ann_oracle_sql()
+
+
 def _planted_urls(d: DataFrame) -> DataFrame:
     """Deterministic URL per document, derived from doc_id (the planted-
     input convention): u = doc_id % 211 seeds every component, so docs
@@ -4659,6 +4761,8 @@ QUERIES = {
     "q_tfidf_topk": q_tfidf_topk,
     "q_corpus_report": q_corpus_report,
     "q_bloom_dedup": q_bloom_dedup,
+    "q_pq_encode": q_pq_encode,
+    "q_pq_ann": q_pq_ann,
     "q_url_normalize": q_url_normalize,
     "q_domain_curate": q_domain_curate,
     "q_dedup_incr": q_dedup_incr,
@@ -4743,6 +4847,8 @@ ORACLES = {
     "q_tfidf_topk": SQL_TFIDF_TOPK,
     "q_corpus_report": SQL_CORPUS_REPORT,
     "q_bloom_dedup": SQL_BLOOM_DEDUP,
+    "q_pq_encode": SQL_PQ_ENCODE,
+    "q_pq_ann": SQL_PQ_ANN,
     "q_url_normalize": SQL_URL_NORMALIZE,
     "q_domain_curate": SQL_DOMAIN_CURATE,
     "q_dedup_incr": SQL_DEDUP_INCR,

@@ -404,3 +404,55 @@ def test_bloom_membership_no_false_negatives(spark):
     flags2 = bloom_maybe_seen(batch, roomy, 1 << 16, 5)
     n_clear = flags2.filter("not maybe_seen").count()
     assert n_clear >= 35    # ~all 40 brand-new docs probe clear
+
+
+def test_pq_trained_codebooks_recall(spark):
+    """Trained PQ codebooks approximate the inner-product neighborhood:
+    ADC top-10 overlaps the exact top-10, the self-match survives, and
+    codes index into the declared codebook range."""
+    from extractpdf4j_spark.functions.similarity import (
+        cosine_topk, pq_encode, pq_topk, pq_train_codebooks)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_train_codebooks(emb, n_sub=8, n_cents=16, dim=64, seed=3)
+    assert len(books) == 8 and all(len(b) <= 16 for b in books)
+    enc = pq_encode(emb, n_sub=8, n_cents=16, dim=64,
+                    codebooks=books)
+    codes = enc.collect()
+    assert all(len(r["codes"]) == 8 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r["codes"])
+    # embeddings are ~same-norm synthetic vectors, so inner-product
+    # rank order tracks cosine rank order closely
+    exact = [r["vec_id"] for r in cosine_topk(emb, 3, k=10).collect()]
+    approx = [r["vec_id"] for r in pq_topk(
+        emb, 3, k=10, n_sub=8, n_cents=16, dim=64,
+        codebooks=books).collect()]
+    assert approx[0] == 3                       # self-match survives ADC
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.5, f"PQ overlap {overlap}"
+    # reusing a materialized code table gives the identical answer
+    again = [r["vec_id"] for r in pq_topk(
+        emb, 3, k=10, n_sub=8, n_cents=16, dim=64, codebooks=books,
+        encoded=enc).collect()]
+    assert again == approx
+
+
+def test_pq_rerank_beats_raw_adc(spark):
+    """Two-stage PQ search: the exact rerank over the ADC shortlist
+    recovers at least the raw-ADC overlap and returns exact cosines."""
+    from extractpdf4j_spark.functions.similarity import (
+        cosine_topk, pq_topk, pq_train_codebooks, pq_encode)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_train_codebooks(emb, n_sub=8, n_cents=16, dim=64, seed=3)
+    enc = pq_encode(emb, n_sub=8, n_cents=16, dim=64, codebooks=books)
+    exact = cosine_topk(emb, 3, k=10).collect()
+    rer = pq_topk(emb, 3, k=10, n_sub=8, n_cents=16, dim=64,
+                  codebooks=books, encoded=enc, rerank=100).collect()
+    assert rer[0]["vec_id"] == 3
+    exact_ids = [r["vec_id"] for r in exact]
+    rer_ids = [r["vec_id"] for r in rer]
+    assert len(set(exact_ids) & set(rer_ids)) >= 7
+    # reranked rows carry the EXACT cosine of the shortlist survivors
+    exact_by_id = {r["vec_id"]: r["cosine"] for r in exact}
+    for r in rer:
+        if r["vec_id"] in exact_by_id:
+            assert r["cosine"] == exact_by_id[r["vec_id"]]
