@@ -3270,6 +3270,59 @@ ORDER BY pq_score DESC, vec_id LIMIT {k}
 SQL_PQ_ANN = _pq_ann_oracle_sql()
 
 
+def q_leakage_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split (corpusops.leakage_safe_split
+    over the MinHash+LSH candidate graph): every near-dup component
+    takes the split of its min-id representative, so near-copies can
+    never straddle a boundary. The oracle reuses the recursive-CTE
+    transitive closure of q_dedup_clusters and replays the sorted-name
+    hash-range assignment."""
+    from .functions.corpusops import leakage_safe_split
+    d = _docs(spark, sf)
+    return (leakage_safe_split(d, fractions={"train": 8, "val": 1,
+                                             "test": 1},
+                               max_bucket=None)
+            .orderBy("doc_id"))
+
+
+def _leakage_split_oracle_sql() -> str:
+    pairs_subq = SQL_MINHASH_PAIRS.replace("ORDER BY a, b", "")
+    # sorted-name range layout over hash % 10: test [0,1), train [1,9),
+    # val [9,10) — the same order split_corpus derives from the dict
+    return f"""
+WITH RECURSIVE pr AS (
+    SELECT a, b FROM ({pairs_subq})
+),
+ed AS (SELECT a AS u, b AS v FROM pr UNION ALL SELECT b AS u, a AS v FROM pr),
+reach AS (
+    SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM ed)
+    UNION
+    SELECT ed.u AS node, reach.label
+    FROM ed JOIN reach ON ed.v = reach.node
+),
+clusters AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+rep AS (
+    SELECT d.doc_id,
+           CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS rep_id
+    FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id
+),
+h AS (
+    SELECT doc_id, rep_id,
+           CAST('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 10 AS hv
+    FROM rep
+)
+SELECT doc_id, rep_id,
+       CASE WHEN hv < 1 THEN 'test'
+            WHEN hv < 9 THEN 'train'
+            ELSE 'val' END AS split
+FROM h ORDER BY doc_id
+"""
+
+
+SQL_LEAKAGE_SPLIT = _leakage_split_oracle_sql()
+
+
 def _planted_urls(d: DataFrame) -> DataFrame:
     """Deterministic URL per document, derived from doc_id (the planted-
     input convention): u = doc_id % 211 seeds every component, so docs
@@ -4763,6 +4816,7 @@ QUERIES = {
     "q_bloom_dedup": q_bloom_dedup,
     "q_pq_encode": q_pq_encode,
     "q_pq_ann": q_pq_ann,
+    "q_leakage_split": q_leakage_split,
     "q_url_normalize": q_url_normalize,
     "q_domain_curate": q_domain_curate,
     "q_dedup_incr": q_dedup_incr,
@@ -4849,6 +4903,7 @@ ORACLES = {
     "q_bloom_dedup": SQL_BLOOM_DEDUP,
     "q_pq_encode": SQL_PQ_ENCODE,
     "q_pq_ann": SQL_PQ_ANN,
+    "q_leakage_split": SQL_LEAKAGE_SPLIT,
     "q_url_normalize": SQL_URL_NORMALIZE,
     "q_domain_curate": SQL_DOMAIN_CURATE,
     "q_dedup_incr": SQL_DEDUP_INCR,

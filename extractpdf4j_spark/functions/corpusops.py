@@ -30,6 +30,7 @@ __all__ = [
     "decontaminate", "remove_contaminated", "temperature_sample",
     "dedup_paragraphs", "pack_sequences", "mix_corpora",
     "logprob_buckets", "bigram_logprob", "clean_text", "corpus_report",
+    "split_corpus", "leakage_safe_split",
     "EMAIL_RE", "IPV4_RE", "LONGNUM_RE",
     "CTRL_RE", "USPACE_RE",
 ]
@@ -895,3 +896,78 @@ def corpus_report(df: DataFrame, group_col: str = "source",
             .withColumn("dup_frac",
                         F.round(1.0 - F.col("n_distinct_texts")
                                 / F.col("n_docs"), 6)))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus splits (leakage-safe train/val/test)
+# ---------------------------------------------------------------------------
+
+def split_corpus(df: DataFrame, fractions: dict | None = None,
+                 key_col: str = "doc_id", salt: str = "",
+                 split_col: str = "split") -> DataFrame:
+    """Assign every row to a named split by integer-weighted 60-bit
+    hash ranges — the reproducible train/val/test cut. ``fractions``
+    maps name -> positive integer weight (default 98/1/1); a row lands
+    in the range its ``hash % total`` falls into, with ranges laid out
+    in sorted-name order so the assignment is a pure engine-independent
+    function of (key, salt, fractions). Re-running with a grown corpus
+    never moves an existing row between splits. Pure codegen map — no
+    shuffle, composes with scan pushdown."""
+    fractions = fractions or {"train": 98, "val": 1, "test": 1}
+    for name, wgt in fractions.items():
+        if int(wgt) != wgt or wgt <= 0:
+            raise ValueError(f"fraction for {name!r} must be a positive "
+                             f"integer, got {wgt!r}")
+    tot = int(sum(fractions.values()))
+    h = _hash60(F.concat(F.col(key_col).cast("string"),
+                         F.lit(salt))) % tot
+    expr, lo = None, 0
+    items = sorted(fractions.items())
+    for name, wgt in items[:-1]:
+        lo += int(wgt)
+        cond = h < lo
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, expr)
+
+
+def leakage_safe_split(df: DataFrame, fractions: dict | None = None,
+                       pairs: DataFrame | None = None,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       salt: str = "", k: int = 8, bands: int = 4,
+                       max_bucket: int | None = 1000,
+                       split_col: str = "split") -> DataFrame:
+    """:func:`split_corpus`, but near-duplicates can never straddle a
+    split boundary: every member of a near-dup connected component is
+    assigned the split of the component's min-id representative. This
+    is the eval-contamination guard a per-document hash split lacks —
+    if doc A is in train and its near-copy B lands in test, the eval
+    leaks; here A and B share ``rep_id`` and therefore a split, by
+    construction. Returns ``(id, rep_id, split)``.
+
+    ``pairs`` is any (a, b) near-dup pair list (LSH candidates, or the
+    Jaccard/SimHash-verified set for a stricter graph); by default the
+    MinHash+LSH candidate pairs are generated here. Scale: the pair
+    graph and its connected components are dedup machinery already
+    sized for 100 TB (banded candidates, hot-bucket cap, one shuffle
+    per propagation round); the split itself stays a pure hash map on
+    the representative id."""
+    from .dedup import (duplicate_clusters, lsh_candidate_pairs,
+                        minhash_signatures)
+    if pairs is None:
+        sigs = minhash_signatures(df, text_col=text_col, id_col=id_col,
+                                  k=k)
+        pairs = lsh_candidate_pairs(sigs, k=k, bands=bands,
+                                    max_bucket=max_bucket)
+    clusters = duplicate_clusters(pairs)
+    rep = (df.select(id_col)
+           .join(clusters.withColumnRenamed("node", id_col), id_col,
+                 "left")
+           .select(F.col(id_col),
+                   F.coalesce(F.col("cluster"), F.col(id_col))
+                   .cast("long").alias("rep_id")))
+    return (split_corpus(rep, fractions, key_col="rep_id", salt=salt,
+                         split_col=split_col)
+            .select(id_col, "rep_id", split_col))

@@ -515,3 +515,53 @@ def test_corpus_report_agrees_with_dedup(spark):
     for s in ("s0", "s1"):
         kept = dedup_keep_one(d.filter(F.col("source") == s)).count()
         assert kept == rep[s]["n_distinct_texts"]
+
+
+def test_split_corpus_deterministic_partition(spark):
+    import pytest
+    from extractpdf4j_spark.functions.corpusops import split_corpus
+    d = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = split_corpus(d, {"train": 8, "val": 1, "test": 1}).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) == {"train", "val", "test"}
+    assert len(by["train"]) > len(by["val"])          # weights respected
+    assert sum(len(v) for v in by.values()) == 1000   # total partition
+    # stable: same assignment on a different partitioning
+    again = {r["doc_id"]: r["split"]
+             for r in split_corpus(d.repartition(7),
+                                   {"train": 8, "val": 1,
+                                    "test": 1}).collect()}
+    for s, ids in by.items():
+        assert all(again[i] == s for i in ids)
+    # growing the corpus never moves an existing row
+    grown = split_corpus(
+        spark.createDataFrame([(i,) for i in range(2000)], "doc_id long"),
+        {"train": 8, "val": 1, "test": 1}).collect()
+    gmap = {r["doc_id"]: r["split"] for r in grown}
+    for s, ids in by.items():
+        assert all(gmap[i] == s for i in ids)
+    with pytest.raises(ValueError):
+        split_corpus(d, {"train": 0.8, "val": 0.2})
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from extractpdf4j_spark.functions.corpusops import leakage_safe_split
+    base = ("long shared body of text that minhash will band together "
+            "word word word alpha beta gamma delta epsilon zeta")
+    rows = ([(i, base + f" tail{i % 2}") for i in range(6)]      # near-dups
+            + [(100 + i, " ".join(f"u{i}w{j}" for j in range(12)))
+               for i in range(20)])  # pairwise-disjoint vocabularies
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           leakage_safe_split(d, {"a": 1, "b": 1},
+                              max_bucket=None).collect()}
+    assert len(out) == 26
+    # the six near-dups share one representative and thus one split
+    reps = {out[i]["rep_id"] for i in range(6)}
+    assert reps == {0}
+    splits = {out[i]["split"] for i in range(6)}
+    assert len(splits) == 1
+    # singletons represent themselves
+    assert all(out[100 + i]["rep_id"] == 100 + i for i in range(20))
