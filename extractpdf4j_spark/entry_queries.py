@@ -3323,6 +3323,103 @@ FROM h ORDER BY doc_id
 SQL_LEAKAGE_SPLIT = _leakage_split_oracle_sql()
 
 
+def q_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed IVF-PQ search (similarity.ivf_pq_topk): coarse-probe
+    the 2 nearest clusters, ADC-score only their PQ codes. The oracle
+    chains the q_ivf_ann assignment/probe CTEs with the q_pq_ann
+    code/LUT CTEs over the probed candidate set."""
+    from .functions.similarity import ivf_pq_topk
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return ivf_pq_topk(e, query_id=0, k=10, nprobe=2, n_clusters=8,
+                       dim=64, n_sub=4, n_cents=8)
+
+
+def _ivf_pq_oracle_sql(qid: int = 0, k: int = 10, nprobe: int = 2,
+                       n_clusters: int = 8, dim: int = 64,
+                       ivf_seed: int = 7) -> str:
+    from .functions.similarity import _ivf_centroids
+    cents = _ivf_centroids(n_clusters, dim, ivf_seed)
+    cent_values = ",\n      ".join(
+        "({}, [{}])".format(c, ", ".join(repr(v) for v in comps))
+        for c, comps in enumerate(cents))
+    return f"""
+WITH cent AS (
+    SELECT CAST(cid AS BIGINT) AS cid, cvec
+    FROM (VALUES {cent_values}) AS t(cid, cvec)
+),
+cb AS (
+    SELECT CAST(sub AS BIGINT) AS sub, CAST(cid AS BIGINT) AS cid, cvec
+    FROM (VALUES {_pq_codebook_values()}) AS t(sub, cid, cvec)
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cscored AS (
+    SELECT vec_id, emb, cid,
+           list_dot_product(emb, cvec)
+           / (sqrt(list_dot_product(emb, emb))
+              * sqrt(list_dot_product(cvec, cvec))) AS ccos
+    FROM e CROSS JOIN cent
+),
+assigned AS (
+    SELECT vec_id, emb, cid AS cluster
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY ccos DESC, cid) AS rn
+          FROM cscored)
+    WHERE rn = 1
+),
+q AS (SELECT emb AS qemb FROM e WHERE vec_id = {qid}),
+probes AS (
+    SELECT cid AS pcid
+    FROM (SELECT cent.cid,
+                 list_dot_product(q.qemb, cent.cvec)
+                 / (sqrt(list_dot_product(q.qemb, q.qemb))
+                    * sqrt(list_dot_product(cent.cvec, cent.cvec)))
+                     AS pcos
+          FROM q CROSS JOIN cent)
+    ORDER BY pcos DESC, pcid LIMIT {nprobe}
+),
+cand AS (
+    SELECT a.vec_id, a.emb FROM assigned a
+    JOIN probes p ON a.cluster = p.pcid
+),
+subs AS (
+    SELECT vec_id, CAST(u.s AS BIGINT) AS sub,
+           emb[(u.s * 16 + 1):(u.s * 16 + 16)] AS sv
+    FROM cand, unnest(generate_series(0, 3)) AS u(s)
+),
+ranked AS (
+    SELECT vec_id, sub, cid,
+           row_number() OVER (
+               PARTITION BY vec_id, sub
+               ORDER BY list_dot_product(cvec, cvec)
+                        - 2 * list_dot_product(sv, cvec), cid) AS rn
+    FROM subs JOIN cb USING (sub)
+),
+persub AS (
+    SELECT r.vec_id, r.sub,
+           list_dot_product(q.qemb[(r.sub * 16 + 1):(r.sub * 16 + 16)],
+                            cb.cvec) AS ds
+    FROM ranked r
+    JOIN cb ON cb.sub = r.sub AND cb.cid = r.cid
+    CROSS JOIN q
+    WHERE r.rn = 1
+),
+pivoted AS (
+    SELECT vec_id,
+           max(CASE WHEN sub = 0 THEN ds END) AS s0,
+           max(CASE WHEN sub = 1 THEN ds END) AS s1,
+           max(CASE WHEN sub = 2 THEN ds END) AS s2,
+           max(CASE WHEN sub = 3 THEN ds END) AS s3
+    FROM persub GROUP BY vec_id
+)
+SELECT vec_id, round(((s0 + s1) + s2) + s3, 6) AS pq_score
+FROM pivoted
+ORDER BY pq_score DESC, vec_id LIMIT {k}
+"""
+
+
+SQL_IVF_PQ = _ivf_pq_oracle_sql()
+
+
 def _planted_urls(d: DataFrame) -> DataFrame:
     """Deterministic URL per document, derived from doc_id (the planted-
     input convention): u = doc_id % 211 seeds every component, so docs
@@ -4817,6 +4914,7 @@ QUERIES = {
     "q_pq_encode": q_pq_encode,
     "q_pq_ann": q_pq_ann,
     "q_leakage_split": q_leakage_split,
+    "q_ivf_pq": q_ivf_pq,
     "q_url_normalize": q_url_normalize,
     "q_domain_curate": q_domain_curate,
     "q_dedup_incr": q_dedup_incr,
@@ -4904,6 +5002,7 @@ ORACLES = {
     "q_pq_encode": SQL_PQ_ENCODE,
     "q_pq_ann": SQL_PQ_ANN,
     "q_leakage_split": SQL_LEAKAGE_SPLIT,
+    "q_ivf_pq": SQL_IVF_PQ,
     "q_url_normalize": SQL_URL_NORMALIZE,
     "q_domain_curate": SQL_DOMAIN_CURATE,
     "q_dedup_incr": SQL_DEDUP_INCR,

@@ -629,6 +629,15 @@ def pq_topk(embeddings: DataFrame, query_id: int, k: int = 10,
     if encoded is None:
         encoded = pq_encode(embeddings, n_sub, n_cents, dim, seed,
                             id_col, vec_col, codebooks=books)
+    return _adc_rank(embeddings, encoded, lut, qv, query_id, k, rerank,
+                     id_col, vec_col)
+
+
+def _adc_scored(encoded: DataFrame, lut: np.ndarray,
+                id_col: str) -> DataFrame:
+    """(id, pq_score) — one mapInPandas pass summing each row's n_sub
+    LUT entries (fixed left-to-right association; the oracles mirror
+    it as (((s0+s1)+s2)+s3))."""
 
     def gen(batches):
         for pdf in batches:
@@ -640,8 +649,17 @@ def pq_topk(embeddings: DataFrame, query_id: int, k: int = 10,
                 id_col: pdf[id_col].to_numpy(dtype=np.int64),
                 "pq_score": np.round(score, 6)})
 
-    scored = encoded.mapInPandas(gen,
-                                 schema=f"{id_col} long, pq_score double")
+    return encoded.mapInPandas(gen,
+                               schema=f"{id_col} long, pq_score double")
+
+
+def _adc_rank(embeddings: DataFrame, encoded: DataFrame, lut: np.ndarray,
+              qv: np.ndarray, query_id: int, k: int, rerank: int | None,
+              id_col: str, vec_col: str) -> DataFrame:
+    """ADC ranking tail shared by pq_topk and ivf_pq_topk: rank the
+    scored codes; with ``rerank`` fetch only the shortlist's float
+    vectors (broadcast semi-join) and score exactly."""
+    scored = _adc_scored(encoded, lut, id_col)
     if rerank is None:
         return scored.orderBy(F.col("pq_score").desc(),
                               F.col(id_col)).limit(k)
@@ -653,3 +671,54 @@ def pq_topk(embeddings: DataFrame, query_id: int, k: int = 10,
                        id_col, vec_col)
             .select(id_col, "cosine")
             .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
+
+
+def ivf_pq_topk(embeddings: DataFrame, query_id: int, k: int = 10,
+                nprobe: int = 2, n_clusters: int = 8, dim: int = 64,
+                ivf_seed: int = 7, n_sub: int = 4, n_cents: int = 8,
+                pq_seed: int = 11, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                centroids: list[list[float]] | None = None,
+                codebooks: list[list[list[float]]] | None = None,
+                rerank: int | None = None) -> DataFrame:
+    """The composed FAISS IVF-PQ index: the coarse quantizer prunes the
+    search to the ``nprobe`` clusters nearest the query (partition
+    pruning once the code table is laid out by cluster), ADC scores
+    ONLY those clusters' PQ codes, and ``rerank`` optionally fetches
+    the shortlist's float vectors for exact scoring. The two levers
+    multiply: at 100 TB a 1024-cluster / nprobe-8 layout touches <1% of
+    partitions, and within them only 8-byte codes — the float table is
+    read for at most ``rerank`` rows per query. Returns ``(id,
+    pq_score)`` (or exact ``cosine`` with rerank), ranked (score desc,
+    id)."""
+    if dim % n_sub:
+        raise ValueError("dim must divide evenly into n_sub subspaces")
+    sub_dim = dim // n_sub
+    books = codebooks if codebooks is not None \
+        else _pq_codebooks(n_sub, n_cents, sub_dim, pq_seed)
+    B = np.asarray(books, dtype=np.float64)
+    cents = centroids if centroids is not None \
+        else _ivf_centroids(n_clusters, dim, ivf_seed)
+    C = np.asarray(cents, dtype=np.float64)
+    Cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+    qrow = (embeddings.filter(F.col(id_col) == query_id)
+            .select(vec_col).collect())
+    if not qrow:
+        return (embeddings.select(F.col(id_col),
+                                  F.lit(0.0).alias("pq_score"))
+                .filter(F.lit(False)))
+    qv = np.asarray(list(qrow[0][0]), dtype=np.float64)
+    pcos = (C @ qv) / (Cn * math.sqrt(float(qv @ qv)))
+    probe_ids = [int(c) for c in
+                 np.lexsort((np.arange(len(C)), -pcos))[:nprobe]]
+    assigned = ivf_assign(embeddings, n_clusters, dim, ivf_seed, id_col,
+                          vec_col, centroids=cents)
+    cand_ids = (assigned.filter(F.col("cluster").isin(probe_ids))
+                .select(id_col))
+    cand = embeddings.join(cand_ids, id_col, "left_semi")
+    encoded = pq_encode(cand, n_sub, n_cents, dim, pq_seed, id_col,
+                        vec_col, codebooks=books)
+    lut = np.stack([B[s] @ qv[s * sub_dim:(s + 1) * sub_dim]
+                    for s in range(B.shape[0])])
+    return _adc_rank(cand, encoded, lut, qv, query_id, k, rerank,
+                     id_col, vec_col)

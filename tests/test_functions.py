@@ -456,3 +456,38 @@ def test_pq_rerank_beats_raw_adc(spark):
     for r in rer:
         if r["vec_id"] in exact_by_id:
             assert r["cosine"] == exact_by_id[r["vec_id"]]
+
+
+def test_ivf_pq_topk_probe_and_rerank(spark):
+    """The composed IVF-PQ index: results come only from the probed
+    clusters; probing ALL clusters reduces to plain PQ ADC; rerank rows
+    carry exact cosines for shortlist survivors."""
+    from extractpdf4j_spark.functions.similarity import (
+        cosine_topk, ivf_assign, ivf_pq_topk, pq_topk)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = ivf_pq_topk(emb, query_id=3, k=10, nprobe=2, n_clusters=8,
+                      dim=64, n_sub=8, n_cents=8).collect()
+    # self survives into the ADC top-10 (untrained codebooks don't
+    # guarantee self-FIRST — the exact rerank below does)
+    assert len(got) == 10 and 3 in {r["vec_id"] for r in got}
+    # every hit sits in one of the probed clusters (nprobe=2 of 8)
+    clusters = {r["vec_id"]: r["cluster"]
+                for r in ivf_assign(emb, 8, 64, 7).collect()}
+    hit_clusters = {clusters[r["vec_id"]] for r in got}
+    assert len(hit_clusters) <= 2
+    # probing every cluster = plain PQ over the full corpus
+    full = ivf_pq_topk(emb, query_id=3, k=10, nprobe=8, n_clusters=8,
+                       dim=64, n_sub=8, n_cents=8).collect()
+    plain = pq_topk(emb, query_id=3, k=10, n_sub=8, n_cents=8,
+                    dim=64).collect()
+    assert [(r["vec_id"], r["pq_score"]) for r in full] == \
+        [(r["vec_id"], r["pq_score"]) for r in plain]
+    # rerank path returns the exact cosine for shortlist survivors
+    exact = {r["vec_id"]: r["cosine"]
+             for r in cosine_topk(emb, 3, k=50).collect()}
+    rer = ivf_pq_topk(emb, query_id=3, k=10, nprobe=8, n_clusters=8,
+                      dim=64, n_sub=8, n_cents=8, rerank=50).collect()
+    assert rer[0]["vec_id"] == 3
+    for r in rer:
+        if r["vec_id"] in exact:
+            assert r["cosine"] == exact[r["vec_id"]]
