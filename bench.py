@@ -128,7 +128,8 @@ HEAVY_QUERIES = [
     "q_bigram_lm",
     "q_curate", "q_media_features", "q_ann_scale",
     "q_embed_neardup",
-    "q_ivf_ann", "q_ivf_pq", "q_simhash", "q_lsh_ann", "q_fuzzy_header",
+    "q_ivf_ann", "q_ivf_pq", "q_semantic_dedup", "q_simhash", "q_lsh_ann",
+    "q_fuzzy_header",
     "q_extract_ocr_spans", "q_extract_ocr_metrics",
     "q_extract_lattice_spans", "q_extract_lattice_metrics",
     "q_extract_hybrid_spans", "q_extract_hybrid_metrics",

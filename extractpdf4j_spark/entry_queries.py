@@ -3420,6 +3420,64 @@ ORDER BY pq_score DESC, vec_id LIMIT {k}
 SQL_IVF_PQ = _ivf_pq_oracle_sql()
 
 
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDedup (similarity.semantic_dedup): cluster embeddings by
+    nearest centroid, drop any vector with a lower-id clustermate at
+    6dp-rounded cosine >= tau. Threshold tuned low (like
+    q_embed_neardup) so the synthetic table yields drops at every sf —
+    the semantics under test are cluster-scoped pairing + the
+    deterministic keeper rule, not the cutoff."""
+    from .functions.similarity import semantic_dedup
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return semantic_dedup(e, tau=0.2, n_clusters=8, dim=64)
+
+
+def _semantic_dedup_oracle_sql(tau: float = 0.2, n_clusters: int = 8,
+                               dim: int = 64, seed: int = 7) -> str:
+    from .functions.similarity import _ivf_centroids
+    cents = _ivf_centroids(n_clusters, dim, seed)
+    values = ",\n      ".join(
+        "({}, [{}])".format(c, ", ".join(repr(v) for v in comps))
+        for c, comps in enumerate(cents))
+    return f"""
+WITH cent AS (
+    SELECT CAST(cid AS BIGINT) AS cid, cvec
+    FROM (VALUES {values}) AS t(cid, cvec)
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cscored AS (
+    SELECT vec_id, emb, cid,
+           list_dot_product(emb, cvec)
+           / (sqrt(list_dot_product(emb, emb))
+              * sqrt(list_dot_product(cvec, cvec))) AS ccos
+    FROM e CROSS JOIN cent
+),
+assigned AS (
+    SELECT vec_id, emb, cid AS cluster
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY ccos DESC, cid) AS rn
+          FROM cscored)
+    WHERE rn = 1
+),
+dups AS (
+    SELECT DISTINCT b.vec_id
+    FROM assigned a JOIN assigned b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.emb, b.emb)
+                / (sqrt(list_dot_product(a.emb, a.emb))
+                   * sqrt(list_dot_product(b.emb, b.emb))), 6) >= {tau}
+)
+SELECT a.vec_id, a.cluster,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS keep
+FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
+"""
+
+
+SQL_SEMANTIC_DEDUP = _semantic_dedup_oracle_sql()
+
+
 def _planted_urls(d: DataFrame) -> DataFrame:
     """Deterministic URL per document, derived from doc_id (the planted-
     input convention): u = doc_id % 211 seeds every component, so docs
@@ -4915,6 +4973,7 @@ QUERIES = {
     "q_pq_ann": q_pq_ann,
     "q_leakage_split": q_leakage_split,
     "q_ivf_pq": q_ivf_pq,
+    "q_semantic_dedup": q_semantic_dedup,
     "q_url_normalize": q_url_normalize,
     "q_domain_curate": q_domain_curate,
     "q_dedup_incr": q_dedup_incr,
@@ -5003,6 +5062,7 @@ ORACLES = {
     "q_pq_ann": SQL_PQ_ANN,
     "q_leakage_split": SQL_LEAKAGE_SPLIT,
     "q_ivf_pq": SQL_IVF_PQ,
+    "q_semantic_dedup": SQL_SEMANTIC_DEDUP,
     "q_url_normalize": SQL_URL_NORMALIZE,
     "q_domain_curate": SQL_DOMAIN_CURATE,
     "q_dedup_incr": SQL_DEDUP_INCR,

@@ -722,3 +722,45 @@ def ivf_pq_topk(embeddings: DataFrame, query_id: int, k: int = 10,
                     for s in range(B.shape[0])])
     return _adc_rank(cand, encoded, lut, qv, query_id, k, rerank,
                      id_col, vec_col)
+
+
+def semantic_dedup(embeddings: DataFrame, tau: float = 0.2,
+                   n_clusters: int = 8, dim: int = 64, seed: int = 7,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   centroids: list[list[float]] | None = None
+                   ) -> DataFrame:
+    """SemDedup — embedding-space semantic dedup (the published recipe:
+    k-means-cluster the embeddings, then compare pairs ONLY inside each
+    cluster; arXiv:2303.09540). Deterministic keeper rule: a vector is
+    dropped iff some LOWER-id clustermate has 6dp-rounded cosine >= tau
+    — the lowest id in every semantic neighborhood survives (the paper
+    keeps the point farthest from the centroid; an id tie-break is the
+    reproducible cross-engine equivalent).
+
+    Returns (id, cluster, keep) with ``keep`` an int64 0/1 flag.
+
+    Scale shape: :func:`ivf_assign` streams the corpus once (centroid
+    matrix in the task closure — no shuffle), then ONE exchange groups
+    by cluster and an Arrow-batched pairwise ``X @ X.T`` runs per
+    cluster. Pairwise cost is bounded by cluster size n/K — pick K
+    proportional to corpus size (the paper uses 50k clusters for LAION)
+    so each cluster fits one Arrow group; at 100 TB the table is
+    already partitioned by the cluster column and even the exchange
+    collapses to a local sort."""
+    assigned = ivf_assign(embeddings, n_clusters, dim, seed, id_col,
+                          vec_col, centroids=centroids)
+
+    def dedup_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = (pdf.sort_values(id_col, kind="mergesort")
+               .reset_index(drop=True))
+        X = _mat(pdf["emb"])
+        Xn = np.sqrt(np.einsum("ij,ij->i", X, X))
+        G = np.round((X @ X.T) / np.outer(Xn, Xn), 6)
+        dup = np.triu(G >= tau, k=1).any(axis=0)
+        return pd.DataFrame({
+            id_col: pdf[id_col].to_numpy(dtype=np.int64),
+            "cluster": pdf["cluster"].to_numpy(dtype=np.int64),
+            "keep": (~dup).astype(np.int64)})
+
+    return assigned.groupBy("cluster").applyInPandas(
+        dedup_group, schema=f"{id_col} long, cluster long, keep long")

@@ -491,3 +491,29 @@ def test_ivf_pq_topk_probe_and_rerank(spark):
     for r in rer:
         if r["vec_id"] in exact:
             assert r["cosine"] == exact[r["vec_id"]]
+
+
+def test_semantic_dedup_keeps_lowest_id(spark):
+    """SemDedup: within a cluster the lowest id of a near-identical
+    group survives; vectors in different clusters are never compared."""
+    import numpy as np
+    from extractpdf4j_spark.functions.similarity import (
+        _ivf_centroids, ivf_assign, semantic_dedup)
+    cents = np.asarray(_ivf_centroids(4, 8, seed=7))
+    # three copies of centroid 0's direction (same cluster, cos ~1),
+    # one on centroid 1 (different cluster), one anti-aligned filler
+    rows = [(10, [float(x) for x in cents[0] * 2.0]),
+            (11, [float(x) for x in cents[0] * 2.0 + 1e-9]),
+            (12, [float(x) for x in cents[0] * 0.5]),
+            (20, [float(x) for x in cents[1] * 3.0]),
+            (30, [float(x) for x in -cents[0]])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["vec_id"]: (r["cluster"], r["keep"])
+           for r in semantic_dedup(df, tau=0.95, n_clusters=4, dim=8,
+                                   seed=7).collect()}
+    assert len(got) == 5
+    assert got[10][1] == 1                 # lowest id of the group
+    assert got[11][1] == 0 and got[12][1] == 0
+    assert got[20][1] == 1                 # alone in its cluster
+    assert got[20][0] != got[10][0]
+    assert got[30][1] == 1                 # anti-aligned: cos = -1
