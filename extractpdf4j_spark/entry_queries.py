@@ -3478,6 +3478,51 @@ ORDER BY a.vec_id
 SQL_SEMANTIC_DEDUP = _semantic_dedup_oracle_sql()
 
 
+def q_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (corpusops.dsir_weights): target LM =
+    the English documents, raw LM = the whole pool; every doc scored
+    by its hashed-unigram log p_target/p_raw ratio."""
+    from .functions.corpusops import dsir_weights
+    d = _docs(spark, sf).select("doc_id", "text", "lang")
+    return dsir_weights(d.select("doc_id", "text"),
+                        d.filter(F.col("lang") == "en")
+                        .select("doc_id", "text"))
+
+
+SQL_DSIR = r"""
+WITH rtok AS (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text),
+                                                   '\s+', ' ', 'g')),
+                               ' ')) AS tok
+    FROM documents
+),
+ttok AS (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                                                   '\s+', ' ', 'g')),
+                               ' ')) AS tok
+    FROM documents WHERE lang = 'en'
+),
+rb AS (SELECT doc_id,
+              ('0x' || substring(md5(tok), 1, 15))::BIGINT % 4096 AS b
+       FROM rtok),
+tb AS (SELECT ('0x' || substring(md5(tok), 1, 15))::BIGINT % 4096 AS b
+       FROM ttok),
+rc AS (SELECT b, count(*) AS cr FROM rb GROUP BY b),
+tc AS (SELECT b, count(*) AS ct FROM tb GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM rb) AS tr,
+               (SELECT count(*) FROM tb) AS tt)
+SELECT rb.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(ln(coalesce(ct, 0) + 1.0) - ln(cr + 1.0))
+             + count(*) * (ln(tr + 4096.0) - ln(tt + 4096.0)), 6)
+           AS log_weight
+FROM rb JOIN rc USING (b) LEFT JOIN tc USING (b) CROSS JOIN tot
+GROUP BY rb.doc_id, tr, tt
+ORDER BY rb.doc_id
+"""
+
+
 def _planted_urls(d: DataFrame) -> DataFrame:
     """Deterministic URL per document, derived from doc_id (the planted-
     input convention): u = doc_id % 211 seeds every component, so docs
@@ -4974,6 +5019,7 @@ QUERIES = {
     "q_leakage_split": q_leakage_split,
     "q_ivf_pq": q_ivf_pq,
     "q_semantic_dedup": q_semantic_dedup,
+    "q_dsir": q_dsir,
     "q_url_normalize": q_url_normalize,
     "q_domain_curate": q_domain_curate,
     "q_dedup_incr": q_dedup_incr,
@@ -5063,6 +5109,7 @@ ORACLES = {
     "q_leakage_split": SQL_LEAKAGE_SPLIT,
     "q_ivf_pq": SQL_IVF_PQ,
     "q_semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "q_dsir": SQL_DSIR,
     "q_url_normalize": SQL_URL_NORMALIZE,
     "q_domain_curate": SQL_DOMAIN_CURATE,
     "q_dedup_incr": SQL_DEDUP_INCR,

@@ -971,3 +971,76 @@ def leakage_safe_split(df: DataFrame, fractions: dict | None = None,
     return (split_corpus(rep, fractions, key_col="rep_id", salt=salt,
                          split_col=split_col)
             .select(id_col, "rep_id", split_col))
+
+
+# ---------------------------------------------------------------------------
+# DSIR — hashed-n-gram importance resampling toward a target domain
+# ---------------------------------------------------------------------------
+
+def dsir_weights(df: DataFrame, target_df: DataFrame,
+                 n_buckets: int = 4096, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 target_text_col: str | None = None) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    estimate two bag-of-hashed-unigram LMs — p from ``target_df`` (the
+    domain to select FOR), q from ``df`` (the raw pool) — with add-one
+    smoothing over ``n_buckets`` hash buckets, and score every raw
+    document log w(x) = sum_tokens [ln p(b) - ln q(b)]. High weight =
+    looks like the target under the hashed features. Returns
+    ``(id, n_tokens, log_weight)``, 6dp-rounded. The paper adds Gumbel
+    noise before the top-k; :func:`dsir_sample` is the deterministic
+    rank-order variant.
+
+    Scale shape: both LMs are ONE token-bucket aggregation each
+    (map-side combined, 8-byte 60-bit-hash keys mod ``n_buckets``) and
+    the resulting tables are at most ``n_buckets`` rows — broadcast to
+    the scoring pass, which is explode → two broadcast joins → one
+    per-document aggregation. No shuffle ever carries the token stream
+    except into its own per-doc sum; the corpus is read twice (LM +
+    scoring) — at 100 TB persist the bucketed token counts instead."""
+    tgt_col = target_text_col if target_text_col is not None else text_col
+
+    def _buckets(src: DataFrame, tcol: str, with_id: bool):
+        cols = [F.col(id_col)] if with_id else []
+        toks = src.select(*cols, F.explode(F.split(F.trim(
+            F.regexp_replace(F.lower(F.col(tcol)), r"\s+", " ")),
+            " ")).alias("tok"))
+        return toks.select(*cols, F.pmod(_hash60(F.col("tok")),
+                                         F.lit(n_buckets)).alias("b"))
+
+    rb = _buckets(df, text_col, True)
+    tb = _buckets(target_df, tgt_col, False)
+    rc = rb.groupBy("b").agg(F.count("*").alias("cr"))
+    tc = tb.groupBy("b").agg(F.count("*").alias("ct"))
+    tot = (rc.agg(F.sum("cr").alias("tr"))
+           .crossJoin(tc.agg(F.sum("ct").alias("tt"))))
+    # every raw token's bucket exists in rc by construction; ct may miss
+    scored = (rb.join(F.broadcast(rc), "b")
+              .join(F.broadcast(tc), "b", "left")
+              .select(F.col(id_col),
+                      (F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                       - F.log(F.col("cr") + 1.0)).alias("lp")))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"), F.sum("lp").alias("s"))
+            .crossJoin(F.broadcast(tot))
+            .select(F.col(id_col), F.col("n_tokens"),
+                    F.round(F.col("s") + F.col("n_tokens")
+                            * (F.log(F.col("tr") + float(n_buckets))
+                               - F.log(F.col("tt") + float(n_buckets))),
+                            6).alias("log_weight")))
+
+
+def dsir_sample(df: DataFrame, target_df: DataFrame, k: int,
+                n_buckets: int = 4096, text_col: str = "text",
+                id_col: str = "doc_id",
+                target_text_col: str | None = None) -> DataFrame:
+    """Deterministic DSIR selection: the ``k`` raw documents whose
+    hashed-unigram importance weight toward ``target_df`` is highest
+    (ties break on id). One global top-k over the per-doc weights —
+    TakeOrderedAndProject, never a full sort. Returns the selected
+    ``(id, log_weight)``."""
+    w = dsir_weights(df, target_df, n_buckets, text_col, id_col,
+                     target_text_col)
+    return (w.select(id_col, "log_weight")
+            .orderBy(F.col("log_weight").desc(), F.col(id_col))
+            .limit(k))

@@ -517,3 +517,28 @@ def test_semantic_dedup_keeps_lowest_id(spark):
     assert got[20][1] == 1                 # alone in its cluster
     assert got[20][0] != got[10][0]
     assert got[30][1] == 1                 # anti-aligned: cos = -1
+
+
+def test_dsir_sample_prefers_target_domain(spark):
+    """DSIR: raw pool of two disjoint vocabularies; the target LM is
+    drawn from one of them — the top-k selection is exactly the
+    in-domain half, and weights are higher for every in-domain doc."""
+    from extractpdf4j_spark.functions.corpusops import (dsir_sample,
+                                                        dsir_weights)
+    med = [" ".join(f"gene{i} protein{i} cell{i}" for i in range(j, j + 6))
+           for j in range(4)]
+    web = [" ".join(f"click{i} buy{i} deal{i}" for i in range(j, j + 6))
+           for j in range(4)]
+    raw = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(med + web)], ["doc_id", "text"])
+    target = spark.createDataFrame(
+        [(100 + j, " ".join(f"gene{i} protein{i}" for i in range(8)))
+         for j in range(3)], ["doc_id", "text"])
+    w = {r["doc_id"]: r["log_weight"]
+         for r in dsir_weights(raw, target, n_buckets=512).collect()}
+    assert len(w) == 8
+    assert min(w[i] for i in range(4)) > max(w[i] for i in range(4, 8))
+    picked = {r["doc_id"]
+              for r in dsir_sample(raw, target, k=4,
+                                   n_buckets=512).collect()}
+    assert picked == {0, 1, 2, 3}
