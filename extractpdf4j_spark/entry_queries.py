@@ -3420,6 +3420,61 @@ ORDER BY pq_score DESC, vec_id LIMIT {k}
 SQL_IVF_PQ = _ivf_pq_oracle_sql()
 
 
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-graph PageRank (graphops.pagerank, 5 fixed iterations):
+    planted edge list from doc_id arithmetic — src h(doc_id % 13) →
+    dst h((src*7+3) % 13), srcs divisible by 5 withheld so h0/h5/h10
+    are dangling (dst-only) and the dangling-mass path is exercised;
+    one self-loop (h6) rides along."""
+    from .functions.graphops import pagerank
+    d = _docs(spark, sf).select("doc_id")
+    s = (F.col("doc_id") % 13).cast("long")
+    t = (s * 7 + 3) % 13
+    edges = (d.filter(s % 5 != 0)
+             .select(F.concat(F.lit("h"), s.cast("string")).alias("src"),
+                     F.concat(F.lit("h"), t.cast("string")).alias("dst")))
+    return pagerank(edges, n_iter=5)
+
+
+def _pagerank_oracle_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    parts = []
+    prev = "pr0"
+    for i in range(1, n_iter + 1):
+        parts.append(f"""
+d{i} AS (
+    SELECT coalesce(sum(p.pr), 0) AS dm
+    FROM {prev} p LEFT JOIN deg ON p.node = deg.src
+    WHERE deg.src IS NULL
+),
+pr{i} AS (
+    SELECT nd.node,
+           (1.0 - {damping!r}) / nn.n
+           + {damping!r} * (coalesce(c.s, 0) + d{i}.dm / nn.n) AS pr
+    FROM nodes nd CROSS JOIN nn CROSS JOIN d{i}
+    LEFT JOIN (SELECT e.dst AS node, sum(p.pr / deg.deg) AS s
+               FROM e JOIN {prev} p ON e.src = p.node
+               JOIN deg ON e.src = deg.src
+               GROUP BY e.dst) c ON nd.node = c.node
+)""")
+        prev = f"pr{i}"
+    chain = ",".join(parts)
+    return f"""
+WITH e AS (
+    SELECT DISTINCT 'h' || CAST(doc_id % 13 AS VARCHAR) AS src,
+           'h' || CAST(((doc_id % 13) * 7 + 3) % 13 AS VARCHAR) AS dst
+    FROM documents WHERE (doc_id % 13) % 5 <> 0
+),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),{chain}
+SELECT node, round(pr, 6) AS pr FROM {prev} ORDER BY node
+"""
+
+
+SQL_PAGERANK = _pagerank_oracle_sql()
+
+
 def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDedup (similarity.semantic_dedup): cluster embeddings by
     nearest centroid, drop any vector with a lower-id clustermate at
@@ -5019,6 +5074,7 @@ QUERIES = {
     "q_leakage_split": q_leakage_split,
     "q_ivf_pq": q_ivf_pq,
     "q_semantic_dedup": q_semantic_dedup,
+    "q_pagerank": q_pagerank,
     "q_dsir": q_dsir,
     "q_url_normalize": q_url_normalize,
     "q_domain_curate": q_domain_curate,
@@ -5109,6 +5165,7 @@ ORACLES = {
     "q_leakage_split": SQL_LEAKAGE_SPLIT,
     "q_ivf_pq": SQL_IVF_PQ,
     "q_semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "q_pagerank": SQL_PAGERANK,
     "q_dsir": SQL_DSIR,
     "q_url_normalize": SQL_URL_NORMALIZE,
     "q_domain_curate": SQL_DOMAIN_CURATE,

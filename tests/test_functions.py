@@ -542,3 +542,20 @@ def test_dsir_sample_prefers_target_domain(spark):
               for r in dsir_sample(raw, target, k=4,
                                    n_buckets=512).collect()}
     assert picked == {0, 1, 2, 3}
+
+
+def test_pagerank_star_graph(spark):
+    """PageRank on a hand-checkable star: two spokes point at a hub;
+    the hub is dangling so its mass teleports uniformly. Hub ranks
+    highest, spokes tie exactly, total mass stays 1."""
+    from extractpdf4j_spark.functions.graphops import pagerank
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("c", "hub"), ("a", "hub")],  # dup collapses
+        ["src", "dst"])
+    got = {r["node"]: r["pr"]
+           for r in pagerank(edges, n_iter=20,
+                             checkpoint_every=4).collect()}
+    assert set(got) == {"a", "c", "hub"}
+    assert got["a"] == got["c"]                    # symmetric spokes
+    assert got["hub"] > got["a"]
+    assert abs(sum(got.values()) - 1.0) < 1e-4     # mass conserved
