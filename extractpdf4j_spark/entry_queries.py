@@ -3029,6 +3029,178 @@ ORDER BY doc_id, rank
 """
 
 
+def q_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 ranked retrieval (textstats.bm25_topk): four fixed literal
+    queries over the documents corpus, Lucene-variant scoring, per-query
+    top-10. Per-term scores are integer micro-scaled before the
+    (query, doc) sum so the cross-engine float-sum order cannot flip a
+    rank; ties break (score desc, doc_id asc)."""
+    from .functions.textstats import bm25_topk
+    qdf = spark.createDataFrame(
+        [(1, "hash join order"), (2, "window agg merge"),
+         (3, "fast scan filter"), (4, "spark vector query")],
+        "query_id long, query string")
+    return (bm25_topk(_docs(spark, sf).select("doc_id", "text"), qdf, k=10)
+            .orderBy("query_id", "rank"))
+
+
+SQL_BM25 = r"""
+WITH q(query_id, query) AS (
+    VALUES (CAST(1 AS BIGINT), 'hash join order'),
+           (CAST(2 AS BIGINT), 'window agg merge'),
+           (CAST(3 AS BIGINT), 'fast scan filter'),
+           (CAST(4 AS BIGINT), 'spark vector query')
+),
+toks AS (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text),
+                                                   '\s+', ' ', 'g')),
+                  ' ')) AS token
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM toks WHERE token <> '' GROUP BY doc_id, token
+),
+dl AS (
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+),
+dfreq AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY token
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_d,
+           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+    FROM dl
+),
+qterms AS (
+    SELECT DISTINCT query_id, token FROM (
+        SELECT query_id,
+               unnest(string_split(trim(regexp_replace(lower(query),
+                                                       '\s+', ' ', 'g')),
+                      ' ')) AS token
+        FROM q
+    ) WHERE token <> ''
+),
+scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           CAST(sum(CAST(round(
+               ln(1.0 + (stats.n_d - dfreq.df_t + 0.5)
+                        / (dfreq.df_t + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS micro
+    FROM tf
+    JOIN qterms qt USING (token)
+    JOIN dl USING (doc_id)
+    JOIN dfreq USING (token)
+    CROSS JOIN stats
+    GROUP BY qt.query_id, tf.doc_id
+),
+ranked AS (
+    SELECT query_id, doc_id, micro,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY micro DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM scored
+)
+SELECT query_id, rank, doc_id,
+       CAST(micro / 1000000.0 AS DOUBLE) AS score
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+def q_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (functions/sketches.py): per
+    event_type, estimate distinct event_ids at two precisions — p=6
+    exercises the raw-estimator branch, p=12 the linear-counting
+    correction — joined against the exact distinct count. Registers,
+    the integer-scaled register sum, and the estimator operand order
+    are all engine-portable (module docstring); both engines round the
+    final estimate to 6dp."""
+    from .functions.sketches import hll_count_distinct
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    parts = [
+        hll_count_distinct(e, "event_id", ["event_type"], p=p)
+        .withColumn("p", F.lit(p).cast("long"))
+        for p in (6, 12)
+    ]
+    exact = (e.groupBy("event_type")
+             .agg(F.countDistinct("event_id").cast("long")
+                  .alias("exact_distinct")))
+    return (parts[0].unionByName(parts[1])
+            .join(exact, "event_type")
+            .select("event_type", "p",
+                    F.round(F.col("est_distinct"), 6).alias("est_distinct"),
+                    "exact_distinct")
+            .orderBy("event_type", "p"))
+
+
+def _hll_oracle_branch(p: int) -> str:
+    """One per-precision SELECT of SQL_HLL. Mirrors sketches.py exactly:
+    same 60-bit md5 hash, same bin()-length rho, same integer-scaled
+    register sum, same double literals (repr round-trips the exact
+    float Spark uses via F.lit)."""
+    from .functions.sketches import _alpha
+    m = 1 << p
+    width = 60 - p
+    k_exp = 61 - p
+    numer = repr(_alpha(m) * float(2 ** (p + 61)))
+    return f"""
+SELECT event_type, CAST({p} AS BIGINT) AS p,
+       round(CASE WHEN raw <= {2.5 * m} AND v > 0
+                  THEN CAST({m} AS DOUBLE)
+                       * ln(CAST({m} AS DOUBLE) / CAST(v AS DOUBLE))
+                  ELSE raw END, 6) AS est_distinct
+FROM (
+    SELECT event_type,
+           {numer} / CAST(s_nz + v * (CAST(1 AS BIGINT) << {k_exp})
+                          AS DOUBLE) AS raw,
+           v
+    FROM (
+        SELECT event_type,
+               CAST({m} AS BIGINT) - count(*) AS v,
+               sum(CAST(1 AS BIGINT) << ({k_exp} - register)) AS s_nz
+        FROM (
+            SELECT event_type, bucket, max(rho) AS register
+            FROM (
+                SELECT event_type, h % {m} AS bucket,
+                       CASE WHEN (h >> {p}) = 0 THEN {width + 1}
+                            ELSE {width} - (length(bin(h >> {p})) - 1)
+                       END AS rho
+                FROM (
+                    SELECT event_type,
+                           CAST('0x' || substring(md5(CAST(event_id
+                                AS VARCHAR)), 1, 15) AS BIGINT) AS h
+                    FROM events
+                )
+            )
+            GROUP BY event_type, bucket
+        )
+        GROUP BY event_type
+    )
+)
+"""
+
+
+SQL_HLL = f"""
+WITH est AS (
+{_hll_oracle_branch(6)}
+UNION ALL
+{_hll_oracle_branch(12)}
+),
+exact AS (
+    SELECT event_type,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct
+    FROM events GROUP BY event_type
+)
+SELECT est.event_type, est.p, est.est_distinct, exact.exact_distinct
+FROM est JOIN exact USING (event_type)
+ORDER BY event_type, p
+"""
+
+
 def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source report card (corpusops.corpus_report): every 4th doc
     is planted as an exact duplicate within its source, so dup_frac is
@@ -5067,6 +5239,8 @@ QUERIES = {
     "q_event_join": q_event_join,
     "q_text_clean": q_text_clean,
     "q_tfidf_topk": q_tfidf_topk,
+    "q_bm25": q_bm25,
+    "q_hll": q_hll,
     "q_corpus_report": q_corpus_report,
     "q_bloom_dedup": q_bloom_dedup,
     "q_pq_encode": q_pq_encode,
@@ -5158,6 +5332,8 @@ ORACLES = {
     "q_event_join": SQL_EVENT_JOIN,
     "q_text_clean": SQL_TEXT_CLEAN,
     "q_tfidf_topk": SQL_TFIDF_TOPK,
+    "q_bm25": SQL_BM25,
+    "q_hll": SQL_HLL,
     "q_corpus_report": SQL_CORPUS_REPORT,
     "q_bloom_dedup": SQL_BLOOM_DEDUP,
     "q_pq_encode": SQL_PQ_ENCODE,

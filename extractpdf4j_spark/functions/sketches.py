@@ -1,0 +1,124 @@
+"""Mergeable sketch operators for corpus-scale statistics.
+
+At 100 TB the interesting corpus statistics (distinct URLs, distinct
+users, distinct shingles per shard) cannot be computed with
+``count(DISTINCT ...)`` — the distinct set itself is the bottleneck.
+The standard answer is a mergeable sketch: a tiny fixed-size state
+per group that a map-side-combined aggregation builds in one pass and
+that unions across shards/days by a cheap element-wise merge.
+
+This module implements HyperLogLog (Flajolet et al. 2007) as plain
+DataFrame aggregations — no UDF, no UDAF, no driver state:
+
+* ``hll_registers``  — one ``groupBy(keys, bucket).max(rho)`` builds the
+  register table (at most ``2**p`` rows per key, independent of input
+  size — THE property that makes it work at 100 TB).
+* ``hll_merge``      — union + the same max; registers are
+  max-mergeable, so daily/shard sketches fold into totals without
+  touching raw data again.
+* ``hll_estimate``   — the estimator with the standard small-range
+  linear-counting correction.
+* ``hll_count_distinct`` — build + estimate composed.
+
+Spark ships ``approx_count_distinct`` (also HLL) — this implementation
+exists because (a) the register TABLE is the operator here (persist it,
+merge it later, ship it between jobs), which Spark's aggregate never
+exposes, and (b) every bit is deterministic and engine-portable: the
+hash is the repo-wide 60-bit md5 (`dedup._hash60`), rho comes from
+``length(bin(w))`` (both engines return the minimal binary string), and
+the register sum is integer-scaled (``shiftleft(1, K - register)``)
+so the DuckDB oracle reproduces the estimate exactly — no float-sum
+order dependence anywhere.
+
+Determinism notes (mirrored by SQL_HLL in entry_queries):
+* bucket = h % m, w = h >> p on the 60-bit hash; rho = (60-p) -
+  (length(bin(w)) - 1) for w > 0 else (60-p) + 1.
+* S = sum(2^(K - register)) + V * 2^K as BIGINT (K = 61 - p; max term
+  2^61, max sum < 2^62 — no overflow for p >= 1).
+* raw = alpha * 2^(p+61) / S with alpha and 2^(p+61) inlined as double
+  literals; the long->double conversion of S rounds nearest in both
+  engines.
+* linear counting when raw <= 2.5*m and V > 0: m * ln(m / V).
+
+Reference parity anchor: the reference has no sketch operators (its
+tables are single-PDF sized); this extends the engine the way its
+scoring/aggregation layer (HybridParser.java:275-322) would have to be
+extended for corpus-scale reporting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import _hash60
+
+
+def _alpha(m: int) -> float:
+    """Standard HLL bias-correction constant."""
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, value_col: str, key_cols=(),
+                  p: int = 12) -> DataFrame:
+    """Per-key HLL register table: (keys..., bucket int, register int),
+    only buckets that saw at least one value (absent bucket == register
+    0). One map-side-combined max aggregation; output is at most 2**p
+    rows per key regardless of input size."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    m = 1 << p
+    width = 60 - p
+    h = _hash60(F.col(value_col).cast("string"))
+    w = F.shiftright(h, p)
+    rho = (F.when(w == 0, F.lit(width + 1))
+           .otherwise(F.lit(width) - (F.length(F.bin(w)) - F.lit(1))))
+    keys = [F.col(k) for k in key_cols]
+    return (df.select(*keys,
+                      F.pmod(h, F.lit(m)).cast("int").alias("bucket"),
+                      rho.cast("int").alias("rho"))
+            .groupBy(*key_cols, "bucket")
+            .agg(F.max("rho").alias("register")))
+
+
+def hll_merge(a: DataFrame, b: DataFrame, key_cols=()) -> DataFrame:
+    """Merge two register tables (same p): element-wise max. Exact:
+    merge(registers(X), registers(Y)) == registers(X union Y)."""
+    return (a.unionByName(b)
+            .groupBy(*key_cols, "bucket")
+            .agg(F.max("register").alias("register")))
+
+
+def hll_estimate(regs: DataFrame, key_cols=(), p: int = 12) -> DataFrame:
+    """Estimate per-key distinct counts from a register table:
+    (keys..., est_distinct double). Integer-exact register sum, then
+    one double expression evaluated in a fixed operand order."""
+    m = 1 << p
+    k_exp = 61 - p  # max rho is (60-p)+1 = K; term for register r is 2^(K-r)
+    alpha = _alpha(m)
+    numer = alpha * float(2 ** (p + 61))  # alpha * m^2 * 2^K, exact scale
+    agg = regs.groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("nz"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {k_exp} - register)"))
+         .alias("s_nz"))
+    v = (F.lit(m).cast("long") - F.col("nz"))
+    s = (F.col("s_nz") + v * F.lit(1 << k_exp).cast("long"))
+    raw = F.lit(numer) / s.cast("double")
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+                 ).otherwise(raw)
+    return agg.select(*key_cols, est.alias("est_distinct"))
+
+
+def hll_count_distinct(df: DataFrame, value_col: str, key_cols=(),
+                       p: int = 12) -> DataFrame:
+    """Build registers and estimate in one lineage: (keys...,
+    est_distinct). The full pipeline is scan -> one partial-max shuffle
+    of <= 2**p rows per key -> one tiny final aggregation."""
+    return hll_estimate(hll_registers(df, value_col, key_cols, p),
+                        key_cols, p)

@@ -74,6 +74,84 @@ def vocab_topk(df, k: int = 50, text_col: str = "text"):
             .limit(k))
 
 
+def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
+              k1: float = 1.2, b: float = 0.75, text_col: str = "text",
+              id_col: str = "doc_id",
+              partial_buckets: int = 32) -> DataFrame:
+    """BM25 ranked retrieval: score every document against every query
+    and return the per-query top-``k`` — the classic sparse-retrieval
+    scorer complementing ``tfidf_topk`` (descriptors) and the ANN kNN
+    family (dense retrieval). ``queries`` is ``(query_id long, query
+    string)``; tokens are lowercased whitespace splits, matching the
+    TF-IDF tokenizer.
+
+    Scoring is the Lucene/Robertson variant::
+
+        idf(t)  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        s(t, d) = idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Cross-engine determinism: each per-term score is a single double
+    expression evaluated in one fixed operation order, scaled to an
+    integer micro-score (``round(s*1e6)`` as long) and summed as longs —
+    so the per-(query, doc) sum is exact and order-free regardless of
+    which engine's aggregation order wins. The final ``score`` divides
+    back by 1e6. Ranks tie-break (score desc, doc_id asc).
+
+    Scale shape: one (doc, token) aggregation builds TF; doc lengths
+    fold out of it; the document-frequency table is Zipf-small and
+    broadcast, as are the query terms and the (N, avgdl) scalar row.
+    The only doc-keyed shuffle joins matched postings to doc lengths.
+    Top-k is two-phase — a per-(query, doc-hash-bucket) partial rank
+    bounds every window partition at matched-postings/buckets, then a
+    final per-query rank over <= k*partial_buckets survivors — so no
+    single window partition ever holds a full query's posting list.
+    Mirrors the ranked-output contract of the reference's scored table
+    competition (HybridParser.java:275-322: score, argmax, stable
+    tie-break)."""
+    t = F.col(text_col)
+    toks = (docs.select(F.col(id_col),
+                        F.explode(F.split(F.trim(F.regexp_replace(
+                            F.lower(t), r"\s+", " ")), " ")).alias("token"))
+            .filter(F.col("token") != ""))
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count("*").cast("long").alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df_t"))
+    stats = dl.agg(F.count("*").cast("long").alias("n_d"),
+                   F.avg("dl").alias("avgdl"))
+    qterms = (queries.select("query_id",
+                             F.explode(F.split(F.trim(F.regexp_replace(
+                                 F.lower(F.col("query")), r"\s+", " ")),
+                                 " ")).alias("token"))
+              .filter(F.col("token") != "").distinct())
+    idf = F.log(1.0 + (F.col("n_d") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5))
+    denom = (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                 / F.col("avgdl")))
+    term_micro = F.round(idf * (F.col("tf") * (k1 + 1.0)) / denom
+                         * 1e6).cast("long")
+    scored = (tf.join(F.broadcast(qterms), "token")
+              .join(dl, id_col)
+              .join(F.broadcast(dfreq), "token")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("term_micro", term_micro)
+              .groupBy("query_id", id_col)
+              .agg(F.sum("term_micro").alias("micro")))
+    bucket = F.pmod(F.crc32(F.col(id_col).cast("string")),
+                    F.lit(partial_buckets))
+    order = [F.col("micro").desc(), F.col(id_col).asc()]
+    w_part = Window.partitionBy("query_id", "bucket").orderBy(*order)
+    partial = (scored.withColumn("bucket", bucket)
+               .withColumn("prank", F.row_number().over(w_part))
+               .filter(F.col("prank") <= k))
+    w_final = Window.partitionBy("query_id").orderBy(*order)
+    return (partial.withColumn("rank",
+                               F.row_number().over(w_final).cast("long"))
+            .filter(F.col("rank") <= k)
+            .withColumn("score", (F.col("micro") / 1e6).cast("double"))
+            .select("query_id", "rank", id_col, "score"))
+
+
 def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Per-document top-``k`` distinctive keywords by TF-IDF — the

@@ -375,6 +375,84 @@ def test_tfidf_topk_hand_computed(spark):
     assert all(len(v) <= 2 for v in out.values())
 
 
+def test_bm25_hand_computed(spark):
+    import math
+    from extractpdf4j_spark.functions.textstats import bm25_topk
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"),
+         (2, "banana cherry"),
+         (3, "cherry date")],
+        "doc_id long, text string")
+    qdf = spark.createDataFrame([(7, "apple cherry")],
+                                "query_id long, query string")
+    rows = bm25_topk(docs, qdf, k=10).orderBy("rank").collect()
+    assert [(r["rank"], r["doc_id"]) for r in rows] == [(1, 1), (2, 2), (3, 3)]
+
+    def s(tf, df, dl, n=3, avgdl=7 / 3, k1=1.2, b=0.75):
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        raw = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        return round(raw * 1e6) / 1e6
+    # doc1 matches apple (tf=2, df=1, dl=3); docs 2/3 match cherry
+    # (tf=1, df=2, dl=2) and tie -> doc_id asc breaks it
+    assert rows[0]["score"] == s(2, 1, 3)
+    assert rows[1]["score"] == rows[2]["score"] == s(1, 2, 2)
+
+
+def _py_hll_registers(values, p):
+    """Pure-Python mirror of sketches.hll_registers for parity tests."""
+    import hashlib
+    m, width, regs = 1 << p, 60 - p, {}
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        rho = (width + 1 if (h >> p) == 0
+               else width - ((h >> p).bit_length() - 1))
+        regs[h % m] = max(regs.get(h % m, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_python_mirror(spark):
+    from extractpdf4j_spark.functions.sketches import hll_registers
+    vals = [f"item-{i}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {r["bucket"]: r["register"]
+           for r in hll_registers(df, "v", p=8).collect()}
+    assert got == _py_hll_registers(vals, 8)
+
+
+def test_hll_merge_exactly_equals_whole(spark):
+    from extractpdf4j_spark.functions.sketches import (hll_merge,
+                                                       hll_registers)
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(300)], "v string")
+    merged = {r["bucket"]: r["register"]
+              for r in hll_merge(hll_registers(a, "v", p=7),
+                                 hll_registers(b, "v", p=7)).collect()}
+    whole = {r["bucket"]: r["register"]
+             for r in hll_registers(a.unionByName(b), "v", p=7).collect()}
+    assert merged == whole
+
+
+def test_hll_estimate_accuracy_and_formula(spark):
+    import math
+    from extractpdf4j_spark.functions.sketches import (_alpha,
+                                                       hll_count_distinct)
+    n, p = 2000, 10
+    df = spark.createDataFrame([(f"u{i % n}",) for i in range(3 * n)],
+                               "v string")
+    est = hll_count_distinct(df, "v", p=p).collect()[0]["est_distinct"]
+    # typical HLL error at p=10 is ~1.04/sqrt(1024) ~ 3.3%; allow 4 sigma
+    assert abs(est / n - 1.0) < 0.13
+    # and the estimate must equal the formula applied to the exact
+    # register state (same branch logic as hll_estimate)
+    m, k_exp = 1 << p, 61 - p
+    regs = _py_hll_registers([f"u{i}" for i in range(n)], p)
+    v = m - len(regs)
+    s = sum(1 << (k_exp - r) for r in regs.values()) + v * (1 << k_exp)
+    raw = (_alpha(m) * float(2 ** (p + 61))) / float(s)
+    expect = m * math.log(m / v) if raw <= 2.5 * m and v > 0 else raw
+    assert est == expect
+
+
 def test_bloom_membership_no_false_negatives(spark):
     from extractpdf4j_spark.functions.dedup import (
         bloom_build, bloom_maybe_seen, bloom_dedup_against_corpus,
