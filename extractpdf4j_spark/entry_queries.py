@@ -3201,6 +3201,71 @@ ORDER BY event_type, p
 """
 
 
+def q_cms(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch (functions/sketches.py): 3x16 sketch of the
+    document token stream — 31 distinct tokens in 16 columns force real
+    collisions — then point-estimate every distinct token against its
+    exact count. Pure integer arithmetic; est_count >= exact_count by
+    construction (one-sided error), so overcount is always >= 0."""
+    from .functions.sketches import cms_build, cms_query
+    toks = (_docs(spark, sf)
+            .select(F.explode(F.split(F.trim(F.regexp_replace(
+                F.lower(F.col("text")), r"\s+", " ")), " "))
+                .alias("token"))
+            .filter(F.col("token") != ""))
+    sketch = cms_build(toks, "token", depth=3, width=16)
+    est = cms_query(sketch, toks.select("token").distinct(), "token",
+                    depth=3, width=16)
+    exact = toks.groupBy("token").agg(F.count("*").cast("long")
+                                      .alias("exact_count"))
+    return (est.join(exact, "token")
+            .select("token", "est_count", "exact_count",
+                    (F.col("est_count") - F.col("exact_count"))
+                    .alias("overcount"))
+            .orderBy("token"))
+
+
+SQL_CMS = r"""
+WITH toks AS (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                                                   '\s+', ' ', 'g')),
+           ' ')) AS token
+    FROM documents
+),
+tok AS (SELECT token FROM toks WHERE token <> ''),
+rows(row) AS (VALUES (0), (1), (2)),
+cells AS (
+    SELECT row,
+           CAST('0x' || substring(md5(CAST(row AS VARCHAR) || ':' || token),
+                                  1, 15) AS BIGINT) % 16 AS col,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM tok CROSS JOIN rows
+    GROUP BY row, col
+),
+probes AS (
+    SELECT d.token, r.row,
+           CAST('0x' || substring(md5(CAST(r.row AS VARCHAR) || ':'
+                                      || d.token), 1, 15) AS BIGINT)
+           % 16 AS col
+    FROM (SELECT DISTINCT token FROM tok) d CROSS JOIN rows r
+),
+est AS (
+    SELECT token,
+           CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est_count
+    FROM probes LEFT JOIN cells USING (row, col)
+    GROUP BY token
+),
+exact AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+    FROM tok GROUP BY token
+)
+SELECT token, est_count, exact_count,
+       est_count - exact_count AS overcount
+FROM est JOIN exact USING (token)
+ORDER BY token
+"""
+
+
 def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source report card (corpusops.corpus_report): every 4th doc
     is planted as an exact duplicate within its source, so dup_frac is
@@ -5241,6 +5306,7 @@ QUERIES = {
     "q_tfidf_topk": q_tfidf_topk,
     "q_bm25": q_bm25,
     "q_hll": q_hll,
+    "q_cms": q_cms,
     "q_corpus_report": q_corpus_report,
     "q_bloom_dedup": q_bloom_dedup,
     "q_pq_encode": q_pq_encode,
@@ -5334,6 +5400,7 @@ ORACLES = {
     "q_tfidf_topk": SQL_TFIDF_TOPK,
     "q_bm25": SQL_BM25,
     "q_hll": SQL_HLL,
+    "q_cms": SQL_CMS,
     "q_corpus_report": SQL_CORPUS_REPORT,
     "q_bloom_dedup": SQL_BLOOM_DEDUP,
     "q_pq_encode": SQL_PQ_ENCODE,

@@ -7,8 +7,10 @@ The standard answer is a mergeable sketch: a tiny fixed-size state
 per group that a map-side-combined aggregation builds in one pass and
 that unions across shards/days by a cheap element-wise merge.
 
-This module implements HyperLogLog (Flajolet et al. 2007) as plain
-DataFrame aggregations — no UDF, no UDAF, no driver state:
+This module implements HyperLogLog (Flajolet et al. 2007) for distinct
+counts and Count-Min (Cormode & Muthukrishnan 2005) for approximate
+frequencies, both as plain DataFrame aggregations — no UDF, no UDAF,
+no driver state:
 
 * ``hll_registers``  — one ``groupBy(keys, bucket).max(rho)`` builds the
   register table (at most ``2**p`` rows per key, independent of input
@@ -122,3 +124,73 @@ def hll_count_distinct(df: DataFrame, value_col: str, key_cols=(),
     of <= 2**p rows per key -> one tiny final aggregation."""
     return hll_estimate(hll_registers(df, value_col, key_cols, p),
                         key_cols, p)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): mergeable approximate
+# frequency table. Everything is integer arithmetic — estimates are exact
+# cross-engine, and est >= true count always (one-sided error).
+# ---------------------------------------------------------------------------
+
+def _cms_cell(row_col, value_col, width: int):
+    """Cell column for one (hash row, value): the repo-wide 60-bit md5
+    of 'row:value' mod width. Depth-many independent hash rows come from
+    the row index salt, the same construction as MinHash's per-component
+    salting (dedup.py)."""
+    return F.pmod(_hash60(F.concat(row_col.cast("string"), F.lit(":"),
+                                   value_col)), F.lit(width))
+
+
+def cms_build(df: DataFrame, value_col: str, key_cols=(),
+              depth: int = 4, width: int = 1024,
+              weight_col: str | None = None) -> DataFrame:
+    """Per-key Count-Min sketch: (keys..., row int, col int, cnt long),
+    only non-empty cells (absent cell == 0). One explode(depth) + one
+    map-side-combined sum; output is at most depth*width rows per key
+    regardless of input size. ``weight_col`` counts each input row by a
+    long weight (e.g. pre-aggregated token counts) instead of 1."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"need depth >= 1 and width >= 1, "
+                         f"got {depth}x{width}")
+    w = (F.col(weight_col).cast("long") if weight_col else
+         F.lit(1).cast("long"))
+    rows = df.select(*[F.col(k) for k in key_cols],
+                     F.col(value_col).cast("string").alias("_v"),
+                     w.alias("_w"),
+                     F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+                      .alias("row"))
+    return (rows.select(*key_cols, "row",
+                        _cms_cell(F.col("row"), F.col("_v"), width)
+                        .cast("int").alias("col"),
+                        F.col("_w"))
+            .groupBy(*key_cols, "row", "col")
+            .agg(F.sum("_w").alias("cnt")))
+
+
+def cms_merge(a: DataFrame, b: DataFrame, key_cols=()) -> DataFrame:
+    """Merge two sketches (same depth/width): element-wise sum. Exact:
+    merge(cms(X), cms(Y)) == cms(X union Y)."""
+    return (a.unionByName(b)
+            .groupBy(*key_cols, "row", "col")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def cms_query(sketch: DataFrame, items: DataFrame, value_col: str,
+              key_cols=(), depth: int = 4, width: int = 1024) -> DataFrame:
+    """Point-frequency estimates for every row of ``items``: (keys...,
+    value_col, est_count long). est = min over the depth rows of the
+    addressed cell (missing cell = 0); always >= the true count. The
+    sketch side is depth*width rows per key — broadcast it; the items
+    side never shuffles."""
+    probes = (items.select(*[F.col(k) for k in key_cols],
+                           F.col(value_col).cast("string")
+                           .alias(value_col))
+              .withColumn("row", F.explode(F.sequence(F.lit(0),
+                                                      F.lit(depth - 1))))
+              .withColumn("col", _cms_cell(F.col("row"), F.col(value_col),
+                                           width).cast("int")))
+    joined = probes.join(F.broadcast(sketch), [*key_cols, "row", "col"],
+                         "left")
+    return (joined.groupBy(*key_cols, value_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+                 .alias("est_count")))

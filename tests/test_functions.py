@@ -453,6 +453,65 @@ def test_hll_estimate_accuracy_and_formula(spark):
     assert est == expect
 
 
+def _py_cms(values, depth, width):
+    """Pure-Python mirror of sketches.cms_build for parity tests."""
+    import hashlib
+    cells = {}
+    for v in values:
+        for r in range(depth):
+            h = int(hashlib.md5(f"{r}:{v}".encode()).hexdigest()[:15], 16)
+            cells[(r, h % width)] = cells.get((r, h % width), 0) + 1
+    return cells
+
+
+def test_cms_cells_match_python_mirror(spark):
+    from extractpdf4j_spark.functions.sketches import cms_build
+    vals = [f"t{i % 7}" for i in range(100)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {(r["row"], r["col"]): r["cnt"]
+           for r in cms_build(df, "v", depth=3, width=8).collect()}
+    assert got == _py_cms(vals, 3, 8)
+
+
+def test_cms_query_one_sided_and_merge_exact(spark):
+    from extractpdf4j_spark.functions.sketches import (cms_build,
+                                                       cms_merge,
+                                                       cms_query)
+    import collections
+    vals = [f"w{i % 13}" for i in range(200)]
+    exact = collections.Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    items = df.distinct()
+    est = {r["v"]: r["est_count"]
+           for r in cms_query(cms_build(df, "v", depth=3, width=8),
+                              items, "v", depth=3, width=8).collect()}
+    assert set(est) == set(exact)
+    assert all(est[v] >= exact[v] for v in exact)  # one-sided error
+    half_a = spark.createDataFrame([(v,) for v in vals[:100]], "v string")
+    half_b = spark.createDataFrame([(v,) for v in vals[100:]], "v string")
+    merged = {(r["row"], r["col"]): r["cnt"]
+              for r in cms_merge(cms_build(half_a, "v", depth=3, width=8),
+                                 cms_build(half_b, "v", depth=3, width=8))
+              .collect()}
+    whole = {(r["row"], r["col"]): r["cnt"]
+             for r in cms_build(df, "v", depth=3, width=8).collect()}
+    assert merged == whole
+
+
+def test_cms_weighted_build_equals_raw(spark):
+    from extractpdf4j_spark.functions.sketches import cms_build
+    from pyspark.sql import functions as F
+    vals = [f"x{i % 5}" for i in range(60)]
+    raw = spark.createDataFrame([(v,) for v in vals], "v string")
+    pre = raw.groupBy("v").agg(F.count("*").alias("n"))
+    a = {(r["row"], r["col"]): r["cnt"]
+         for r in cms_build(raw, "v", depth=2, width=8).collect()}
+    b = {(r["row"], r["col"]): r["cnt"]
+         for r in cms_build(pre, "v", depth=2, width=8,
+                            weight_col="n").collect()}
+    assert a == b
+
+
 def test_bloom_membership_no_false_negatives(spark):
     from extractpdf4j_spark.functions.dedup import (
         bloom_build, bloom_maybe_seen, bloom_dedup_against_corpus,
