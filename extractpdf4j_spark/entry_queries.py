@@ -3266,6 +3266,58 @@ ORDER BY token
 """
 
 
+def q_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact grouped quantiles (functions/statsops.py): percentile_disc
+    of l_extendedprice per l_returnflag at p25/p50/p75/p95/p99, computed
+    over the value histogram with an integer basis-point pick (no float
+    knife-edge). Oracle mirrors the definition AND cross-checks it
+    against DuckDB's native quantile_disc in the same query."""
+    from .functions.statsops import group_quantiles
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (group_quantiles(li, "l_extendedprice", ["l_returnflag"],
+                            (2500, 5000, 7500, 9500, 9900))
+            .select("l_returnflag", "q_bp",
+                    F.round(F.col("quantile"), 6).alias("quantile"))
+            .orderBy("l_returnflag", "q_bp"))
+
+
+SQL_QUANTILES = r"""
+WITH hist AS (
+    SELECT l_returnflag, l_extendedprice AS v,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY l_returnflag, v
+),
+cum AS (
+    SELECT l_returnflag, v, cnt,
+           CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+           CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+    FROM hist
+),
+qs(q_bp) AS (VALUES (CAST(2500 AS BIGINT)), (5000), (7500), (9500), (9900)),
+picked AS (
+    SELECT l_returnflag, q_bp, min(v) AS quantile
+    FROM cum CROSS JOIN qs
+    WHERE c * 10000 >= q_bp * tot
+    GROUP BY l_returnflag, q_bp
+),
+native AS (
+    -- native quantile_disc only takes constant fractions; the two
+    -- parallel unnests zip positionally in DuckDB
+    SELECT l_returnflag,
+           unnest([CAST(2500 AS BIGINT), 5000, 7500, 9500, 9900]) AS q_bp,
+           unnest(quantile_disc(l_extendedprice,
+                                [0.25, 0.5, 0.75, 0.95, 0.99])) AS quantile
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT p.l_returnflag, p.q_bp, round(p.quantile, 6) AS quantile
+FROM picked p JOIN native n
+  ON p.l_returnflag = n.l_returnflag AND p.q_bp = n.q_bp
+ AND p.quantile = n.quantile
+ORDER BY p.l_returnflag, p.q_bp
+"""
+
+
 def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source report card (corpusops.corpus_report): every 4th doc
     is planted as an exact duplicate within its source, so dup_frac is
@@ -5307,6 +5359,7 @@ QUERIES = {
     "q_bm25": q_bm25,
     "q_hll": q_hll,
     "q_cms": q_cms,
+    "q_quantiles": q_quantiles,
     "q_corpus_report": q_corpus_report,
     "q_bloom_dedup": q_bloom_dedup,
     "q_pq_encode": q_pq_encode,
@@ -5401,6 +5454,7 @@ ORACLES = {
     "q_bm25": SQL_BM25,
     "q_hll": SQL_HLL,
     "q_cms": SQL_CMS,
+    "q_quantiles": SQL_QUANTILES,
     "q_corpus_report": SQL_CORPUS_REPORT,
     "q_bloom_dedup": SQL_BLOOM_DEDUP,
     "q_pq_encode": SQL_PQ_ENCODE,

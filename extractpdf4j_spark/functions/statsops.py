@@ -1,0 +1,55 @@
+"""Exact distributional statistics over grouped columns.
+
+Spark's exact ``percentile`` aggregate buffers every value of a group in
+memory (an OpenHashMap per group in the agg buffer) — at 100 TB a hot
+group OOMs the executor. The classic distributed-exact alternative is to
+aggregate the VALUE HISTOGRAM first: ``groupBy(keys, value).count()``
+collapses the data to (keys x distinct-values) rows with a map-side
+combine, and every later step — cumulative counts, quantile picks — runs
+over the histogram, whose size is bounded by value cardinality, not row
+count. For real corpus metrics (doc lengths, token counts, scores
+rounded to fixed precision) cardinality is tiny; for continuous values
+it is still never larger than the input.
+
+Quantile semantics are SQL-standard ``percentile_disc``: the smallest
+value whose cumulative fraction >= q. The pick comparison is done in
+integers — quantiles are specified in BASIS POINTS and the gate is
+``cum * 10000 >= q_bp * total`` on longs — so there is no float
+knife-edge anywhere and the DuckDB oracle (SQL_QUANTILES in
+entry_queries) is value-exact, the same trick the repo uses for the
+mix_corpora quota boundary (corpusops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def group_quantiles(df: DataFrame, value_col: str, key_cols=(),
+                    quantiles_bp=(2500, 5000, 7500, 9500)) -> DataFrame:
+    """Exact per-key percentile_disc for each quantile, given in basis
+    points (2500 = p25): (keys..., q_bp long, quantile <value type>).
+
+    Plan shape: one map-side-combined histogram aggregation over the
+    raw rows, then windows over the histogram only (cumulative count
+    ordered by value, total per key), then a tiny explode(quantiles) +
+    filter + min. Nothing after the first aggregation ever touches a
+    row count proportional to the input."""
+    for q in quantiles_bp:
+        if not 0 < q <= 10000:
+            raise ValueError(f"quantile {q} not in (0, 10000] basis points")
+    keys = list(key_cols)
+    hist = (df.groupBy(*keys, value_col)
+            .agg(F.count("*").cast("long").alias("_cnt")))
+    w_cum = (Window.partitionBy(*keys).orderBy(value_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_tot = Window.partitionBy(*keys)
+    probe = (hist
+             .withColumn("_cum", F.sum("_cnt").over(w_cum))
+             .withColumn("_tot", F.sum("_cnt").over(w_tot))
+             .withColumn("q_bp", F.explode(F.array(
+                 *[F.lit(q).cast("long") for q in quantiles_bp]))))
+    return (probe
+            .filter(F.col("_cum") * 10000 >= F.col("q_bp") * F.col("_tot"))
+            .groupBy(*keys, "q_bp")
+            .agg(F.min(value_col).alias("quantile")))

@@ -512,6 +512,27 @@ def test_cms_weighted_build_equals_raw(spark):
     assert a == b
 
 
+def test_group_quantiles_hand_computed(spark):
+    import pytest
+    from extractpdf4j_spark.functions.statsops import group_quantiles
+    rows = ([("a", float(v)) for v in range(1, 11)]  # 1..10
+            + [("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 9.0)])
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {(r["k"], r["q_bp"]): r["quantile"]
+           for r in group_quantiles(df, "v", ["k"],
+                                    (2500, 5000, 9900, 10000)).collect()}
+    # k=a, n=10: smallest v with cum >= q*n
+    assert got[("a", 2500)] == 3.0   # cum>=2.5 -> 3rd value
+    assert got[("a", 5000)] == 5.0
+    assert got[("a", 9900)] == 10.0  # cum>=9.9 -> 10th value
+    assert got[("a", 10000)] == 10.0
+    # k=b, duplicates: n=4, p25 needs cum>=1 -> 5.0; p99 -> 9.0
+    assert got[("b", 2500)] == 5.0
+    assert got[("b", 9900)] == 9.0
+    with pytest.raises(ValueError):
+        group_quantiles(df, "v", ["k"], (0,))
+
+
 def test_bloom_membership_no_false_negatives(spark):
     from extractpdf4j_spark.functions.dedup import (
         bloom_build, bloom_maybe_seen, bloom_dedup_against_corpus,
