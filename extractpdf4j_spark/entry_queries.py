@@ -3318,6 +3318,107 @@ ORDER BY p.l_returnflag, p.q_bp
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Trained quality classifier (corpusops): hashed-NB log-odds
+    weights trained on planted labels (doc_id % 3 == 0 is 'good', and
+    good docs carry a planted marker token so the classifier genuinely
+    separates), then fastText-shape scoring of every document.
+    buckets=64 forces hashing-trick collisions. Weights/bias are micro-scaled integers
+    and the keep flag is the exact integer sign test, so only the
+    reported sigmoid touches floats (rounded 6dp both engines)."""
+    from .functions.corpusops import (classifier_score,
+                                      nb_train_quality_classifier)
+    d = (_docs(spark, sf).select("doc_id", "text")
+         .withColumn("_good", F.col("doc_id") % 3 == 0)
+         .withColumn("text", F.when(F.col("_good"),
+                                    F.concat(F.col("text"),
+                                             F.lit(" qualmarker")))
+                     .otherwise(F.col("text"))))
+    w, b = nb_train_quality_classifier(d, "_good", buckets=64)
+    return (classifier_score(d, w, b, buckets=64)
+            .select("doc_id", "n_tokens",
+                    F.round(F.col("score"), 6).alias("score"), "keep")
+            .orderBy("doc_id"))
+
+
+SQL_QUALITY_CLASSIFIER = r"""
+WITH labeled AS (
+    -- planted signal: 'good' docs carry a marker token, derived from
+    -- doc_id identically to the Spark side, so the trained classifier
+    -- actually separates and the keep flag is non-trivial
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN text || ' qualmarker'
+                ELSE text END AS text,
+           (doc_id % 3 = 0) AS lbl
+    FROM documents
+),
+toks AS (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text),
+                                                   '\s+', ' ', 'g')),
+                  ' ')) AS tok
+    FROM labeled
+),
+feats AS (
+    SELECT t.doc_id,
+           CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) % 64
+               AS feature,
+           l.lbl
+    FROM toks t JOIN labeled l USING (doc_id)
+    WHERE tok <> ''
+),
+counts AS (
+    SELECT feature,
+           CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS pos_cnt,
+           CAST(sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS BIGINT) AS neg_cnt
+    FROM feats GROUP BY feature
+),
+totals AS (
+    SELECT CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS tot_pos,
+           CAST(sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS BIGINT) AS tot_neg
+    FROM feats
+),
+weights AS (
+    SELECT feature,
+           CAST(round((ln((pos_cnt + 1) / (tot_pos + 64.0))
+                       - ln((neg_cnt + 1) / (tot_neg + 64.0)))
+                      * 1000000.0) AS BIGINT) AS w_micro
+    FROM counts CROSS JOIN totals
+),
+bias AS (
+    SELECT CAST(round(ln(
+               CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS DOUBLE)
+               / sum(CASE WHEN lbl THEN 0 ELSE 1 END)) * 1000000.0)
+           AS BIGINT) AS bias_micro
+    FROM labeled
+),
+n AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+    FROM feats GROUP BY doc_id
+),
+s AS (
+    SELECT doc_id, CAST(sum(w_micro) AS BIGINT) AS s_micro
+    FROM feats JOIN weights USING (feature) GROUP BY doc_id
+),
+scored AS (
+    SELECT d.doc_id,
+           coalesce(n.n_tokens, 0) AS n_tokens,
+           coalesce(s.s_micro, 0) AS s_micro,
+           bias_micro
+    FROM labeled d
+    LEFT JOIN n USING (doc_id)
+    LEFT JOIN s USING (doc_id)
+    CROSS JOIN bias
+)
+SELECT doc_id, n_tokens,
+       round(1.0 / (1.0 + exp(-(CAST(s_micro + bias_micro AS DOUBLE)
+                                / 1000000.0))), 6) AS score,
+       CAST(s_micro + bias_micro >= 0 AS BIGINT) AS keep
+FROM scored
+ORDER BY doc_id
+"""
+
+
 def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source report card (corpusops.corpus_report): every 4th doc
     is planted as an exact duplicate within its source, so dup_frac is
@@ -5360,6 +5461,7 @@ QUERIES = {
     "q_hll": q_hll,
     "q_cms": q_cms,
     "q_quantiles": q_quantiles,
+    "q_quality_classifier": q_quality_classifier,
     "q_corpus_report": q_corpus_report,
     "q_bloom_dedup": q_bloom_dedup,
     "q_pq_encode": q_pq_encode,
@@ -5455,6 +5557,7 @@ ORACLES = {
     "q_hll": SQL_HLL,
     "q_cms": SQL_CMS,
     "q_quantiles": SQL_QUANTILES,
+    "q_quality_classifier": SQL_QUALITY_CLASSIFIER,
     "q_corpus_report": SQL_CORPUS_REPORT,
     "q_bloom_dedup": SQL_BLOOM_DEDUP,
     "q_pq_encode": SQL_PQ_ENCODE,

@@ -332,6 +332,107 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# Trained quality classifier (hashed Naive Bayes)
+# ---------------------------------------------------------------------------
+# The GPT-3/CCNet-style quality filter: train a linear classifier on
+# "known-good corpus vs raw crawl" labels, score every crawl document,
+# keep the high scorers. Training here is hashed multinomial Naive Bayes
+# — per-feature log-odds are a closed-form aggregation (no iterative
+# optimizer), which is what makes training itself a one-pass distributed
+# job at 100 TB. Inference is the fastText serving shape: hashing-trick
+# features, broadcast weight table, evidence sum, sigmoid.
+#
+# Cross-engine determinism: weights and bias are micro-scaled integers
+# (round(logodds * 1e6) as long), per-doc evidence sums are exact long
+# sums, and the keep decision is the INTEGER sign test
+# s_micro + bias_micro >= 0 — equivalent to score >= 0.5 with no float
+# knife-edge. Only the reported sigmoid itself touches exp/ln.
+
+def _hashed_tokens(df: DataFrame, text_col: str, id_col: str,
+                   buckets: int):
+    """(id, feature) rows: lowercase whitespace tokens through the
+    hashing trick (repo-wide 60-bit md5 mod buckets)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.regexp_replace(
+            F.lower(F.col(text_col)), r"\s+", " ")), " ")).alias("tok"))
+    return (toks.filter(F.col("tok") != "")
+            .select(F.col(id_col),
+                    F.pmod(_hash60(F.col("tok")), F.lit(buckets))
+                    .alias("feature")))
+
+
+def nb_train_quality_classifier(df: DataFrame, label_col: str,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                buckets: int = 1 << 20):
+    """Train hashed-NB feature weights from a labeled corpus
+    (``label_col`` boolean: True = good). Returns ``(weights, bias)``:
+    ``weights`` is (feature long, w_micro long) — per-feature Laplace-
+    smoothed log-odds ln((pos+1)/(tot_pos+B)) - ln((neg+1)/(tot_neg+B))
+    micro-scaled — and ``bias`` is a single-row (bias_micro long) from
+    the class prior. One token aggregation + one broadcast totals join;
+    the weight table is at most ``buckets`` rows."""
+    feats = (_hashed_tokens(df, text_col, id_col, buckets)
+             .join(df.select(id_col, F.col(label_col).alias("_lbl")),
+                   id_col))
+    counts = feats.groupBy("feature").agg(
+        F.sum(F.when(F.col("_lbl"), 1).otherwise(0)).cast("long")
+         .alias("pos_cnt"),
+        F.sum(F.when(F.col("_lbl"), 0).otherwise(1)).cast("long")
+         .alias("neg_cnt"))
+    totals = feats.agg(
+        F.sum(F.when(F.col("_lbl"), 1).otherwise(0)).cast("long")
+         .alias("tot_pos"),
+        F.sum(F.when(F.col("_lbl"), 0).otherwise(1)).cast("long")
+         .alias("tot_neg"))
+    b = float(buckets)
+    weights = (counts.crossJoin(F.broadcast(totals))
+               .select("feature",
+                       F.round((F.log((F.col("pos_cnt") + 1)
+                                      / (F.col("tot_pos") + b))
+                                - F.log((F.col("neg_cnt") + 1)
+                                        / (F.col("tot_neg") + b)))
+                               * 1e6).cast("long").alias("w_micro")))
+    bias = df.agg(F.round(F.log(
+        F.sum(F.when(F.col(label_col), 1).otherwise(0)).cast("double")
+        / F.sum(F.when(F.col(label_col), 0).otherwise(1)).cast("double"))
+        * 1e6).cast("long").alias("bias_micro"))
+    return weights, bias
+
+
+def classifier_score(df: DataFrame, weights: DataFrame, bias: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     buckets: int = 1 << 20) -> DataFrame:
+    """Score every document with a trained weight table: (id, n_tokens,
+    score double, keep long). The multinomial-NB posterior: evidence =
+    sum of matched token log-odds + class-prior bias (all micro-scaled
+    longs, so the sum is exact and order-free); score =
+    sigmoid(evidence / 1e6); keep = 1 iff evidence >= 0 — the exact
+    integer equivalent of score >= 0.5, no float knife-edge. A
+    zero-token document falls back to the prior alone. The weight and
+    bias tables broadcast; the only doc-keyed work is one token
+    aggregation — the fastText serving plan at corpus scale."""
+    toks = _hashed_tokens(df, text_col, id_col, buckets)
+    n = toks.groupBy(id_col).agg(F.count("*").cast("long")
+                                 .alias("n_tokens"))
+    s = (toks.join(F.broadcast(weights), "feature")
+         .groupBy(id_col).agg(F.sum("w_micro").alias("s_micro")))
+    out = (df.select(id_col).join(n, id_col, "left").join(s, id_col, "left")
+           .crossJoin(F.broadcast(bias))
+           .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)))
+           .withColumn("s_micro", F.coalesce("s_micro",
+                                             F.lit(0).cast("long"))))
+    evidence = F.col("s_micro") + F.col("bias_micro")
+    return out.select(
+        F.col(id_col), F.col("n_tokens"),
+        (F.lit(1.0) / (F.lit(1.0)
+                       + F.exp(-(evidence.cast("double") / 1e6))))
+        .alias("score"),
+        (evidence >= 0).cast("long").alias("keep"))
+
+
+# ---------------------------------------------------------------------------
 # Corpus-wide paragraph dedup (keep first occurrence)
 # ---------------------------------------------------------------------------
 

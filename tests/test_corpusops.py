@@ -565,3 +565,31 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert len(splits) == 1
     # singletons represent themselves
     assert all(out[100 + i]["rep_id"] == 100 + i for i in range(20))
+
+
+def test_quality_classifier_separates_and_handles_edges(spark):
+    from pyspark.sql import functions as F
+    from extractpdf4j_spark.functions.corpusops import (
+        classifier_score, nb_train_quality_classifier)
+    rows = ([(i, "excellent lucid prose paragraph", True)
+             for i in range(10)]
+            + [(100 + i, "zzz spam junk garble", False) for i in range(10)]
+            + [(200, "", True)])  # zero-token doc
+    df = spark.createDataFrame(rows, "doc_id long, text string, good boolean")
+    w, b = nb_train_quality_classifier(df, "good", buckets=256)
+    out = {r["doc_id"]: r for r in
+           classifier_score(df, w, b, buckets=256).collect()}
+    assert all(out[i]["score"] > 0.9 and out[i]["keep"] == 1
+               for i in range(10))
+    assert all(out[100 + i]["score"] < 0.1 and out[100 + i]["keep"] == 0
+               for i in range(10))
+    # zero-token doc falls back to the prior (11 good vs 10 bad -> keep)
+    assert out[200]["n_tokens"] == 0 and out[200]["keep"] == 1
+    # keep flag is exactly the score >= 0.5 decision
+    assert all((r["score"] >= 0.5) == (r["keep"] == 1)
+               for r in out.values())
+    # unseen doc scores through the same weights without retraining
+    new = spark.createDataFrame([(300, "lucid prose with zzz")],
+                                "doc_id long, text string")
+    got = classifier_score(new, w, b, buckets=256).collect()[0]
+    assert got["n_tokens"] == 4
