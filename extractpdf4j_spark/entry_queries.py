@@ -3419,6 +3419,58 @@ ORDER BY doc_id
 """
 
 
+def q_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 bigram collocations by PMI (textstats.pmi_collocations):
+    micro-rounded before ranking with (x, y) tie-breaks so the top-k
+    set and order are engine-exact; the PMI ratio is one fixed-order
+    double expression over exact integer counts."""
+    from .functions.textstats import pmi_collocations
+    return (pmi_collocations(_docs(spark, sf), k=20, min_count=5)
+            .orderBy(F.col("pmi").desc(), "x", "y"))
+
+
+SQL_PMI = r"""
+WITH t AS (
+    SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                        ' ') AS toks
+    FROM documents
+),
+bi AS (
+    SELECT toks[i] AS x, toks[i + 1] AS y
+    FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+    WHERE toks[i] <> '' AND toks[i + 1] <> ''
+),
+uni AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT unnest(toks) AS tok FROM t)
+    WHERE tok <> '' GROUP BY tok
+),
+pairs AS (
+    SELECT x, y, CAST(count(*) AS BIGINT) AS pair_count
+    FROM bi GROUP BY x, y HAVING count(*) >= 5
+),
+totals AS (
+    SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_uni,
+           (SELECT CAST(count(*) AS BIGINT) FROM bi) AS n_bi
+),
+scored AS (
+    SELECT p.x, p.y, p.pair_count,
+           CAST(round(ln((CAST(p.pair_count AS DOUBLE) * t.n_uni * t.n_uni)
+                         / (CAST(t.n_bi AS DOUBLE) * cx.c * cy.c))
+                      * 1000000.0) AS BIGINT) AS pmi_micro
+    FROM pairs p
+    JOIN uni cx ON cx.tok = p.x
+    JOIN uni cy ON cy.tok = p.y
+    CROSS JOIN totals t
+)
+SELECT x, y, pair_count,
+       CAST(pmi_micro / 1000000.0 AS DOUBLE) AS pmi
+FROM scored
+ORDER BY pmi_micro DESC, x, y
+LIMIT 20
+"""
+
+
 def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source report card (corpusops.corpus_report): every 4th doc
     is planted as an exact duplicate within its source, so dup_frac is
@@ -5462,6 +5514,7 @@ QUERIES = {
     "q_cms": q_cms,
     "q_quantiles": q_quantiles,
     "q_quality_classifier": q_quality_classifier,
+    "q_pmi": q_pmi,
     "q_corpus_report": q_corpus_report,
     "q_bloom_dedup": q_bloom_dedup,
     "q_pq_encode": q_pq_encode,
@@ -5558,6 +5611,7 @@ ORACLES = {
     "q_cms": SQL_CMS,
     "q_quantiles": SQL_QUANTILES,
     "q_quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "q_pmi": SQL_PMI,
     "q_corpus_report": SQL_CORPUS_REPORT,
     "q_bloom_dedup": SQL_BLOOM_DEDUP,
     "q_pq_encode": SQL_PQ_ENCODE,

@@ -152,6 +152,61 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", "rank", id_col, "score"))
 
 
+def pmi_collocations(df: DataFrame, k: int = 20, min_count: int = 5,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide top-``k`` bigram collocations by pointwise mutual
+    information — PMI(x,y) = ln(p(xy) / (p(x)p(y))) with p(xy) =
+    c_xy/N_bi and p(w) = c_w/N_uni — the classic collocation detector
+    (Church & Hanks 1990) used to find multi-word expressions worth
+    protecting during tokenization. ``min_count`` drops rare pairs
+    (PMI's known bias toward hapax pairs).
+
+    Returns (x, y, pair_count, pmi), ranked pmi desc with ties broken
+    (x asc, y asc); pmi is micro-rounded BEFORE ranking so the ranking
+    is engine-exact (the tfidf_topk trick). The PMI ratio is a single
+    fixed-order double expression over exact integer counts.
+
+    Scale shape: bigram construction is the dedup family's shuffle-free
+    arrays_zip-over-shifted-slices; pair/unigram counts are map-side-
+    combined aggregations over Zipf-small tables; totals ride a
+    broadcast single-row join; top-k is a TakeOrdered (orderBy+limit),
+    never a single-partition window."""
+    tok_arr = F.split(F.trim(F.regexp_replace(
+        F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    t = df.select(tok_arr.alias("_t"))
+    ln_b = F.greatest(F.size("_t") - 1, F.lit(0))
+    z = F.arrays_zip(F.slice("_t", 1, ln_b).alias("x"),
+                     F.slice("_t", 2, ln_b).alias("y"))
+    bi = (t.select(F.explode(z).alias("_z"))
+          .select(F.col("_z.x").alias("x"), F.col("_z.y").alias("y"))
+          .filter((F.col("x") != "") & (F.col("y") != "")))
+    uni = (t.select(F.explode("_t").alias("tok"))
+           .filter(F.col("tok") != "")
+           .groupBy("tok").agg(F.count("*").cast("long").alias("c")))
+    pairs = (bi.groupBy("x", "y")
+             .agg(F.count("*").cast("long").alias("pair_count"))
+             .filter(F.col("pair_count") >= min_count))
+    totals = (uni.agg(F.sum("c").alias("n_uni"))
+              .crossJoin(bi.agg(F.count("*").cast("long").alias("n_bi"))))
+    cx = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
+    cy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    ratio = ((F.col("pair_count").cast("double") * F.col("n_uni")
+              * F.col("n_uni"))
+             / (F.col("n_bi").cast("double") * F.col("c_x")
+                * F.col("c_y")))
+    return (pairs.join(F.broadcast(cx), "x").join(F.broadcast(cy), "y")
+            .crossJoin(F.broadcast(totals))
+            .withColumn("pmi_micro",
+                        F.round(F.log(ratio) * 1e6).cast("long"))
+            .orderBy(F.col("pmi_micro").desc(), F.col("x").asc(),
+                     F.col("y").asc())
+            .limit(k)
+            .select("x", "y", "pair_count",
+                    (F.col("pmi_micro") / 1e6).cast("double")
+                    .alias("pmi")))
+
+
 def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Per-document top-``k`` distinctive keywords by TF-IDF — the

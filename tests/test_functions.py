@@ -717,3 +717,25 @@ def test_pagerank_star_graph(spark):
     assert got["a"] == got["c"]                    # symmetric spokes
     assert got["hub"] > got["a"]
     assert abs(sum(got.values()) - 1.0) < 1e-4     # mass conserved
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import math
+    from extractpdf4j_spark.functions.textstats import pmi_collocations
+    # "big data" always together (3x); "old data" once; fillers differ
+    docs = [(1, "big data rules"), (2, "big data wins"),
+            (3, "big data rules"), (4, "old data here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = pmi_collocations(df, k=10, min_count=2).collect()
+    got = {(r["x"], r["y"]): (r["pair_count"], r["pmi"]) for r in rows}
+    # counts: 12 unigrams, 8 bigrams; big=3, data=4, rules=2
+    n_uni, n_bi = 12, 8
+    def pmi(cxy, cx, cy):
+        return round((cxy * n_uni * n_uni) / (n_bi * cx * cy) and
+                     math.log((cxy * n_uni * n_uni) / (n_bi * cx * cy))
+                     * 1e6) / 1e6
+    assert got[("big", "data")] == (3, pmi(3, 3, 4))
+    assert got[("data", "rules")] == (2, pmi(2, 4, 2))
+    assert ("old", "data") not in got  # min_count=2 drops the hapax pair
+    # ranking: 'big data' (perfect association) outranks 'data rules'
+    assert rows[0]["x"] == "big" and rows[0]["y"] == "data"
