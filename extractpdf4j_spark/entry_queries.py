@@ -3137,48 +3137,52 @@ def q_hll(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("event_type", "p"))
 
 
-def _hll_oracle_branch(p: int) -> str:
-    """One per-precision SELECT of SQL_HLL. Mirrors sketches.py exactly:
-    same 60-bit md5 hash, same bin()-length rho, same integer-scaled
-    register sum, same double literals (repr round-trips the exact
-    float Spark uses via F.lit)."""
+def _hll_oracle_branch(p: int, keys: str = "event_type",
+                       value: str = "event_id",
+                       src: str = "events",
+                       extra: str = "CAST({p} AS BIGINT) AS p,") -> str:
+    """One HLL estimate SELECT, parameterized over grouping keys, the
+    hashed value expression and the source relation. Mirrors
+    sketches.py exactly: same 60-bit md5 hash, same bin()-length rho,
+    same integer-scaled register sum, same double literals (repr
+    round-trips the exact float Spark uses via F.lit)."""
     from .functions.sketches import _alpha
     m = 1 << p
     width = 60 - p
     k_exp = 61 - p
     numer = repr(_alpha(m) * float(2 ** (p + 61)))
     return f"""
-SELECT event_type, CAST({p} AS BIGINT) AS p,
+SELECT {keys}, {extra.format(p=p)}
        round(CASE WHEN raw <= {2.5 * m} AND v > 0
                   THEN CAST({m} AS DOUBLE)
                        * ln(CAST({m} AS DOUBLE) / CAST(v AS DOUBLE))
                   ELSE raw END, 6) AS est_distinct
 FROM (
-    SELECT event_type,
+    SELECT {keys},
            {numer} / CAST(s_nz + v * (CAST(1 AS BIGINT) << {k_exp})
                           AS DOUBLE) AS raw,
            v
     FROM (
-        SELECT event_type,
+        SELECT {keys},
                CAST({m} AS BIGINT) - count(*) AS v,
                sum(CAST(1 AS BIGINT) << ({k_exp} - register)) AS s_nz
         FROM (
-            SELECT event_type, bucket, max(rho) AS register
+            SELECT {keys}, bucket, max(rho) AS register
             FROM (
-                SELECT event_type, h % {m} AS bucket,
+                SELECT {keys}, h % {m} AS bucket,
                        CASE WHEN (h >> {p}) = 0 THEN {width + 1}
                             ELSE {width} - (length(bin(h >> {p})) - 1)
                        END AS rho
                 FROM (
-                    SELECT event_type,
-                           CAST('0x' || substring(md5(CAST(event_id
+                    SELECT {keys},
+                           CAST('0x' || substring(md5(CAST({value}
                                 AS VARCHAR)), 1, 15) AS BIGINT) AS h
-                    FROM events
+                    FROM {src}
                 )
             )
-            GROUP BY event_type, bucket
+            GROUP BY {keys}, bucket
         )
-        GROUP BY event_type
+        GROUP BY {keys}
     )
 )
 """
@@ -3468,6 +3472,54 @@ SELECT x, y, pair_count,
 FROM scored
 ORDER BY pmi_micro DESC, x, y
 LIMIT 20
+"""
+
+
+def q_event_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed distinct-user HLL (streaming.windowed_distinct_sketch,
+    batch path — the identical expression serves the watermarked
+    stream; test_streaming_local pins register bit-parity between the
+    two): per (hour window, event_type) estimate vs exact distinct."""
+    from .functions.sketches import hll_estimate
+    from .streaming import windowed_distinct_sketch
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    regs = windowed_distinct_sketch(e, p=10)
+    est = hll_estimate(regs, ["window_start", "event_type"], p=10)
+    exact = (e.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")),
+                      "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type")
+        .agg(F.countDistinct("user_id").cast("long")
+             .alias("exact_distinct")))
+    return (est.join(exact, ["window_start", "event_type"])
+            .select("window_start", "event_type",
+                    F.round(F.col("est_distinct"), 6)
+                    .alias("est_distinct"),
+                    "exact_distinct")
+            .orderBy("window_start", "event_type"))
+
+
+SQL_EVENT_DISTINCT = f"""
+WITH est AS (
+{_hll_oracle_branch(
+    10,
+    keys="window_start, event_type",
+    value="user_id",
+    src="(SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "
+        "AS window_start, event_type, user_id FROM events) ev",
+    extra="")}
+),
+exact AS (
+    SELECT strftime(date_trunc('hour', ts),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+    FROM events GROUP BY 1, 2
+)
+SELECT est.window_start, est.event_type, est.est_distinct,
+       exact.exact_distinct
+FROM est JOIN exact USING (window_start, event_type)
+ORDER BY window_start, event_type
 """
 
 
@@ -5515,6 +5567,7 @@ QUERIES = {
     "q_quantiles": q_quantiles,
     "q_quality_classifier": q_quality_classifier,
     "q_pmi": q_pmi,
+    "q_event_distinct": q_event_distinct,
     "q_corpus_report": q_corpus_report,
     "q_bloom_dedup": q_bloom_dedup,
     "q_pq_encode": q_pq_encode,
@@ -5612,6 +5665,7 @@ ORACLES = {
     "q_quantiles": SQL_QUANTILES,
     "q_quality_classifier": SQL_QUALITY_CLASSIFIER,
     "q_pmi": SQL_PMI,
+    "q_event_distinct": SQL_EVENT_DISTINCT,
     "q_corpus_report": SQL_CORPUS_REPORT,
     "q_bloom_dedup": SQL_BLOOM_DEDUP,
     "q_pq_encode": SQL_PQ_ENCODE,

@@ -66,24 +66,30 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def hll_bucket_rho(value, p: int):
+    """(bucket, rho) column expressions for one value column — the
+    per-row projection both the batch register build and the streaming
+    windowed sketch share, so their registers are bit-identical."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    m = 1 << p
+    width = 60 - p
+    h = _hash60(value.cast("string"))
+    w = F.shiftright(h, p)
+    rho = (F.when(w == 0, F.lit(width + 1))
+           .otherwise(F.lit(width) - (F.length(F.bin(w)) - F.lit(1))))
+    return F.pmod(h, F.lit(m)).cast("int"), rho.cast("int")
+
+
 def hll_registers(df: DataFrame, value_col: str, key_cols=(),
                   p: int = 12) -> DataFrame:
     """Per-key HLL register table: (keys..., bucket int, register int),
     only buckets that saw at least one value (absent bucket == register
     0). One map-side-combined max aggregation; output is at most 2**p
     rows per key regardless of input size."""
-    if not 4 <= p <= 18:
-        raise ValueError(f"p must be in [4, 18], got {p}")
-    m = 1 << p
-    width = 60 - p
-    h = _hash60(F.col(value_col).cast("string"))
-    w = F.shiftright(h, p)
-    rho = (F.when(w == 0, F.lit(width + 1))
-           .otherwise(F.lit(width) - (F.length(F.bin(w)) - F.lit(1))))
+    bucket, rho = hll_bucket_rho(F.col(value_col), p)
     keys = [F.col(k) for k in key_cols]
-    return (df.select(*keys,
-                      F.pmod(h, F.lit(m)).cast("int").alias("bucket"),
-                      rho.cast("int").alias("rho"))
+    return (df.select(*keys, bucket.alias("bucket"), rho.alias("rho"))
             .groupBy(*key_cols, "bucket")
             .agg(F.max("rho").alias("register")))
 

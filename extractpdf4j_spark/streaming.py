@@ -105,6 +105,45 @@ def windowed_event_metrics(events: DataFrame, watermark: str = "10 minutes",
                     "event_type", "n_events", "value_sum"))
 
 
+def windowed_distinct_sketch(events: DataFrame, value_col: str = "user_id",
+                             watermark: str = "10 minutes",
+                             window: str = "1 hour",
+                             p: int = 10) -> DataFrame:
+    """Distinct-count HLL sketch per tumbling event-time window:
+    (window_start, event_type, bucket, register).
+
+    The streaming answer to "distinct users per hour" at 100 TB/day:
+    an exact distinct needs unbounded per-window state, while this is
+    ONE watermark-bounded aggregation whose state is capped at 2**p
+    registers per (window, type) — and it is pure built-in max(), so it
+    runs in append mode with no stateful UDF. The emitted register
+    table is the mergeable artifact: persist it per window/shard, fold
+    shards with :func:`functions.sketches.hll_merge`, estimate with
+    :func:`functions.sketches.hll_estimate` downstream (a second
+    aggregation, deliberately NOT chained here — append-mode streams
+    allow a single aggregation, and the sketch, not the number, is
+    what you store anyway).
+
+    On a batch frame the same expression computes the exact batch
+    registers — the q_event_distinct gate and the streaming parity test
+    both pin that the two paths are bit-identical."""
+    from .functions.sketches import hll_bucket_rho
+    e = events
+    if e.isStreaming:
+        # same NTZ->LTZ pinning as windowed_event_metrics
+        e = (e.withColumn("ts", F.col("ts").cast("timestamp"))
+             .withWatermark("ts", watermark))
+    bucket, rho = hll_bucket_rho(F.col(value_col), p)
+    return (e.select(F.window("ts", window).alias("w"),
+                     F.col("event_type"),
+                     bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("w", "event_type", "bucket")
+            .agg(F.max("rho").alias("register"))
+            .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "event_type", "bucket", "register"))
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: cross-batch document assembly
 # ---------------------------------------------------------------------------

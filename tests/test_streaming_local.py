@@ -337,3 +337,57 @@ def test_stream_event_join_attribution(spark, tmp_path):
                   r["delay_sec"])
                  for r in spark.sql("select * from evjoin").collect())
     assert got == want
+
+
+def test_windowed_distinct_sketch_stream_matches_batch(spark, tmp_path):
+    """The streaming (watermarked, append-mode) register table must be
+    bit-identical to the batch registers over the same drained input,
+    and the estimate from those registers is the batch estimate."""
+    import datetime
+    from pyspark.sql import functions as F
+    from extractpdf4j_spark.streaming import windowed_distinct_sketch
+    from extractpdf4j_spark.functions.sketches import hll_estimate
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, base + datetime.timedelta(minutes=7 * i),
+             i % 23, "click" if i % 2 == 0 else "view", 1.0, "{}")
+            for i in range(200)]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "ev")
+    df.write.parquet(src)
+    # append-mode windows only finalize once the watermark passes them;
+    # a far-future sentinel in a SECOND micro-batch closes every real
+    # window before the stream drains (the windowed_event_metrics trick)
+    import time as _time
+    _time.sleep(1.1)
+    sentinel = [(9999, base + datetime.timedelta(days=2), 0,
+                 "sentinel", 0.0, "{}")]
+    spark.createDataFrame(sentinel, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (windowed_distinct_sketch(stream, p=8)
+         .writeStream.format("memory").queryName("distsketch")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.table("distsketch")
+           .filter(F.col("event_type") != "sentinel"))
+
+    batch = (windowed_distinct_sketch(
+        spark.read.parquet(src)
+        .filter(F.col("event_type") != "sentinel"), p=8))
+    key = lambda r: (r["window_start"], r["event_type"], r["bucket"])
+    s_regs = {key(r): r["register"] for r in got.collect()}
+    b_regs = {key(r): r["register"] for r in batch.collect()}
+    assert s_regs == b_regs and len(s_regs) > 0
+
+    est = {(r["window_start"], r["event_type"]): r["est_distinct"]
+           for r in hll_estimate(got, ["window_start", "event_type"],
+                                 p=8).collect()}
+    bst = {(r["window_start"], r["event_type"]): r["est_distinct"]
+           for r in hll_estimate(batch, ["window_start", "event_type"],
+                                 p=8).collect()}
+    assert est == bst
