@@ -3523,6 +3523,56 @@ ORDER BY window_start, event_type
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot diff (corpusops.snapshot_diff): the 'new' snapshot is
+    derived from documents deterministically — doc_id%10==1 dropped
+    (removed), %10==2 gets ' v2' appended (changed), %10==3 cloned at
+    doc_id+1000000 (added), and %10==4 only re-whitespaced (UNCHANGED,
+    pinning that identity is the normalized hash, not raw bytes)."""
+    from .functions.corpusops import snapshot_diff
+    d = _docs(spark, sf).select("doc_id", "text")
+    m = F.col("doc_id") % 10
+    base = (d.filter(m != 1)
+            .withColumn("text",
+                        F.when(m == 2, F.concat(F.col("text"),
+                                                F.lit(" v2")))
+                        .when(m == 4, F.concat(F.lit("  "),
+                                               F.upper(F.col("text"))))
+                        .otherwise(F.col("text"))))
+    added = (d.filter(m == 3)
+             .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return (snapshot_diff(d, base.unionByName(added))
+            .orderBy("doc_id"))
+
+
+SQL_SNAPSHOT_DIFF = r"""
+WITH old AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+    FROM documents
+),
+new AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(
+               CASE WHEN doc_id % 10 = 2 THEN text || ' v2'
+                    WHEN doc_id % 10 = 4 THEN '  ' || upper(text)
+                    ELSE text END), '\s+', ' ', 'g'))) AS h
+    FROM documents WHERE doc_id % 10 <> 1
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+    FROM documents WHERE doc_id % 10 = 3
+)
+SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.h IS NULL THEN 'added'
+            WHEN new.h IS NULL THEN 'removed'
+            WHEN old.h <> new.h THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+ORDER BY doc_id
+"""
+
+
 def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source report card (corpusops.corpus_report): every 4th doc
     is planted as an exact duplicate within its source, so dup_frac is
@@ -5568,6 +5618,7 @@ QUERIES = {
     "q_quality_classifier": q_quality_classifier,
     "q_pmi": q_pmi,
     "q_event_distinct": q_event_distinct,
+    "q_snapshot_diff": q_snapshot_diff,
     "q_corpus_report": q_corpus_report,
     "q_bloom_dedup": q_bloom_dedup,
     "q_pq_encode": q_pq_encode,
@@ -5666,6 +5717,7 @@ ORACLES = {
     "q_quality_classifier": SQL_QUALITY_CLASSIFIER,
     "q_pmi": SQL_PMI,
     "q_event_distinct": SQL_EVENT_DISTINCT,
+    "q_snapshot_diff": SQL_SNAPSHOT_DIFF,
     "q_corpus_report": SQL_CORPUS_REPORT,
     "q_bloom_dedup": SQL_BLOOM_DEDUP,
     "q_pq_encode": SQL_PQ_ENCODE,

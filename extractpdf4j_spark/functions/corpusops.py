@@ -433,6 +433,40 @@ def classifier_score(df: DataFrame, weights: DataFrame, bias: DataFrame,
 
 
 # ---------------------------------------------------------------------------
+# Snapshot diff (incremental corpus versioning)
+# ---------------------------------------------------------------------------
+
+def snapshot_diff(old: DataFrame, new: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Content-level diff between two corpus snapshots: (id, status)
+    with status in added / removed / changed / unchanged. The recrawl
+    bookkeeping step of an incremental pipeline — downstream stages
+    reprocess only ``added``/``changed`` ids and retire ``removed``
+    ones, instead of rereading 100 TB.
+
+    Content identity is :func:`dedup.normalized_text_hash` — THE
+    repo-wide exact-dedup normalization, so "changed" means changed
+    after the same lowercase/whitespace collapse every dedup path uses
+    (a reformatted crawl of identical content is ``unchanged``).
+
+    Plan: each side collapses to (id, 16-byte hash) at the scan, then
+    ONE full-outer hash join on id. At scale, store snapshots bucketed
+    by id so the join is exchange-free; the diff output is id+status
+    only — no text ever shuffles."""
+    from .dedup import normalized_text_hash
+    o = old.select(F.col(id_col),
+                   normalized_text_hash(F.col(text_col)).alias("_oh"))
+    n = new.select(F.col(id_col),
+                   normalized_text_hash(F.col(text_col)).alias("_nh"))
+    status = (F.when(F.col("_oh").isNull(), F.lit("added"))
+              .when(F.col("_nh").isNull(), F.lit("removed"))
+              .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return (o.join(n, id_col, "full_outer")
+            .select(F.col(id_col), status.alias("status")))
+
+
+# ---------------------------------------------------------------------------
 # Corpus-wide paragraph dedup (keep first occurrence)
 # ---------------------------------------------------------------------------
 

@@ -593,3 +593,18 @@ def test_quality_classifier_separates_and_handles_edges(spark):
                                 "doc_id long, text string")
     got = classifier_score(new, w, b, buckets=256).collect()[0]
     assert got["n_tokens"] == 4
+
+
+def test_snapshot_diff_all_statuses(spark):
+    from extractpdf4j_spark.functions.corpusops import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "goes away")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "  SAME   text "),     # normalized-identical -> unchanged
+         (2, "has changed"),
+         (4, "brand new")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["status"]
+           for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
