@@ -3573,6 +3573,57 @@ ORDER BY doc_id
 """
 
 
+def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source shingle-overlap matrix (dedup.corpus_overlap_matrix):
+    pairwise Jaccard and containment between the 20 sources' distinct
+    3-gram shingle sets — counts exact, ratios single fixed-order
+    divisions rounded 6dp."""
+    from .functions.dedup import corpus_overlap_matrix
+    return (corpus_overlap_matrix(_docs(spark, sf), group_col="source")
+            .orderBy("a", "b"))
+
+
+SQL_SOURCE_OVERLAP = r"""
+WITH toks AS (
+    SELECT source,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                        ' ') AS t
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT source,
+           concat_ws(' ', t[i + 1], t[i + 2], t[i + 3]) AS sh
+    FROM toks, unnest(generate_series(0, greatest(len(t) - 3, 0))) AS u(i)
+),
+shf AS (
+    SELECT DISTINCT source,
+           ('0x' || substring(md5(sh), 1, 15))::BIGINT AS shash
+    FROM sh WHERE sh <> ''
+),
+sizes AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+    FROM shf GROUP BY source
+),
+common AS (
+    SELECT x.source AS a, y.source AS b,
+           CAST(count(*) AS BIGINT) AS n_common
+    FROM shf x JOIN shf y USING (shash)
+    WHERE x.source < y.source
+    GROUP BY 1, 2
+)
+SELECT c.a, c.b, sa.n_sh AS n_a, sb.n_sh AS n_b, c.n_common,
+       round(CAST(c.n_common AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE), 6)
+           AS jaccard,
+       round(CAST(c.n_common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE), 6)
+           AS contain_in_a
+FROM common c
+JOIN sizes sa ON sa.source = c.a
+JOIN sizes sb ON sb.source = c.b
+ORDER BY c.a, c.b
+"""
+
+
 def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source report card (corpusops.corpus_report): every 4th doc
     is planted as an exact duplicate within its source, so dup_frac is
@@ -5619,6 +5670,7 @@ QUERIES = {
     "q_pmi": q_pmi,
     "q_event_distinct": q_event_distinct,
     "q_snapshot_diff": q_snapshot_diff,
+    "q_source_overlap": q_source_overlap,
     "q_corpus_report": q_corpus_report,
     "q_bloom_dedup": q_bloom_dedup,
     "q_pq_encode": q_pq_encode,
@@ -5718,6 +5770,7 @@ ORACLES = {
     "q_pmi": SQL_PMI,
     "q_event_distinct": SQL_EVENT_DISTINCT,
     "q_snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "q_source_overlap": SQL_SOURCE_OVERLAP,
     "q_corpus_report": SQL_CORPUS_REPORT,
     "q_bloom_dedup": SQL_BLOOM_DEDUP,
     "q_pq_encode": SQL_PQ_ENCODE,

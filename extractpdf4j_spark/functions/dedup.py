@@ -782,3 +782,50 @@ def bloom_dedup_against_corpus(new_df: DataFrame, corpus: DataFrame,
     fresh = definitely_new.unionByName(verified_new) \
         .withColumn("_th", normalized_text_hash(F.col(text_col)))
     return _keep_one_hashed(fresh, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Cross-group overlap matrix (corpus novelty reporting)
+# ---------------------------------------------------------------------------
+
+def corpus_overlap_matrix(df: DataFrame, group_col: str = "source",
+                          text_col: str = "text", n: int = 3) -> DataFrame:
+    """Pairwise shingle-set overlap between groups (sources, dumps,
+    crawls): (a, b, n_a, n_b, n_common, jaccard, contain_in_a) for every
+    unordered pair with n_common > 0 — the "how much of dump B is
+    already in dump A" report that decides whether a new crawl is worth
+    ingesting, computed WITHOUT any doc-level pairing.
+
+    jaccard = |A∩B| / |A∪B| and contain_in_a = |A∩B| / |B| (how much of
+    b sits inside a), both single fixed-order double divisions over
+    exact integer counts (6dp-rounded, engine-exact).
+
+    Plan: one distinct over (group, 60-bit shingle hash) — the same
+    8-byte-key construction as the MinHash family — one self-equi-join
+    on the hash (each hash contributes at most G' rows where G' = #
+    groups containing it), one pair-count aggregation. Output is at
+    most G*(G-1)/2 rows. With G in the thousands a hot shingle shared
+    by every group costs G'^2 join rows per hash — prune universal
+    shingles first (the boilerplate-frequency cut) if that bites."""
+    sh = shingle_hash_rows(df, text_col=text_col, id_col=group_col, n=n)
+    sizes = sh.groupBy(group_col).agg(F.count("*").cast("long")
+                                      .alias("n_sh"))
+    a = sh.select(F.col(group_col).alias("a"), "shash")
+    b = sh.select(F.col(group_col).alias("b"), "shash")
+    common = (a.join(b, "shash")
+              .filter(F.col("a") < F.col("b"))
+              .groupBy("a", "b")
+              .agg(F.count("*").cast("long").alias("n_common")))
+    sa = sizes.select(F.col(group_col).alias("a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(group_col).alias("b"),
+                      F.col("n_sh").alias("n_b"))
+    return (common.join(F.broadcast(sa), "a").join(F.broadcast(sb), "b")
+            .select("a", "b", "n_a", "n_b", "n_common",
+                    F.round(F.col("n_common").cast("double")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_common")).cast("double"), 6)
+                    .alias("jaccard"),
+                    F.round(F.col("n_common").cast("double")
+                            / F.col("n_b").cast("double"), 6)
+                    .alias("contain_in_a")))

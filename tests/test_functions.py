@@ -739,3 +739,22 @@ def test_pmi_collocations_hand_computed(spark):
     assert ("old", "data") not in got  # min_count=2 drops the hapax pair
     # ranking: 'big data' (perfect association) outranks 'data rules'
     assert rows[0]["x"] == "big" and rows[0]["y"] == "data"
+
+
+def test_corpus_overlap_matrix_hand_computed(spark):
+    from extractpdf4j_spark.functions.dedup import corpus_overlap_matrix
+    # A: 2 docs sharing shingle machinery with B; C disjoint
+    rows = [("A", 1, "one two three four"),        # shingles: 2
+            ("A", 2, "one two three five"),        # +1 new -> A has 3... wait recompute below
+            ("B", 3, "one two three four"),        # identical to doc 1
+            ("C", 4, "zz yy xx ww")]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = {(r["a"], r["b"]): r for r in
+           corpus_overlap_matrix(df, group_col="source").collect()}
+    # A shingles: {one two three, two three four, two three five} -> 3
+    # B shingles: {one two three, two three four} -> 2; common = 2
+    ab = out[("A", "B")]
+    assert (ab["n_a"], ab["n_b"], ab["n_common"]) == (3, 2, 2)
+    assert ab["jaccard"] == round(2 / 3, 6)
+    assert ab["contain_in_a"] == 1.0      # B entirely inside A
+    assert ("A", "C") not in out and ("B", "C") not in out  # disjoint
