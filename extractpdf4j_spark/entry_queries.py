@@ -3624,6 +3624,66 @@ ORDER BY c.a, c.b
 """
 
 
+def q_cms_joinsize(spark: SparkSession, sf: str) -> DataFrame:
+    """CMS inner-product join-size estimate (sketches.cms_join_size):
+    two 3x64 sketches over lineitem.l_partkey and part.p_partkey
+    estimate the equi-join cardinality from d*w-cell tables alone;
+    compared against the exact join count. Pure integer arithmetic,
+    overestimate >= 0 by construction."""
+    from .functions.sketches import cms_build, cms_join_size
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    pt = spark.read.parquet(f"{sf}/part.parquet")
+    est = cms_join_size(cms_build(li, "l_partkey", depth=3, width=64),
+                        cms_build(pt, "p_partkey", depth=3, width=64),
+                        depth=3)
+    exact = (li.join(pt, li.l_partkey == pt.p_partkey)
+             .agg(F.count("*").cast("long").alias("exact_join_size")))
+    return (est.crossJoin(exact)
+            .select("est_join_size", "exact_join_size",
+                    (F.col("est_join_size") - F.col("exact_join_size"))
+                    .alias("overcount")))
+
+
+SQL_CMS_JOINSIZE = r"""
+WITH rows_(row) AS (VALUES (0), (1), (2)),
+ca AS (
+    SELECT row,
+           CAST('0x' || substring(md5(CAST(row AS VARCHAR) || ':'
+                || CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) % 64
+               AS col,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem CROSS JOIN rows_
+    GROUP BY 1, 2
+),
+cb AS (
+    SELECT row,
+           CAST('0x' || substring(md5(CAST(row AS VARCHAR) || ':'
+                || CAST(p_partkey AS VARCHAR)), 1, 15) AS BIGINT) % 64
+               AS col,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM part CROSS JOIN rows_
+    GROUP BY 1, 2
+),
+prod AS (
+    SELECT ca.row, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS dot
+    FROM ca JOIN cb USING (row, col)
+    GROUP BY ca.row
+),
+est AS (
+    SELECT CASE WHEN count(*) < 3 THEN CAST(0 AS BIGINT)
+                ELSE CAST(min(dot) AS BIGINT) END AS est_join_size
+    FROM prod
+),
+exact AS (
+    SELECT CAST(count(*) AS BIGINT) AS exact_join_size
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT est_join_size, exact_join_size,
+       est_join_size - exact_join_size AS overcount
+FROM est CROSS JOIN exact
+"""
+
+
 def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source report card (corpusops.corpus_report): every 4th doc
     is planted as an exact duplicate within its source, so dup_frac is
@@ -5671,6 +5731,7 @@ QUERIES = {
     "q_event_distinct": q_event_distinct,
     "q_snapshot_diff": q_snapshot_diff,
     "q_source_overlap": q_source_overlap,
+    "q_cms_joinsize": q_cms_joinsize,
     "q_corpus_report": q_corpus_report,
     "q_bloom_dedup": q_bloom_dedup,
     "q_pq_encode": q_pq_encode,
@@ -5771,6 +5832,7 @@ ORACLES = {
     "q_event_distinct": SQL_EVENT_DISTINCT,
     "q_snapshot_diff": SQL_SNAPSHOT_DIFF,
     "q_source_overlap": SQL_SOURCE_OVERLAP,
+    "q_cms_joinsize": SQL_CMS_JOINSIZE,
     "q_corpus_report": SQL_CORPUS_REPORT,
     "q_bloom_dedup": SQL_BLOOM_DEDUP,
     "q_pq_encode": SQL_PQ_ENCODE,

@@ -181,6 +181,29 @@ def cms_merge(a: DataFrame, b: DataFrame, key_cols=()) -> DataFrame:
             .agg(F.sum("cnt").alias("cnt")))
 
 
+def cms_join_size(a: DataFrame, b: DataFrame, depth: int,
+                  key_cols=()) -> DataFrame:
+    """Join-cardinality estimate from two sketches built with the SAME
+    depth/width over the two join columns: (keys..., est_join_size
+    long). The classic CMS inner product — est = min over the depth
+    rows of sum_col(cnt_a * cnt_b) — upper-bounds the true equi-join
+    row count |{(x, y) : a.v = b.v}| (collisions only ever add), and
+    lets a pipeline decide join strategies from two tiny sketch tables
+    without touching the 100 TB inputs. A hash row with no overlapping
+    cells proves the join is empty, so missing rows clamp the estimate
+    to 0."""
+    prod = (a.select(*key_cols, "row", "col",
+                     F.col("cnt").alias("_ca"))
+            .join(b.select(*key_cols, "row", "col",
+                           F.col("cnt").alias("_cb")),
+                  [*key_cols, "row", "col"])
+            .groupBy(*key_cols, "row")
+            .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot")))
+    return (prod.groupBy(*key_cols)
+            .agg(F.when(F.count("*") < depth, F.lit(0).cast("long"))
+                 .otherwise(F.min("_dot")).alias("est_join_size")))
+
+
 def cms_query(sketch: DataFrame, items: DataFrame, value_col: str,
               key_cols=(), depth: int = 4, width: int = 1024) -> DataFrame:
     """Point-frequency estimates for every row of ``items``: (keys...,

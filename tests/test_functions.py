@@ -758,3 +758,31 @@ def test_corpus_overlap_matrix_hand_computed(spark):
     assert ab["jaccard"] == round(2 / 3, 6)
     assert ab["contain_in_a"] == 1.0      # B entirely inside A
     assert ("A", "C") not in out and ("B", "C") not in out  # disjoint
+
+
+def test_cms_join_size_upper_bound_and_disjoint(spark):
+    import collections
+    from extractpdf4j_spark.functions.sketches import (cms_build,
+                                                       cms_join_size)
+    av = [f"k{i % 9}" for i in range(90)]
+    bv = [f"k{i % 6}" for i in range(30)]   # k0..k5 overlap
+    a = spark.createDataFrame([(v,) for v in av], "v string")
+    b = spark.createDataFrame([(v,) for v in bv], "v string")
+    ca, cb = collections.Counter(av), collections.Counter(bv)
+    exact = sum(ca[k] * cb[k] for k in ca)
+    # wide sketch: no collisions -> estimate is exact
+    est = cms_join_size(cms_build(a, "v", depth=3, width=512),
+                        cms_build(b, "v", depth=3, width=512),
+                        depth=3).collect()[0]["est_join_size"]
+    assert est == exact
+    # narrow sketch: collisions only ever overestimate
+    est8 = cms_join_size(cms_build(a, "v", depth=3, width=8),
+                         cms_build(b, "v", depth=3, width=8),
+                         depth=3).collect()[0]["est_join_size"]
+    assert est8 >= exact
+    # disjoint value sets can still collide in cells, never underestimate
+    c = spark.createDataFrame([(f"z{i}",) for i in range(20)], "v string")
+    estd = cms_join_size(cms_build(a, "v", depth=3, width=512),
+                         cms_build(c, "v", depth=3, width=512),
+                         depth=3).collect()[0]["est_join_size"]
+    assert estd >= 0
