@@ -3322,6 +3322,51 @@ ORDER BY p.l_returnflag, p.q_bp
 """
 
 
+def q_quantiles_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted grouped quantiles (functions/statsops.py weight_col):
+    the l_extendedprice below which X% of total l_quantity sits, per
+    l_returnflag — the "doc length below which 95% of TOKENS live"
+    shape. Same integer basis-point pick gate as q_quantiles (cum *
+    10000 >= q_bp * tot on BIGINT), so no float knife-edge; the only
+    change vs the unweighted gate is cnt = sum(weight)."""
+    from .functions.statsops import group_quantiles
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (group_quantiles(li, "l_extendedprice", ["l_returnflag"],
+                            (2500, 5000, 7500, 9500, 9900),
+                            weight_col="l_quantity")
+            .select("l_returnflag", "q_bp",
+                    F.round(F.col("quantile"), 6).alias("quantile"))
+            .orderBy("l_returnflag", "q_bp"))
+
+
+SQL_QUANTILES_WEIGHTED = r"""
+WITH hist AS (
+    -- l_quantity is whole-valued (TPC-H 1..50): CAST to BIGINT is exact
+    -- on both engines (Spark ANSI truncate == DuckDB round on integers)
+    SELECT l_returnflag, l_extendedprice AS v,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY l_returnflag, v
+),
+cum AS (
+    SELECT l_returnflag, v, cnt,
+           CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+           CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+    FROM hist
+),
+qs(q_bp) AS (VALUES (CAST(2500 AS BIGINT)), (5000), (7500), (9500), (9900)),
+picked AS (
+    SELECT l_returnflag, q_bp, min(v) AS quantile
+    FROM cum CROSS JOIN qs
+    WHERE c * 10000 >= q_bp * tot
+    GROUP BY l_returnflag, q_bp
+)
+SELECT l_returnflag, q_bp, round(quantile, 6) AS quantile
+FROM picked
+ORDER BY l_returnflag, q_bp
+"""
+
+
 def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     """Trained quality classifier (corpusops): hashed-NB log-odds
     weights trained on planted labels (doc_id % 3 == 0 is 'good', and
@@ -5726,6 +5771,7 @@ QUERIES = {
     "q_hll": q_hll,
     "q_cms": q_cms,
     "q_quantiles": q_quantiles,
+    "q_quantiles_weighted": q_quantiles_weighted,
     "q_quality_classifier": q_quality_classifier,
     "q_pmi": q_pmi,
     "q_event_distinct": q_event_distinct,
@@ -5827,6 +5873,7 @@ ORACLES = {
     "q_hll": SQL_HLL,
     "q_cms": SQL_CMS,
     "q_quantiles": SQL_QUANTILES,
+    "q_quantiles_weighted": SQL_QUANTILES_WEIGHTED,
     "q_quality_classifier": SQL_QUALITY_CLASSIFIER,
     "q_pmi": SQL_PMI,
     "q_event_distinct": SQL_EVENT_DISTINCT,

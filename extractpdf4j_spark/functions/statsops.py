@@ -26,9 +26,14 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def group_quantiles(df: DataFrame, value_col: str, key_cols=(),
-                    quantiles_bp=(2500, 5000, 7500, 9500)) -> DataFrame:
+                    quantiles_bp=(2500, 5000, 7500, 9500),
+                    weight_col: str | None = None) -> DataFrame:
     """Exact per-key percentile_disc for each quantile, given in basis
     points (2500 = p25): (keys..., q_bp long, quantile <value type>).
+
+    ``weight_col`` (integer weights, e.g. token counts) switches to
+    weighted quantiles — "the doc length below which 95% of TOKENS
+    live" — with the same integer pick gate, still knife-edge-free.
 
     Plan shape: one map-side-combined histogram aggregation over the
     raw rows, then windows over the histogram only (cumulative count
@@ -39,8 +44,10 @@ def group_quantiles(df: DataFrame, value_col: str, key_cols=(),
         if not 0 < q <= 10000:
             raise ValueError(f"quantile {q} not in (0, 10000] basis points")
     keys = list(key_cols)
+    w = (F.sum(F.col(weight_col).cast("long")) if weight_col
+         else F.count("*").cast("long"))
     hist = (df.groupBy(*keys, value_col)
-            .agg(F.count("*").cast("long").alias("_cnt")))
+            .agg(w.alias("_cnt")))
     w_cum = (Window.partitionBy(*keys).orderBy(value_col)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     w_tot = Window.partitionBy(*keys)

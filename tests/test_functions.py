@@ -786,3 +786,16 @@ def test_cms_join_size_upper_bound_and_disjoint(spark):
                          cms_build(c, "v", depth=3, width=512),
                          depth=3).collect()[0]["est_join_size"]
     assert estd >= 0
+
+
+def test_group_quantiles_weighted(spark):
+    from extractpdf4j_spark.functions.statsops import group_quantiles
+    # values 1,2,3 with weights 1,1,8: weighted p50 sits in value 3
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 8)],
+        "k string, v double, w long")
+    got = {r["q_bp"]: r["quantile"]
+           for r in group_quantiles(df, "v", ["k"], (2000, 5000, 10000),
+                                    weight_col="w").collect()}
+    # cum weights: 1, 2, 10 of total 10; q20 -> cum>=2 -> v=2
+    assert got == {2000: 2.0, 5000: 3.0, 10000: 3.0}
