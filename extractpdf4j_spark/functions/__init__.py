@@ -22,9 +22,10 @@ from .textstats import (add_text_stats, bm25_topk, fingerprint, language_id,
                         pmi_collocations, tfidf_topk)
 from .sketches import (cms_build, cms_merge, cms_query, hll_count_distinct,
                        hll_estimate, hll_merge, hll_registers)
-from .statsops import group_quantiles
+from .statsops import group_quantiles, key_skew
 from .corpusops import (classifier_score, nb_train_quality_classifier,
                         snapshot_diff)
+from .urlops import anchor_corpus
 
 __all__ = [
     "exact_duplicates", "minhash_signatures", "lsh_candidate_pairs",
@@ -37,6 +38,7 @@ __all__ = [
     "duplicate_clusters",
     "bm25_topk", "tfidf_topk", "pmi_collocations",
     "hll_registers", "hll_merge", "hll_estimate", "hll_count_distinct",
-    "cms_build", "cms_merge", "cms_query", "group_quantiles",
+    "cms_build", "cms_merge", "cms_query", "group_quantiles", "key_skew",
     "nb_train_quality_classifier", "classifier_score", "snapshot_diff",
+    "anchor_corpus",
 ]

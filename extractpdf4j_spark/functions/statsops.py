@@ -60,3 +60,41 @@ def group_quantiles(df: DataFrame, value_col: str, key_cols=(),
             .filter(F.col("_cum") * 10000 >= F.col("q_bp") * F.col("_tot"))
             .groupBy(*keys, "q_bp")
             .agg(F.min(value_col).alias("quantile")))
+
+
+def key_skew(df: DataFrame, key_cols, top_n: int = 20) -> DataFrame:
+    """Heavy-hitter / skew report for a prospective join or groupBy key:
+    the top-N keys by row count with their share of the table and their
+    skew ratio (count / mean-count-per-key) — the number that answers
+    "does this key need salting / AQE skew handling before I shuffle
+    100 TB on it?" (ratio >> 1 on the head keys = salt).
+
+    Returns (keys..., cnt long, rnk long, share double, skew_ratio
+    double, total_rows long, n_keys long).
+
+    Plan shape: one map-side-combined key histogram, then a global
+    TakeOrderedAndProject for the top-N (per-partition top-N merged on
+    the driver — never a full sort of the key space) and a 1-row global
+    aggregate broadcast back onto the N survivors. Nothing after the
+    first aggregation is proportional to the input; nothing ever holds
+    the full key histogram in one place.
+
+    skew_ratio is computed as (cnt / total) * n_keys in DOUBLE — the
+    long product cnt * n_keys would overflow at petabyte scale (and
+    Spark 4 ANSI mode would throw)."""
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    keys = list(key_cols)
+    hist = df.groupBy(*keys).agg(F.count("*").cast("long").alias("cnt"))
+    tot = hist.agg(F.sum("cnt").cast("long").alias("total_rows"),
+                   F.count("*").cast("long").alias("n_keys"))
+    order = [F.desc("cnt")] + [F.col(k) for k in keys]
+    top = (hist.orderBy(*order).limit(top_n)
+           .withColumn("rnk", F.row_number().over(
+               Window.orderBy(*order)).cast("long")))
+    share = F.col("cnt").cast("double") / F.col("total_rows")
+    return (top.crossJoin(F.broadcast(tot))
+            .select(*keys, "cnt", "rnk",
+                    F.round(share, 6).alias("share"),
+                    F.round(share * F.col("n_keys"), 6).alias("skew_ratio"),
+                    "total_rows", "n_keys"))
