@@ -126,6 +126,37 @@ def filter_blocked_domains(df: DataFrame, blocked: list[str],
     return df.join(F.broadcast(bl), domain_col, "left_anti")
 
 
+def anchor_corpus(links: DataFrame, url_col: str = "href",
+                  id_col: str = "doc_id",
+                  anchor_col: str = "anchor_text") -> DataFrame:
+    """Anchor-text corpus: aggregate the visible anchor texts pointing
+    at each normalized target URL — the classic web-corpus move (the
+    anchors describing a page are a high-signal summary of it, and the
+    in-link counts are the quality prior next to PageRank). Consumes
+    the ``htmlops.extract_links`` edge shape (id, href, anchor_text).
+
+    Keeps absolute links only (a scheme://), normalizes targets with
+    :func:`normalize_urls` (so "http://www.x.com/a/" and "https://x.com
+    /a?utm_source=t" pool), and returns one row per target:
+    (norm_url, domain, n_refs long, n_sources long, anchors string —
+    sorted distinct non-empty anchor texts joined by ' | ').
+
+    Plan shape: codegen regex filter + normalization projection in the
+    scan stage, then ONE groupBy(norm_url) with map-side combine. The
+    anchors set is collect_list(distinct-after) — bounded in practice
+    by anchor diversity per page; a production cap would slice the
+    sorted array, kept un-capped here so the gate is exact."""
+    absolute = links.filter(
+        F.col(url_col).rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"))
+    n = normalize_urls(absolute, url_col)
+    nonempty = F.when(F.col(anchor_col) != "", F.col(anchor_col))
+    return (n.groupBy("norm_url", "domain")
+            .agg(F.count("*").cast("long").alias("n_refs"),
+                 F.countDistinct(id_col).cast("long").alias("n_sources"),
+                 F.array_join(F.array_sort(F.array_distinct(
+                     F.collect_list(nonempty))), " | ").alias("anchors")))
+
+
 def domain_cap(df: DataFrame, cap: int, domain_col: str = "domain",
                key_col: str = "doc_id") -> DataFrame:
     """Keep at most ``cap`` documents per registered domain, chosen by
