@@ -125,3 +125,46 @@ def interval_point_join(points: DataFrame, intervals: DataFrame,
     return (j.filter((F.col(point_col) >= F.col(lo_col))
                      & (F.col(point_col) <= F.col(hi_col)))
             .drop("_bucket"))
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: str,
+                n_salts: int = 16, hot_keys=None,
+                how: str = "inner") -> DataFrame:
+    """Equi-join with hot-key salting — the remedy
+    :func:`~extractpdf4j_spark.functions.statsops.key_skew` diagnoses.
+    Semantics are exactly ``left.join(right, on, how)``; physically the
+    hot keys' rows spread across ``n_salts`` shuffle partitions instead
+    of landing in one straggler task.
+
+    ``hot_keys`` (an iterable of key VALUES, e.g. the head of
+    ``key_skew(left, [on])``) confines the treatment: only hot rows get
+    a spread salt, and only hot right rows replicate ``n_salts``×; cold
+    keys ride salt 0 at 1× cost. ``hot_keys=None`` salts every key —
+    uniform ``n_salts``× replication of the right side, only sane when
+    the right side is small but too big/fast-changing to broadcast.
+
+    The left salt is deterministic (``xxhash64`` over the whole row, not
+    ``rand()``), so retried/speculated tasks and re-runs produce
+    identical partitioning — at 100 TB a nondeterministic salt makes
+    stage retries recompute different shuffles. ``how`` supports
+    ``inner``/``left`` (both sides of a right/full join would need the
+    mirrored treatment; reverse the call instead)."""
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports how='inner'|'left', "
+                         f"got {how!r}")
+    if "_salt" in left.columns or "_salt" in right.columns:
+        raise ValueError("salted_join: input columns collide with the "
+                         "reserved internal name '_salt' — rename")
+    hot = (F.col(on).isin(list(hot_keys)) if hot_keys is not None
+           else F.lit(True))
+    lsalt = (F.when(hot, F.pmod(
+                 F.xxhash64(*[F.col(c) for c in left.columns]),
+                 F.lit(n_salts)).cast("int"))
+             .otherwise(F.lit(0)))
+    l = left.withColumn("_salt", lsalt)
+    rsalts = (F.when(hot, F.sequence(F.lit(0), F.lit(n_salts - 1)))
+              .otherwise(F.array(F.lit(0))))
+    r = right.withColumn("_salt", F.explode(rsalts))
+    return l.join(r, [on, "_salt"], how).drop("_salt")
