@@ -3367,6 +3367,86 @@ ORDER BY l_returnflag, q_bp
 """
 
 
+def q_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-key salted join (functions/joins.salted_join): a planted
+    70%-hot key over events joins a derived dim table with the 'hot'
+    key spread across 4 salts (deterministic xxhash64 salt, right side
+    replicated only for the hot key). The oracle is the PLAIN join —
+    the gate proves salting changes the physical spread, never the
+    rows. Sums ride integer cents so no float-order knife-edge."""
+    from .functions.joins import salted_join
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    k = (F.when(F.col("user_id") % 10 < 7, F.lit("hot"))
+         .otherwise(F.concat(F.lit("u"),
+                             (F.col("user_id") % 23).cast("string"))))
+    left = ev.select(k.alias("k"), "event_id",
+                     F.floor(F.col("value") * 100).cast("long")
+                      .alias("cents"))
+    right = (left.select("k").distinct()
+             .withColumn("w", F.length("k").cast("long")))
+    res = salted_join(left, right, "k", n_salts=4, hot_keys=["hot"])
+    return (res.groupBy("k", "w")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("cents").alias("sum_cents"))
+            .orderBy("k"))
+
+
+SQL_SALTED_JOIN = r"""
+WITH l AS (
+    SELECT CASE WHEN user_id % 10 < 7 THEN 'hot'
+                ELSE 'u' || CAST(user_id % 23 AS VARCHAR) END AS k,
+           event_id,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+rd AS (
+    SELECT k, CAST(len(k) AS BIGINT) AS w
+    FROM (SELECT DISTINCT k FROM l)
+)
+SELECT l.k, rd.w, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(l.cents) AS BIGINT) AS sum_cents
+FROM l JOIN rd ON l.k = rd.k
+GROUP BY l.k, rd.w ORDER BY l.k
+"""
+
+
+def q_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitter / join-key skew report (functions/statsops.key_skew):
+    top-15 event user_ids by row count with exact counts and DOUBLE
+    share / skew-ratio (cnt/total * n_keys — the salt-this-key signal).
+    Plan is histogram -> TakeOrderedAndProject(15) -> 1-row broadcast;
+    the oracle replays count/rank/share arithmetic verbatim."""
+    from .functions.statsops import key_skew
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return key_skew(ev, ["user_id"], top_n=15).orderBy("rnk")
+
+
+SQL_KEY_SKEW = r"""
+WITH hist AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY user_id
+),
+tot AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM hist
+),
+top AS (
+    SELECT user_id, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS BIGINT)
+               AS rnk
+    FROM hist
+    QUALIFY rnk <= 15
+)
+SELECT user_id, cnt, rnk,
+       round(CAST(cnt AS DOUBLE) / total_rows, 6) AS share,
+       round(CAST(cnt AS DOUBLE) / total_rows * n_keys, 6) AS skew_ratio,
+       total_rows, n_keys
+FROM top CROSS JOIN tot
+ORDER BY rnk
+"""
+
+
 def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     """Trained quality classifier (corpusops): hashed-NB log-odds
     weights trained on planted labels (doc_id % 3 == 0 is 'good', and
@@ -4453,6 +4533,86 @@ capped AS (
 )
 SELECT doc_id, domain, norm_url, sample_rank FROM capped
 WHERE sample_rank <= 2 ORDER BY doc_id
+"""
+
+
+def _planted_links(d: DataFrame) -> DataFrame:
+    """Deterministic link rows (doc_id, href, anchor_text) over the
+    planted URLs: every doc links its planted URL with an id-derived
+    anchor ('' every 5th doc — exercises the non-empty anchor filter),
+    even docs link it AGAIN with a second anchor (n_refs > n_sources),
+    and every 3rd doc adds a relative link (must be dropped by the
+    absolute-only filter)."""
+    p = _planted_urls(d)
+    a1 = (F.when(F.col("doc_id") % 5 == 0, F.lit(""))
+          .otherwise(F.concat(F.lit("anchor "),
+                              (F.col("doc_id") % 13).cast("string"))))
+    l1 = F.struct(F.col("url").alias("href"), a1.alias("anchor_text"))
+    l2 = F.struct(F.col("url").alias("href"),
+                  F.lit("again").alias("anchor_text"))
+    l3 = F.struct(F.lit("/rel").alias("href"),
+                  F.lit("rel").alias("anchor_text"))
+    links = F.concat(
+        F.array(l1),
+        F.when(F.col("doc_id") % 2 == 0, F.array(l2))
+         .otherwise(F.array().cast("array<struct<href:string,"
+                                   "anchor_text:string>>")),
+        F.when(F.col("doc_id") % 3 == 0, F.array(l3))
+         .otherwise(F.array().cast("array<struct<href:string,"
+                                   "anchor_text:string>>")))
+    return (p.select("doc_id", F.explode(links).alias("l"))
+            .select("doc_id", F.col("l.href").alias("href"),
+                    F.col("l.anchor_text").alias("anchor_text")))
+
+
+def q_anchor_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Anchor-text corpus (urlops.anchor_corpus): pool the planted link
+    rows by NORMALIZED target URL — in-link count, distinct source
+    count, and the sorted distinct non-empty anchor texts per target.
+    The oracle replays the absolute-link filter, the full normalization
+    rule set (shared verbatim with q_url_normalize via the same SQL
+    fragments) and the list aggregation."""
+    from .functions.urlops import anchor_corpus
+    links = _planted_links(_docs(spark, sf).select("doc_id"))
+    return anchor_corpus(links).orderBy("norm_url")
+
+
+# parts/normed variants that carry anchor_text through the SHARED
+# normalization fragments (rule text stays defined exactly once)
+_URL_PARTS_ANCHOR_SQL = (_URL_PARTS_SQL
+                         .replace("SELECT doc_id, url,",
+                                  "SELECT doc_id, anchor_text, url,")
+                         .replace("FROM planted", "FROM absolute"))
+_URL_NORM_ANCHOR_SQL = _URL_NORM_SQL.replace(
+    "SELECT doc_id, url,", "SELECT doc_id, anchor_text, url,")
+
+SQL_ANCHOR_CORPUS = f"""
+WITH {_URL_PLANT_SQL},
+links AS (
+    SELECT doc_id,
+           url AS href,
+           CASE WHEN doc_id % 5 = 0 THEN ''
+                ELSE 'anchor ' || CAST(doc_id % 13 AS VARCHAR) END
+               AS anchor_text
+    FROM planted
+    UNION ALL
+    SELECT doc_id, url, 'again' FROM planted WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, '/rel', 'rel' FROM planted WHERE doc_id % 3 = 0
+),
+absolute AS (
+    SELECT doc_id, anchor_text, href AS url FROM links
+    WHERE regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\\-]*://')
+),
+{_URL_PARTS_ANCHOR_SQL},
+{_URL_NORM_ANCHOR_SQL}
+SELECT norm_url, domain,
+       CAST(count(*) AS BIGINT) AS n_refs,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_sources,
+       coalesce(array_to_string(list_sort(list_distinct(
+           list(anchor_text) FILTER (WHERE anchor_text <> ''))), ' | '),
+           '') AS anchors
+FROM normed GROUP BY norm_url, domain ORDER BY norm_url
 """
 
 
@@ -5772,6 +5932,8 @@ QUERIES = {
     "q_cms": q_cms,
     "q_quantiles": q_quantiles,
     "q_quantiles_weighted": q_quantiles_weighted,
+    "q_key_skew": q_key_skew,
+    "q_salted_join": q_salted_join,
     "q_quality_classifier": q_quality_classifier,
     "q_pmi": q_pmi,
     "q_event_distinct": q_event_distinct,
@@ -5788,6 +5950,7 @@ QUERIES = {
     "q_pagerank": q_pagerank,
     "q_dsir": q_dsir,
     "q_url_normalize": q_url_normalize,
+    "q_anchor_corpus": q_anchor_corpus,
     "q_domain_curate": q_domain_curate,
     "q_dedup_incr": q_dedup_incr,
     "q_html_main": q_html_main,
@@ -5874,6 +6037,8 @@ ORACLES = {
     "q_cms": SQL_CMS,
     "q_quantiles": SQL_QUANTILES,
     "q_quantiles_weighted": SQL_QUANTILES_WEIGHTED,
+    "q_key_skew": SQL_KEY_SKEW,
+    "q_salted_join": SQL_SALTED_JOIN,
     "q_quality_classifier": SQL_QUALITY_CLASSIFIER,
     "q_pmi": SQL_PMI,
     "q_event_distinct": SQL_EVENT_DISTINCT,
@@ -5890,6 +6055,7 @@ ORACLES = {
     "q_pagerank": SQL_PAGERANK,
     "q_dsir": SQL_DSIR,
     "q_url_normalize": SQL_URL_NORMALIZE,
+    "q_anchor_corpus": SQL_ANCHOR_CORPUS,
     "q_domain_curate": SQL_DOMAIN_CURATE,
     "q_dedup_incr": SQL_DEDUP_INCR,
     "q_html_main": SQL_HTML_MAIN,

@@ -799,3 +799,54 @@ def test_group_quantiles_weighted(spark):
                                     weight_col="w").collect()}
     # cum weights: 1, 2, 10 of total 10; q20 -> cum>=2 -> v=2
     assert got == {2000: 2.0, 5000: 3.0, 10000: 3.0}
+
+
+def test_key_skew_hand_computed(spark):
+    from extractpdf4j_spark.functions.statsops import key_skew
+    # keys: a x6, b x2, c x1, d x1 -> total 10, n_keys 4, mean 2.5
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] + [("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = key_skew(df, ["k"], top_n=2).orderBy("rnk").collect()
+    assert [(r["k"], r["cnt"], r["rnk"]) for r in got] == \
+        [("a", 6, 1), ("b", 2, 2)]
+    assert got[0]["share"] == 0.6 and got[0]["skew_ratio"] == 2.4
+    assert got[0]["total_rows"] == 10 and got[0]["n_keys"] == 4
+    # tie-break is deterministic: c before d at equal counts
+    top4 = key_skew(df, ["k"], top_n=4).orderBy("rnk").collect()
+    assert [r["k"] for r in top4] == ["a", "b", "c", "d"]
+    import pytest
+    with pytest.raises(ValueError):
+        key_skew(df, ["k"], top_n=0)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from extractpdf4j_spark.functions.joins import salted_join
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(40)] + [("c1", 1), ("c2", 2),
+                                           ("orphan", 9)],
+        "k string, v long")
+    right = spark.createDataFrame(
+        [("hot", 100), ("c1", 101), ("c2", 102), ("unused", 103)],
+        "k string, w long")
+    plain = sorted((r["k"], r["v"], r["w"]) for r in
+                   left.join(right, "k").collect())
+    salted = sorted((r["k"], r["v"], r["w"]) for r in
+                    salted_join(left, right, "k", n_salts=4,
+                                hot_keys=["hot"]).collect())
+    assert salted == plain and len(salted) == 42
+    # left-join keeps the orphan with null payload
+    lj = sorted((r["k"], r["v"], r["w"]) for r in
+                salted_join(left, right, "k", n_salts=4,
+                            hot_keys=["hot"], how="left").collect())
+    assert ("orphan", 9, None) in lj and len(lj) == 43
+    # hot_keys=None salts everything, same rows
+    allsalt = sorted((r["k"], r["v"], r["w"]) for r in
+                     salted_join(left, right, "k", n_salts=3).collect())
+    assert allsalt == plain
+    import pytest
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", n_salts=0)
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full")
+    with pytest.raises(ValueError):
+        salted_join(left.withColumn("_salt", left.v), right, "k")

@@ -296,3 +296,27 @@ def test_warc_feeds_curation_front(spark, tmp_path):
     assert row["norm_url"] == "http://example.com/a/b?a=1&b=2"
     assert row["domain"] == "example.com"
     assert "Hello crawl world" in row["main_text"]
+
+
+def test_anchor_corpus_pools_normalized_targets(spark):
+    """extract_links -> anchor_corpus: variants of the same target URL
+    (www, default port, tracking params) pool under one normalized key;
+    relative links are dropped; anchors are sorted distinct non-empty."""
+    from extractpdf4j_spark.functions.htmlops import extract_links
+    from extractpdf4j_spark.functions.urlops import anchor_corpus
+    docs = spark.createDataFrame([
+        (1, '<p><a href="http://www.x.com/a/">Alpha</a> '
+            '<a href="/rel">rel</a></p>'),
+        (2, '<p><a href="http://x.com:80/a?utm_source=t">beta</a> '
+            '<a href="http://x.com/a">Alpha</a></p>'),
+        (3, '<p><a href="https://y.org/b"></a></p>'),
+    ], "doc_id long, html string")
+    got = {r["norm_url"]: r
+           for r in anchor_corpus(extract_links(docs)).collect()}
+    assert set(got) == {"http://x.com/a", "https://y.org/b"}
+    a = got["http://x.com/a"]
+    assert a["n_refs"] == 3 and a["n_sources"] == 2
+    assert a["domain"] == "x.com"
+    assert a["anchors"] == "Alpha | beta"
+    b = got["https://y.org/b"]
+    assert b["n_refs"] == 1 and b["anchors"] == ""
