@@ -905,7 +905,11 @@ def bigram_logprob(df: DataFrame, lm_df: DataFrame | None = None,
 
     lm_toks = lm_df.select(
         F.explode(_tok_arr(F.col(lm_text_col))).alias("tok"))
-    uni = lm_toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    # seam cache: uni feeds three consumers (total, uc, up) — uncached,
+    # each re-tokenizes lm_df. The uc/up joins stay broadcast explicitly:
+    # InMemoryRelation size stats otherwise flip them to shuffle joins.
+    uni = (lm_toks.groupBy("tok")
+           .agg(F.count("*").cast("long").alias("cnt")).cache())
     total = uni.agg(F.sum("cnt").cast("long").alias("total"))
     bh = _hash60(F.concat_ws(" ", "prev", "cur"))
     big = (_bigram_rows(lm_df, lm_text_col, keep_id=False)
@@ -921,8 +925,8 @@ def bigram_logprob(df: DataFrame, lm_df: DataFrame | None = None,
     up = uni.select(F.col("tok").alias("prev"), F.col("cnt").alias("_pc"))
     scored = (rows
               .withColumn("bh", bh)
-              .join(uc, "cur", "left")
-              .join(up, "prev", "left")
+              .join(F.broadcast(uc), "cur", "left")
+              .join(F.broadcast(up), "prev", "left")
               .join(big, "bh", "left")
               .crossJoin(F.broadcast(total)))
     p_uni = F.when(F.col("_cc").isNotNull(),
@@ -1145,8 +1149,10 @@ def dsir_weights(df: DataFrame, target_df: DataFrame,
 
     rb = _buckets(df, text_col, True)
     tb = _buckets(target_df, tgt_col, False)
-    rc = rb.groupBy("b").agg(F.count("*").alias("cr"))
-    tc = tb.groupBy("b").agg(F.count("*").alias("ct"))
+    # seam cache: rc/tc are each read twice (totals + scoring joins) and
+    # are at most n_buckets rows — uncached, the token explosion reruns
+    rc = rb.groupBy("b").agg(F.count("*").alias("cr")).cache()
+    tc = tb.groupBy("b").agg(F.count("*").alias("ct")).cache()
     tot = (rc.agg(F.sum("cr").alias("tr"))
            .crossJoin(tc.agg(F.sum("ct").alias("tt"))))
     # every raw token's bucket exists in rc by construction; ct may miss

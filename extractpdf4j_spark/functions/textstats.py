@@ -113,8 +113,10 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
                         F.explode(F.split(F.trim(F.regexp_replace(
                             F.lower(t), r"\s+", " ")), " ")).alias("token"))
             .filter(F.col("token") != ""))
+    # seam cache: tf feeds four consumers (dl, dfreq, stats via dl, and
+    # the scoring join) — uncached, each re-executes the tokenize lineage
     tf = toks.groupBy(id_col, "token").agg(
-        F.count("*").cast("long").alias("tf"))
+        F.count("*").cast("long").alias("tf")).cache()
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df_t"))
     stats = dl.agg(F.count("*").cast("long").alias("n_d"),
