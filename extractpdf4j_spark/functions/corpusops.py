@@ -319,7 +319,10 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
             F.split(F.trim(F.regexp_replace(
                 F.lower(F.col(text_col)), r"\s+", " ")), " ")
         ).alias("tok"))
-    freq = toks.groupBy("tok").agg(F.count("*").alias("tok_count"))
+    # seam cache: freq feeds the total and the scoring join — uncached,
+    # the tokenize+aggregate lineage executes twice
+    freq = toks.groupBy("tok").agg(
+        F.count("*").alias("tok_count")).cache()
     total = freq.agg(F.sum("tok_count").alias("corpus_total"))
     scored = (toks.join(freq, "tok")
               .crossJoin(F.broadcast(total))
@@ -376,16 +379,17 @@ def nb_train_quality_classifier(df: DataFrame, label_col: str,
     feats = (_hashed_tokens(df, text_col, id_col, buckets)
              .join(df.select(id_col, F.col(label_col).alias("_lbl")),
                    id_col))
+    # counts is cached (<= buckets rows) and totals folds out of it —
+    # summing per-feature counts equals the corpus totals exactly, so
+    # the token explosion runs once, not twice
     counts = feats.groupBy("feature").agg(
         F.sum(F.when(F.col("_lbl"), 1).otherwise(0)).cast("long")
          .alias("pos_cnt"),
         F.sum(F.when(F.col("_lbl"), 0).otherwise(1)).cast("long")
-         .alias("neg_cnt"))
-    totals = feats.agg(
-        F.sum(F.when(F.col("_lbl"), 1).otherwise(0)).cast("long")
-         .alias("tot_pos"),
-        F.sum(F.when(F.col("_lbl"), 0).otherwise(1)).cast("long")
-         .alias("tot_neg"))
+         .alias("neg_cnt")).cache()
+    totals = counts.agg(
+        F.sum("pos_cnt").cast("long").alias("tot_pos"),
+        F.sum("neg_cnt").cast("long").alias("tot_neg"))
     b = float(buckets)
     weights = (counts.crossJoin(F.broadcast(totals))
                .select("feature",

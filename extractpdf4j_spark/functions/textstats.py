@@ -183,14 +183,21 @@ def pmi_collocations(df: DataFrame, k: int = 20, min_count: int = 5,
     bi = (t.select(F.explode(z).alias("_z"))
           .select(F.col("_z.x").alias("x"), F.col("_z.y").alias("y"))
           .filter((F.col("x") != "") & (F.col("y") != "")))
+    # seam caches: uni feeds totals + both count joins; the bigram
+    # stream is aggregated ONCE into pairs_all (Zipf-small), from which
+    # both n_bi (sum of group counts == count(*)) and the min_count
+    # filter derive — uncached, the explode lineage ran twice each
     uni = (t.select(F.explode("_t").alias("tok"))
            .filter(F.col("tok") != "")
-           .groupBy("tok").agg(F.count("*").cast("long").alias("c")))
-    pairs = (bi.groupBy("x", "y")
-             .agg(F.count("*").cast("long").alias("pair_count"))
-             .filter(F.col("pair_count") >= min_count))
+           .groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+           .cache())
+    pairs_all = (bi.groupBy("x", "y")
+                 .agg(F.count("*").cast("long").alias("pair_count"))
+                 .cache())
+    pairs = pairs_all.filter(F.col("pair_count") >= min_count)
     totals = (uni.agg(F.sum("c").alias("n_uni"))
-              .crossJoin(bi.agg(F.count("*").cast("long").alias("n_bi"))))
+              .crossJoin(pairs_all.agg(
+                  F.sum("pair_count").cast("long").alias("n_bi"))))
     cx = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
     cy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
     ratio = ((F.col("pair_count").cast("double") * F.col("n_uni")
@@ -231,8 +238,10 @@ def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
                           F.lower(F.col(text_col)), r"\s+", " ")),
                           " ")).alias("token"))
             .filter(F.col("token") != ""))
+    # seam cache: tf feeds dfreq and the scoring join — uncached, the
+    # tokenize lineage re-executes for each (the bm25_topk pattern)
     tf = toks.groupBy(id_col, "token").agg(
-        F.count("*").cast("long").alias("tf"))
+        F.count("*").cast("long").alias("tf")).cache()
     dfreq = tf.groupBy("token").agg(
         F.count("*").cast("long").alias("df_t"))
     n_docs = df.select(F.countDistinct(id_col).cast("long").alias("n_d"))
