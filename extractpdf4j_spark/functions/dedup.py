@@ -807,7 +807,10 @@ def corpus_overlap_matrix(df: DataFrame, group_col: str = "source",
     most G*(G-1)/2 rows. With G in the thousands a hot shingle shared
     by every group costs G'^2 join rows per hash — prune universal
     shingles first (the boilerplate-frequency cut) if that bites."""
-    sh = shingle_hash_rows(df, text_col=text_col, id_col=group_col, n=n)
+    # seam cache: sh feeds sizes and BOTH self-join sides — uncached,
+    # the shingle+distinct lineage executes three times
+    sh = shingle_hash_rows(df, text_col=text_col, id_col=group_col,
+                           n=n).cache()
     sizes = sh.groupBy(group_col).agg(F.count("*").cast("long")
                                       .alias("n_sh"))
     a = sh.select(F.col(group_col).alias("a"), "shash")

@@ -716,6 +716,10 @@ def ivf_pq_topk(embeddings: DataFrame, query_id: int, k: int = 10,
     cand_ids = (assigned.filter(F.col("cluster").isin(probe_ids))
                 .select(id_col))
     cand = embeddings.join(cand_ids, id_col, "left_semi")
+    if rerank is not None:
+        # seam cache: the rerank tail re-reads cand through a broadcast
+        # shortlist join — uncached, it re-executes the IVF assignment
+        cand = cand.cache()
     encoded = pq_encode(cand, n_sub, n_cents, dim, pq_seed, id_col,
                         vec_col, codebooks=books)
     lut = np.stack([B[s] @ qv[s * sub_dim:(s + 1) * sub_dim]
