@@ -5860,6 +5860,55 @@ def q_extract_spans(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Character entropy (gibberish / binary-blob quality signal)
+# ---------------------------------------------------------------------------
+
+def q_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document Shannon entropy over the fixed 38-class character
+    distribution (textstats.char_entropy): a-z / 0-9 / space / other.
+    Pure two-projection codegen — no explode, no shuffle; the oracle
+    replays the identical length-difference counts and the identical
+    fixed-order float summation."""
+    from .functions.textstats import char_entropy
+    return char_entropy(_docs(spark, sf)).orderBy("doc_id")
+
+
+def _char_entropy_oracle_sql() -> str:
+    from .functions.textstats import ENTROPY_ALPHABET
+    cnt_exprs = ",\n       ".join(
+        f"length(t) - length(replace(t, '{c}', '')) AS _c{i}"
+        for i, c in enumerate(ENTROPY_ALPHABET))
+    known = " + ".join(f"_c{i}" for i in range(len(ENTROPY_ALPHABET)))
+    def term(col):
+        p = f"CAST({col} AS DOUBLE) / CAST(_n AS DOUBLE)"
+        return (f"CASE WHEN {col} > 0 THEN -({p}) * ln({p}) "
+                f"ELSE 0.0 END")
+    ent = "\n         + ".join(
+        [term(f"_c{i}") for i in range(len(ENTROPY_ALPHABET))]
+        + [term("_other")])
+    return f"""
+WITH t0 AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+), counts AS (
+  SELECT doc_id, CAST(length(t) AS BIGINT) AS _n,
+       {cnt_exprs}
+  FROM t0
+), withother AS (
+  SELECT *, _n - ({known}) AS _other FROM counts
+)
+SELECT doc_id, _n AS n_chars,
+       round(CASE WHEN _n > 0
+                  THEN CAST(_other AS DOUBLE) / CAST(_n AS DOUBLE)
+                  ELSE 0.0 END, 6) AS other_ratio,
+       round({ent}, 6) AS char_entropy
+FROM withother ORDER BY doc_id
+"""
+
+
+SQL_CHAR_ENTROPY = _char_entropy_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -5926,6 +5975,7 @@ QUERIES = {
     "q_bigram_lm": q_bigram_lm,
     "q_event_join": q_event_join,
     "q_text_clean": q_text_clean,
+    "q_char_entropy": q_char_entropy,
     "q_tfidf_topk": q_tfidf_topk,
     "q_bm25": q_bm25,
     "q_hll": q_hll,
@@ -6031,6 +6081,7 @@ ORACLES = {
     "q_bigram_lm": SQL_BIGRAM_LM,
     "q_event_join": SQL_EVENT_JOIN,
     "q_text_clean": SQL_TEXT_CLEAN,
+    "q_char_entropy": SQL_CHAR_ENTROPY,
     "q_tfidf_topk": SQL_TFIDF_TOPK,
     "q_bm25": SQL_BM25,
     "q_hll": SQL_HLL,

@@ -256,3 +256,62 @@ def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select(id_col, "rank", "token", "tfidf"))
+
+
+# Character classes for char_entropy: lowercase letters, digits, space.
+# Everything else (punctuation, unicode, control bytes) pools into one
+# "other" bucket — the bucket whose share spikes on base64 blobs,
+# minified JS and binary-in-text garbage.
+ENTROPY_ALPHABET = list("abcdefghijklmnopqrstuvwxyz0123456789 ")
+
+
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon entropy over a fixed 38-class character
+    distribution (a-z after lowercasing, 0-9, space, other) — the
+    classic gibberish detector complementing the token-level quality
+    scores: natural English sits near 3.0-3.2 nats on these classes,
+    base64/hex blobs spike the digit+other share and read high-entropy
+    flat, repeated-character spam reads near zero. ``other_ratio`` is
+    returned alongside as the direct binary-in-text signal.
+
+    Returns ``(id, n_chars long, other_ratio double, char_entropy
+    double)``, both doubles 6dp-rounded; an empty document reads
+    (0, 0.0, 0.0).
+
+    Engineered for codegen: per-class counts come from the
+    length-difference trick (``length(t) - length(replace(t, c))``) —
+    37 literal single-char replaces in ONE projection, no explode, no
+    shuffle, composes with scan pruning. The entropy sum is a second
+    projection over the count columns in fixed alphabet order (+ other
+    last), so the float summation order is identical in the DuckDB
+    oracle, which replays the same replaces verbatim. Two chained
+    projections keep each generated method far below janino's 64 KB
+    limit (the >512-term single-expression trap in CLAUDE.md)."""
+    t = F.lower(F.col(text_col))
+    n = F.length(t).cast("long")
+    cnt_cols = [
+        (n - F.length(F.replace(t, F.lit(c))).cast("long")).alias(f"_c{i}")
+        for i, c in enumerate(ENTROPY_ALPHABET)]
+    proj = df.select(F.col(id_col), n.alias("_n"), *cnt_cols)
+    known = sum((F.col(f"_c{i}") for i in range(1, len(ENTROPY_ALPHABET))),
+                F.col("_c0"))
+    proj = proj.withColumn("_other", F.col("_n") - known)
+
+    def term(c):
+        p = c.cast("double") / F.col("_n").cast("double")
+        return F.when(c > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+
+    ent = term(F.col("_c0"))
+    for i in range(1, len(ENTROPY_ALPHABET)):
+        ent = ent + term(F.col(f"_c{i}"))
+    ent = ent + term(F.col("_other"))
+    other_ratio = F.when(
+        F.col("_n") > 0,
+        F.col("_other").cast("double") / F.col("_n").cast("double")
+    ).otherwise(F.lit(0.0))
+    return proj.select(
+        F.col(id_col),
+        F.col("_n").alias("n_chars"),
+        F.round(other_ratio, 6).alias("other_ratio"),
+        F.round(ent, 6).alias("char_entropy"))

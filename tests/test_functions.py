@@ -850,3 +850,43 @@ def test_salted_join_matches_plain_join(spark):
         salted_join(left, right, "k", how="full")
     with pytest.raises(ValueError):
         salted_join(left.withColumn("_salt", left.v), right, "k")
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+    from extractpdf4j_spark.functions.textstats import char_entropy
+    docs = spark.createDataFrame(
+        [(1, "hello world"),                      # plain text
+         (2, ""),                                 # empty -> (0, 0, 0)
+         (3, "aaaaaaa"),                          # single class -> H=0
+         (4, "SGVsbG8gd29ybGQhISEhIQ=="),         # base64-ish, has other
+         (5, "héllo ünïcode!")],                  # unicode pools to other
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+
+    def ref(s):
+        t = s.lower()
+        n = len(t)
+        if n == 0:
+            return (0, 0.0, 0.0)
+        alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
+        cnts = [t.count(c) for c in alphabet]
+        other = n - sum(cnts)
+        ent = 0.0
+        for c in cnts + [other]:
+            if c > 0:
+                p = c / n
+                ent += -p * math.log(p)
+        return (n, round(other / n, 6), round(ent, 6))
+
+    for doc_id, text in [(1, "hello world"), (2, ""), (3, "aaaaaaa"),
+                         (4, "SGVsbG8gd29ybGQhISEhIQ=="),
+                         (5, "héllo ünïcode!")]:
+        r = out[doc_id]
+        assert (r["n_chars"], r["other_ratio"], r["char_entropy"]) \
+            == ref(text), doc_id
+    # the binary-blob signal: base64 doc has other_ratio > 0, text has 0
+    assert out[4]["other_ratio"] > 0.0 and out[1]["other_ratio"] == 0.0
+    # no shuffle: the whole operator is chained projections
+    plan = char_entropy(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
