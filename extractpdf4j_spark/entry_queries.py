@@ -5909,6 +5909,75 @@ SQL_CHAR_ENTROPY = _char_entropy_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
+# BPE merge induction (tokenizer vocabulary training)
+# ---------------------------------------------------------------------------
+
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Byte-pair-encoding merge table (textstats.bpe_train, 8 merges)
+    over the documents corpus: one corpus pass builds the word-
+    frequency table, then every round pair-counts / argmaxes / merges
+    over that Zipf-small vocab table only — zero driver actions in the
+    loop. The oracle replays every round as a chained CTE with the
+    identical delimited-string merge representation."""
+    from .functions.textstats import bpe_train
+    return bpe_train(_docs(spark, sf), n_merges=8).orderBy("merge_rank")
+
+
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    d1, d2 = "chr(31)", "chr(30)"
+    parts = [f"""
+wtok AS (
+  SELECT unnest(regexp_split_to_array(trim(regexp_replace(lower(text),
+             '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents
+),
+wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM wtok
+  WHERE word <> '' AND position({d1} IN word) = 0
+    AND position({d2} IN word) = 0
+  GROUP BY word
+),
+syms0 AS (
+  SELECT regexp_replace(word, '(.)', {d1} || '\\1' || {d2}, 'g') AS s,
+         cnt
+  FROM wc
+)"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""
+arr{r} AS (
+  SELECT string_split(substr(s, 2, length(s) - 2), {d2} || {d1}) AS a,
+         cnt
+  FROM syms{r - 1}
+),
+pairs{r} AS (
+  SELECT a[i] AS l_sym, a[i + 1] AS r_sym,
+         CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM arr{r}, unnest(generate_series(1, len(a) - 1)) AS u(i)
+  GROUP BY a[i], a[i + 1]
+),
+best{r} AS (
+  SELECT CAST({r} AS BIGINT) AS merge_rank, l_sym, r_sym, pair_count
+  FROM pairs{r} ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1
+),
+syms{r} AS (
+  SELECT CASE WHEN b.l_sym IS NULL THEN t.s
+              ELSE replace(t.s,
+                   {d1} || b.l_sym || {d2} || {d1} || b.r_sym || {d2},
+                   {d1} || b.l_sym || b.r_sym || {d2})
+         END AS s, t.cnt
+  FROM syms{r - 1} t LEFT JOIN best{r} b ON TRUE
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT merge_rank, l_sym, r_sym, pair_count FROM best{r}"
+        for r in range(1, n_merges + 1))
+    return ("WITH " + ",".join(parts) + "\n"
+            + union + "\nORDER BY merge_rank")
+
+
+SQL_BPE_MERGES = _bpe_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -5976,6 +6045,7 @@ QUERIES = {
     "q_event_join": q_event_join,
     "q_text_clean": q_text_clean,
     "q_char_entropy": q_char_entropy,
+    "q_bpe_merges": q_bpe_merges,
     "q_tfidf_topk": q_tfidf_topk,
     "q_bm25": q_bm25,
     "q_hll": q_hll,
@@ -6082,6 +6152,7 @@ ORACLES = {
     "q_event_join": SQL_EVENT_JOIN,
     "q_text_clean": SQL_TEXT_CLEAN,
     "q_char_entropy": SQL_CHAR_ENTROPY,
+    "q_bpe_merges": SQL_BPE_MERGES,
     "q_tfidf_topk": SQL_TFIDF_TOPK,
     "q_bm25": SQL_BM25,
     "q_hll": SQL_HLL,

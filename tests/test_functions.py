@@ -890,3 +890,29 @@ def test_char_entropy_hand_computed(spark):
     # no shuffle: the whole operator is chained projections
     plan = char_entropy(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bpe_train_sennrich_example(spark):
+    from extractpdf4j_spark.functions.textstats import bpe_train
+    docs = spark.createDataFrame(
+        [(1, "low low low low low"),
+         (2, "lower lower newest newest"),
+         (3, "newest newest newest newest widest widest widest")],
+        "doc_id long, text string")
+    got = [(r["merge_rank"], r["l_sym"], r["r_sym"], r["pair_count"])
+           for r in bpe_train(docs, n_merges=6).orderBy("merge_rank")
+           .collect()]
+    # hand-derived greedy BPE on the word-frequency table
+    # (low:5 lower:2 newest:6 widest:3); ties break pair-lexicographic
+    assert got == [(1, "e", "s", 9), (2, "es", "t", 9), (3, "l", "o", 7),
+                   (4, "lo", "w", 7), (5, "e", "w", 6), (6, "ew", "est", 6)]
+
+
+def test_bpe_train_pair_space_exhausts(spark):
+    from extractpdf4j_spark.functions.textstats import bpe_train
+    # corpus of one 2-char word: only one pair exists, then nothing left
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    got = [(r["merge_rank"], r["l_sym"], r["r_sym"], r["pair_count"])
+           for r in bpe_train(docs, n_merges=4).orderBy("merge_rank")
+           .collect()]
+    assert got == [(1, "a", "b", 2)]
