@@ -2,7 +2,7 @@
 
 The reference has no streaming (its Spring service is blocking
 request/response, PdfExtractController.java:40-44), but a corpus-scale
-deployment ingests documents continuously. Six shapes:
+deployment ingests documents continuously. The shapes:
 
 * :func:`stream_extraction` — ``readStream`` on the documents location →
   ``foreachBatch`` running the same extraction plan per micro-batch →
@@ -14,6 +14,13 @@ deployment ingests documents continuously. Six shapes:
   windows over an ingestion-event stream (late data dropped past the
   watermark); the aggregation expression is shared with the batch gate
   query ``q_event_windows``.
+* :func:`windowed_distinct_sketch` / :func:`windowed_cms_sketch` —
+  the two mergeable per-window sketch artifacts (HLL registers for
+  distinct counts, Count-Min cells for heavy-hitter frequencies):
+  each is ONE watermark-bounded built-in aggregation with state capped
+  at sketch size per (window, type), append-mode-legal, bit-identical
+  to the batch expression, folded/queried downstream with the
+  functions.sketches mergers.
 * :func:`stream_assemble_documents` — a genuinely stateful custom
   operator via ``applyInPandasWithState``: document spans arriving
   across micro-batches accumulate in per-doc state until the document's
@@ -142,6 +149,54 @@ def windowed_distinct_sketch(events: DataFrame, value_col: str = "user_id",
             .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
                     .alias("window_start"),
                     "event_type", "bucket", "register"))
+
+
+def windowed_cms_sketch(events: DataFrame, value_col: str = "user_id",
+                        watermark: str = "10 minutes",
+                        window: str = "1 hour",
+                        depth: int = 4, width: int = 1024) -> DataFrame:
+    """Count-Min frequency sketch per tumbling event-time window:
+    (window_start, event_type, row, col, cnt) — the streaming
+    heavy-hitter artifact pairing :func:`windowed_distinct_sketch`
+    (how many distinct) with "how often does each hot key appear".
+
+    Same design stance as the HLL window: emit the MERGEABLE SKETCH,
+    not the answer. State is one watermark-bounded aggregation capped
+    at depth*width cells per (window, type) regardless of stream rate
+    (the explode(depth) before it is stateless, so append mode holds
+    with its single-aggregation budget); the emitted cell table is what
+    you persist per window/shard — fold shards with
+    :func:`functions.sketches.cms_merge` (exact: merge(cms(X), cms(Y))
+    == cms(X union Y)), point-query candidate keys with
+    :func:`functions.sketches.cms_query`, and the batch
+    :func:`functions.statsops.key_skew` report is the exact-world
+    mirror of the question this answers at stream scale.
+
+    On a batch frame the identical expression computes the exact batch
+    sketch — the streaming parity test pins the two paths
+    bit-identical."""
+    from .functions.sketches import _cms_cell
+    if depth < 1 or width < 1:
+        raise ValueError(f"need depth >= 1 and width >= 1, "
+                         f"got {depth}x{width}")
+    e = events
+    if e.isStreaming:
+        # same NTZ->LTZ pinning as windowed_event_metrics
+        e = (e.withColumn("ts", F.col("ts").cast("timestamp"))
+             .withWatermark("ts", watermark))
+    rows = e.select(F.window("ts", window).alias("w"),
+                    F.col("event_type"),
+                    F.col(value_col).cast("string").alias("_v"),
+                    F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+                     .alias("row"))
+    return (rows.select("w", "event_type", "row",
+                        _cms_cell(F.col("row"), F.col("_v"), width)
+                        .cast("int").alias("col"))
+            .groupBy("w", "event_type", "row", "col")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "event_type", "row", "col", "cnt"))
 
 
 # ---------------------------------------------------------------------------

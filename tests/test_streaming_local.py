@@ -391,3 +391,69 @@ def test_windowed_distinct_sketch_stream_matches_batch(spark, tmp_path):
            for r in hll_estimate(batch, ["window_start", "event_type"],
                                  p=8).collect()}
     assert est == bst
+
+
+def test_windowed_cms_sketch_stream_matches_batch(spark, tmp_path):
+    """The streaming (watermarked, append-mode) CMS cell table must be
+    bit-identical to the batch sketch over the same drained input, and
+    point-querying the streamed sketch upper-bounds the true counts."""
+    import datetime
+    from pyspark.sql import functions as F
+    from extractpdf4j_spark.streaming import windowed_cms_sketch
+    from extractpdf4j_spark.functions.sketches import cms_query
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    # user 3 is the planted heavy hitter (every third event)
+    rows = [(i, base + datetime.timedelta(minutes=7 * i),
+             3 if i % 3 == 0 else i % 29,
+             "click" if i % 2 == 0 else "view", 1.0, "{}")
+            for i in range(200)]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "ev")
+    df.write.parquet(src)
+    import time as _time
+    _time.sleep(1.1)
+    sentinel = [(9999, base + datetime.timedelta(days=2), 0,
+                 "sentinel", 0.0, "{}")]
+    spark.createDataFrame(sentinel, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (windowed_cms_sketch(stream, depth=3, width=64)
+         .writeStream.format("memory").queryName("cmssketch")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.table("cmssketch")
+           .filter(F.col("event_type") != "sentinel"))
+
+    batch = windowed_cms_sketch(
+        spark.read.parquet(src).filter(F.col("event_type") != "sentinel"),
+        depth=3, width=64)
+    key = lambda r: (r["window_start"], r["event_type"],
+                     r["row"], r["col"])
+    s_cells = {key(r): r["cnt"] for r in got.collect()}
+    b_cells = {key(r): r["cnt"] for r in batch.collect()}
+    assert s_cells == b_cells and len(s_cells) > 0
+
+    # point-query the streamed sketch: CMS never undercounts
+    items = spark.createDataFrame(
+        [(w, e, "3") for (w, e) in
+         {(r["window_start"], r["event_type"]) for r in got.collect()}],
+        "window_start string, event_type string, item string")
+    est = {(r["window_start"], r["event_type"]): r["est_count"]
+           for r in cms_query(got, items, "item", depth=3, width=64,
+                              key_cols=["window_start", "event_type"])
+           .collect()}
+    truth = {(r["window_start"], r["event_type"]): r["n"]
+             for r in spark.read.parquet(src)
+             .filter((F.col("event_type") != "sentinel")
+                     & (F.col("user_id") == 3))
+             .groupBy(F.date_format(F.window("ts", "1 hour").start,
+                                    "yyyy-MM-dd HH:mm:ss")
+                      .alias("window_start"), "event_type")
+             .agg(F.count("*").alias("n")).collect()}
+    for k, n in truth.items():
+        assert est[k] >= n
