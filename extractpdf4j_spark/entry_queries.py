@@ -5977,6 +5977,96 @@ syms{r} AS (
 SQL_BPE_MERGES = _bpe_oracle_sql()
 
 
+def q_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document token counts under the corpus's own induced BPE
+    vocabulary (textstats.bpe_token_counts, 8 merges): the token-budget
+    number the packing/quota ops consume, measured with a trained
+    subword tokenizer instead of the whitespace proxy. The oracle
+    replays training round-by-round carrying the word column, then
+    joins the final symbol table back onto per-document word counts."""
+    from .functions.textstats import bpe_token_counts
+    return (bpe_token_counts(_docs(spark, sf), n_merges=8)
+            .orderBy("doc_id"))
+
+
+def _bpe_token_oracle_sql(n_merges: int = 8) -> str:
+    d1, d2 = "chr(31)", "chr(30)"
+    parts = [f"""
+wtok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text),
+             '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents
+),
+dw AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS k FROM wtok
+  WHERE word <> '' AND position({d1} IN word) = 0
+    AND position({d2} IN word) = 0
+  GROUP BY doc_id, word
+),
+wc AS (
+  SELECT word, CAST(sum(k) AS BIGINT) AS cnt FROM dw GROUP BY word
+),
+syms0 AS (
+  SELECT word,
+         regexp_replace(word, '(.)', {d1} || '\\1' || {d2}, 'g') AS s,
+         cnt
+  FROM wc
+)"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""
+arr{r} AS (
+  SELECT word,
+         string_split(substr(s, 2, length(s) - 2), {d2} || {d1}) AS a,
+         cnt
+  FROM syms{r - 1}
+),
+pairs{r} AS (
+  SELECT a[i] AS l_sym, a[i + 1] AS r_sym,
+         CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM arr{r}, unnest(generate_series(1, len(a) - 1)) AS u(i)
+  GROUP BY a[i], a[i + 1]
+),
+best{r} AS (
+  SELECT l_sym, r_sym FROM pairs{r}
+  ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1
+),
+syms{r} AS (
+  SELECT t.word,
+         CASE WHEN b.l_sym IS NULL THEN t.s
+              ELSE replace(t.s,
+                   {d1} || b.l_sym || {d2} || {d1} || b.r_sym || {d2},
+                   {d1} || b.l_sym || b.r_sym || {d2})
+         END AS s, t.cnt
+  FROM syms{r - 1} t LEFT JOIN best{r} b ON TRUE
+)""")
+    parts.append(f"""
+vocab AS (
+  SELECT word,
+         CAST(len(string_split(substr(s, 2, length(s) - 2),
+                               {d2} || {d1})) AS BIGINT) AS n_syms
+  FROM syms{n_merges}
+),
+perdoc AS (
+  SELECT dw.doc_id,
+         CAST(sum(dw.k) AS BIGINT) AS n_words,
+         CAST(sum(dw.k * vocab.n_syms) AS BIGINT) AS n_bpe_tokens
+  FROM dw JOIN vocab USING (word)
+  GROUP BY dw.doc_id
+)""")
+    return ("WITH " + ",".join(parts) + """
+SELECT d.doc_id,
+       COALESCE(p.n_words, 0) AS n_words,
+       COALESCE(p.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN perdoc p USING (doc_id)
+ORDER BY d.doc_id
+""")
+
+
+SQL_BPE_TOKEN_COUNT = _bpe_token_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6046,6 +6136,7 @@ QUERIES = {
     "q_text_clean": q_text_clean,
     "q_char_entropy": q_char_entropy,
     "q_bpe_merges": q_bpe_merges,
+    "q_bpe_token_count": q_bpe_token_count,
     "q_tfidf_topk": q_tfidf_topk,
     "q_bm25": q_bm25,
     "q_hll": q_hll,
@@ -6153,6 +6244,7 @@ ORACLES = {
     "q_text_clean": SQL_TEXT_CLEAN,
     "q_char_entropy": SQL_CHAR_ENTROPY,
     "q_bpe_merges": SQL_BPE_MERGES,
+    "q_bpe_token_count": SQL_BPE_TOKEN_COUNT,
     "q_tfidf_topk": SQL_TFIDF_TOPK,
     "q_bm25": SQL_BM25,
     "q_hll": SQL_HLL,

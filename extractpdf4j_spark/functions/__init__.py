@@ -18,9 +18,9 @@ from .dedup import (dedup_keep_one, dedup_against_corpus, fuzzy_dedup,
                     duplicate_clusters)
 from .similarity import (cosine_topk, embedding_near_duplicates, knn_join,
                          lsh_bucketed_topk)
-from .textstats import (add_text_stats, bm25_topk, bpe_train,
-                        char_entropy, fingerprint, language_id,
-                        pmi_collocations, tfidf_topk)
+from .textstats import (add_text_stats, bm25_topk, bpe_token_counts,
+                        bpe_train, char_entropy, fingerprint,
+                        language_id, pmi_collocations, tfidf_topk)
 from .sketches import (cms_build, cms_merge, cms_query, hll_count_distinct,
                        hll_estimate, hll_merge, hll_registers)
 from .statsops import group_quantiles, key_skew
@@ -38,7 +38,7 @@ __all__ = [
     "fuzzy_dedup_against_corpus", "remove_duplicate_ngrams",
     "duplicate_clusters",
     "bm25_topk", "tfidf_topk", "pmi_collocations", "char_entropy",
-    "bpe_train",
+    "bpe_train", "bpe_token_counts",
     "hll_registers", "hll_merge", "hll_estimate", "hll_count_distinct",
     "cms_build", "cms_merge", "cms_query", "group_quantiles", "key_skew",
     "nb_train_quality_classifier", "classifier_score", "snapshot_diff",

@@ -362,8 +362,19 @@ def bpe_train(df: DataFrame, n_merges: int = 10, text_col: str = "text"
                      & ~F.col("word").contains(BPE_D2)))
     wc = words.groupBy("word").agg(
         F.count("*").cast("long").alias("cnt")).cache()
+    merges, _ = _bpe_merge_rounds(wc, n_merges, apply_last=False)
+    return merges
+
+
+def _bpe_merge_rounds(wc: DataFrame, n_merges: int, apply_last: bool):
+    """Shared BPE training core over a cached (word, cnt) table:
+    returns (merge table, final symbol table (word, s, cnt)). With
+    ``apply_last`` False the last merge is recorded but not applied —
+    bpe_train only needs the merge list; bpe_token_counts needs the
+    fully-merged symbols."""
     # initial symbols: every character wrapped as \x1f c \x1e
     syms = wc.select(
+        "word",
         F.regexp_replace("word", "(.)", BPE_D1 + "$1" + BPE_D2).alias("s"),
         "cnt")
 
@@ -387,7 +398,7 @@ def bpe_train(df: DataFrame, n_merges: int = 10, text_col: str = "text"
                 .cache())
         merge_rows.append(best.select("merge_rank", "l_sym", "r_sym",
                                       "pair_count"))
-        if r < n_merges:
+        if r < n_merges or apply_last:
             # left join on TRUE: an exhausted (empty) pair table leaves
             # the symbols unchanged instead of wiping them (crossJoin
             # against an empty 1-row table would return zero rows)
@@ -398,11 +409,63 @@ def bpe_train(df: DataFrame, n_merges: int = 10, text_col: str = "text"
                            F.lit(BPE_D2))
             syms = (syms.withColumn("_k", F.lit(1))
                     .join(F.broadcast(b), "_k", "left")
-                    .select(F.when(F.col("l_sym").isNotNull(),
+                    .select("word",
+                            F.when(F.col("l_sym").isNotNull(),
                                    F.replace(F.col("s"), pat, rep))
                             .otherwise(F.col("s")).alias("s"), "cnt")
                     .localCheckpoint(eager=False))
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
-    return out
+    return out, syms
+
+
+def bpe_token_counts(df: DataFrame, n_merges: int = 10,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document token counts under the corpus's own induced BPE
+    vocabulary — the token-budget number the packing/quota/mixture ops
+    (pack_sequences, quota_sample, mix_corpora) consume, measured with
+    a trained subword tokenizer instead of the whitespace proxy.
+    Trains ``n_merges`` merges with :func:`bpe_train`'s core, then
+    counts each document's words under the final symbol table:
+    ``n_bpe_tokens = sum over words of (occurrences x symbols-per-
+    word)``. Returns ``(id, n_words long, n_bpe_tokens long)``; a
+    document with no countable words reads (0, 0).
+
+    Scale shape: encoding never touches the corpus text again — the
+    per-document word counts (one corpus aggregation) join the trained
+    vocab-sized symbol table on word (hash join, Zipf-small build
+    side), then one per-document sum. Words containing the \\x1f/\\x1e
+    delimiters are excluded from training AND counting (identically in
+    the oracle)."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    tok = F.explode(F.split(F.trim(F.regexp_replace(
+        F.lower(F.col(text_col)), r"\s+", " ")), " ")).alias("word")
+    dw = (df.select(F.col(id_col), tok)
+          .filter((F.col("word") != "")
+                  & ~F.col("word").contains(BPE_D1)
+                  & ~F.col("word").contains(BPE_D2))
+          .groupBy(id_col, "word")
+          .agg(F.count("*").cast("long").alias("k"))
+          .cache())
+    wc = (dw.groupBy("word").agg(F.sum("k").cast("long").alias("cnt"))
+          .cache())
+    _, syms = _bpe_merge_rounds(wc, n_merges, apply_last=True)
+    n_syms = F.size(F.split(F.substring(F.col("s"), 2,
+                                        F.length("s") - 2),
+                            BPE_D2 + BPE_D1)).cast("long")
+    per_doc = (dw.join(syms.select("word", n_syms.alias("n_syms")),
+                       "word")
+               .groupBy(id_col)
+               .agg(F.sum("k").cast("long").alias("n_words"),
+                    F.sum(F.col("k") * F.col("n_syms")).cast("long")
+                    .alias("n_bpe_tokens")))
+    return (df.select(id_col).distinct()
+            .join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_words", F.lit(0)).cast("long")
+                    .alias("n_words"),
+                    F.coalesce("n_bpe_tokens", F.lit(0)).cast("long")
+                    .alias("n_bpe_tokens")))

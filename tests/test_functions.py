@@ -916,3 +916,20 @@ def test_bpe_train_pair_space_exhausts(spark):
            for r in bpe_train(docs, n_merges=4).orderBy("merge_rank")
            .collect()]
     assert got == [(1, "a", "b", 2)]
+
+
+def test_bpe_token_counts_hand_computed(spark):
+    from extractpdf4j_spark.functions.textstats import bpe_token_counts
+    docs = spark.createDataFrame(
+        [(1, "low low low low low"),
+         (2, "lower lower newest newest"),
+         (3, "newest newest newest newest widest widest widest"),
+         (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+           for r in bpe_token_counts(docs, n_merges=6).collect()}
+    # after 6 merges (e+s, es+t, l+o, lo+w, e+w, ew+est):
+    # low->[low]=1 sym, lower->[low,e,r]=3, newest->[n,ewest]=2,
+    # widest->[w,i,d,est]=4; doc 4 has no words -> (0, 0)
+    assert got == {1: (5, 5), 2: (4, 2 * 3 + 2 * 2),
+                   3: (7, 4 * 2 + 3 * 4), 4: (0, 0)}
