@@ -6068,6 +6068,71 @@ SQL_BPE_TOKEN_COUNT = _bpe_token_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
+# Mergeable quantile sketch (sketch triad: HLL distinct / CMS freq / qhist)
+# ---------------------------------------------------------------------------
+
+def q_qhist(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile-sketch percentiles of floored order totals per order
+    status (sketches.qhist_build + qhist_quantiles): DDSketch-style
+    log buckets on PURE INTEGER arithmetic (length(bin(v)) + shiftleft
+    + integer DIV — no float log, no knife-edge), <= 64*32 buckets per
+    key, merge-exact. The oracle replays the identical bucket math;
+    totals are pre-floored on both sides because Spark's double->long
+    cast truncates while DuckDB's rounds."""
+    from .functions.sketches import qhist_build, qhist_quantiles
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    base = o.select("o_orderstatus",
+                    F.floor("o_totalprice").cast("long").alias("v"))
+    sk = qhist_build(base, "v", ["o_orderstatus"])
+    return (qhist_quantiles(sk, ["o_orderstatus"])
+            .select("o_orderstatus", "q_bp",
+                    F.col("quantile").cast("long").alias("quantile"))
+            .orderBy("o_orderstatus", "q_bp"))
+
+
+SQL_QHIST = r"""
+WITH base AS (
+  SELECT o_orderstatus AS k,
+         CAST(floor(o_totalprice) AS BIGINT) AS _v
+  FROM orders
+), s1 AS (
+  SELECT k, _v,
+         CASE WHEN _v >= 1 THEN length(bin(_v)) ELSE 0 END AS _bl
+  FROM base
+), s2 AS (
+  SELECT *, (CAST(1 AS BIGINT) << greatest(_bl - 1, 0)) AS _denom FROM s1
+), s3 AS (
+  SELECT *, _denom // 32 AS _step FROM s2
+), s4 AS (
+  SELECT *, CASE WHEN _bl = 0 THEN CAST(0 AS BIGINT)
+                 WHEN _bl <= 5 THEN _v - _denom
+                 ELSE (_v - _denom) // _step END AS _mant
+  FROM s3
+), s5 AS (
+  SELECT *, CASE WHEN _bl = 0 THEN CAST(0 AS BIGINT)
+                 WHEN _bl <= 5 THEN _v
+                 ELSE _denom + _mant * _step END AS _lo
+  FROM s4
+), sk AS (
+  SELECT k, _bl AS bl, CAST(_mant AS BIGINT) AS mant, _lo AS lo,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM s5 GROUP BY 1, 2, 3, 4
+), cum AS (
+  SELECT *,
+         sum(cnt) OVER (PARTITION BY k ORDER BY bl, mant
+                        ROWS UNBOUNDED PRECEDING) AS _cum,
+         sum(cnt) OVER (PARTITION BY k) AS _tot
+  FROM sk
+)
+SELECT k AS o_orderstatus, CAST(q.q_bp AS BIGINT) AS q_bp,
+       CAST(min(lo) AS BIGINT) AS quantile
+FROM cum, (VALUES (2500), (5000), (7500), (9500)) q(q_bp)
+WHERE _cum * 10000 >= q.q_bp * _tot
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -6137,6 +6202,7 @@ QUERIES = {
     "q_char_entropy": q_char_entropy,
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_token_count": q_bpe_token_count,
+    "q_qhist": q_qhist,
     "q_tfidf_topk": q_tfidf_topk,
     "q_bm25": q_bm25,
     "q_hll": q_hll,
@@ -6245,6 +6311,7 @@ ORACLES = {
     "q_char_entropy": SQL_CHAR_ENTROPY,
     "q_bpe_merges": SQL_BPE_MERGES,
     "q_bpe_token_count": SQL_BPE_TOKEN_COUNT,
+    "q_qhist": SQL_QHIST,
     "q_tfidf_topk": SQL_TFIDF_TOPK,
     "q_bm25": SQL_BM25,
     "q_hll": SQL_HLL,

@@ -22,7 +22,8 @@ from .textstats import (add_text_stats, bm25_topk, bpe_token_counts,
                         bpe_train, char_entropy, fingerprint,
                         language_id, pmi_collocations, tfidf_topk)
 from .sketches import (cms_build, cms_merge, cms_query, hll_count_distinct,
-                       hll_estimate, hll_merge, hll_registers)
+                       hll_estimate, hll_merge, hll_registers, qhist_build,
+                       qhist_merge, qhist_quantiles)
 from .statsops import group_quantiles, key_skew
 from .corpusops import (classifier_score, nb_train_quality_classifier,
                         snapshot_diff)
@@ -41,6 +42,7 @@ __all__ = [
     "bpe_train", "bpe_token_counts",
     "hll_registers", "hll_merge", "hll_estimate", "hll_count_distinct",
     "cms_build", "cms_merge", "cms_query", "group_quantiles", "key_skew",
+    "qhist_build", "qhist_merge", "qhist_quantiles",
     "nb_train_quality_classifier", "classifier_score", "snapshot_diff",
     "anchor_corpus",
 ]

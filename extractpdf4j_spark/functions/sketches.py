@@ -50,7 +50,7 @@ extended for corpus-scale reporting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import _hash60
 
@@ -223,3 +223,95 @@ def cms_query(sketch: DataFrame, items: DataFrame, value_col: str,
     return (joined.groupBy(*key_cols, value_col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
                  .alias("est_count")))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (DDSketch-style log buckets, integer-exact)
+# ---------------------------------------------------------------------------
+
+QHIST_MANT = 32  # sub-buckets per power of two (~3.1% relative error)
+
+
+def _qhist_staged(base: DataFrame) -> DataFrame:
+    """Stage the bucket columns for a frame carrying ``_v`` (long):
+    _bl = bit length, _mant = which of the 32 equal sub-ranges of
+    [2^(_bl-1), 2^_bl) holds _v, _lo = the sub-range's lower bound
+    (the sketch's representative — a deterministic underestimate
+    within 3.1% relative error). All integer arithmetic:
+    length(bin(v)) + shiftleft + integer DIV — identical in Spark and
+    DuckDB, no log() knife-edge anywhere. Values < 1 pool into the
+    (0, 0, lo=0) underflow bucket. For _bl <= 5 the sub-ranges are
+    singletons, so small values are EXACT."""
+    return (base
+            .withColumn("_bl", F.when(F.col("_v") >= 1,
+                                      F.length(F.bin("_v")))
+                        .otherwise(F.lit(0)))
+            .withColumn("_denom", F.expr(
+                "shiftleft(CAST(1 AS BIGINT), greatest(_bl - 1, 0))"))
+            .withColumn("_step", F.expr(f"_denom DIV {QHIST_MANT}"))
+            .withColumn("_mant", F.when(F.col("_bl") == 0,
+                                        F.lit(0).cast("long"))
+                        .when(F.col("_bl") <= 5,
+                              F.col("_v") - F.col("_denom"))
+                        .otherwise(F.expr("(_v - _denom) DIV _step")))
+            .withColumn("_lo", F.when(F.col("_bl") == 0,
+                                      F.lit(0).cast("long"))
+                        .when(F.col("_bl") <= 5, F.col("_v"))
+                        .otherwise(F.col("_denom")
+                                   + F.col("_mant") * F.col("_step"))))
+
+
+def qhist_build(df: DataFrame, value_col: str, key_cols=()) -> DataFrame:
+    """Per-key mergeable quantile sketch: (keys..., bl int, mant long,
+    lo long, cnt long) — at most 64*32 non-empty buckets per key
+    regardless of input size. The quantile triad's third member next
+    to the HLL registers (distinct) and CMS cells (frequency): where
+    group_quantiles is exact but carries the full value histogram,
+    this caps state at ~2k rows per key with <= 3.1% relative error —
+    the artifact you persist per shard/window and fold with
+    :func:`qhist_merge` (exact merge). One map-side-combined
+    aggregation; bucketing is a pure integer codegen projection
+    (length(bin(v)) + shift + integer division — engine-exact, no
+    float log anywhere, the repo's knife-edge rule)."""
+    keys = list(key_cols)
+    v = F.col(value_col).cast("long")
+    staged = _qhist_staged(df.select(*keys, v.alias("_v")))
+    return (staged.groupBy(*keys, F.col("_bl").alias("bl"),
+                           F.col("_mant").cast("long").alias("mant"),
+                           F.col("_lo").alias("lo"))
+            .agg(F.count("*").cast("long").alias("cnt")))
+
+
+def qhist_merge(a: DataFrame, b: DataFrame, key_cols=()) -> DataFrame:
+    """Merge two quantile sketches: element-wise sum. Exact:
+    merge(qhist(X), qhist(Y)) == qhist(X union Y)."""
+    return (a.unionByName(b)
+            .groupBy(*key_cols, "bl", "mant", "lo")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def qhist_quantiles(sketch: DataFrame, key_cols=(),
+                    quantiles_bp=(2500, 5000, 7500, 9500)) -> DataFrame:
+    """percentile_disc over the sketch: for each quantile (basis
+    points), the LO of the smallest bucket whose cumulative count
+    reaches it — (keys..., q_bp long, quantile long), within one
+    sub-bucket (<= 3.1% relative) of the exact answer. Integer pick
+    gate ``cum * 10000 >= q_bp * total`` (no float knife-edge), same
+    as statsops.group_quantiles; windows run over the <= 2k-row
+    sketch, never raw data."""
+    for q in quantiles_bp:
+        if not 0 < q <= 10000:
+            raise ValueError(f"quantile {q} not in (0, 10000] basis points")
+    keys = list(key_cols)
+    w_cum = (Window.partitionBy(*keys).orderBy("bl", "mant")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_tot = Window.partitionBy(*keys)
+    probe = (sketch
+             .withColumn("_cum", F.sum("cnt").over(w_cum))
+             .withColumn("_tot", F.sum("cnt").over(w_tot))
+             .withColumn("q_bp", F.explode(F.array(
+                 *[F.lit(q).cast("long") for q in quantiles_bp]))))
+    return (probe
+            .filter(F.col("_cum") * 10000 >= F.col("q_bp") * F.col("_tot"))
+            .groupBy(*keys, "q_bp")
+            .agg(F.min("lo").alias("quantile")))

@@ -14,13 +14,14 @@ deployment ingests documents continuously. The shapes:
   windows over an ingestion-event stream (late data dropped past the
   watermark); the aggregation expression is shared with the batch gate
   query ``q_event_windows``.
-* :func:`windowed_distinct_sketch` / :func:`windowed_cms_sketch` —
-  the two mergeable per-window sketch artifacts (HLL registers for
-  distinct counts, Count-Min cells for heavy-hitter frequencies):
-  each is ONE watermark-bounded built-in aggregation with state capped
-  at sketch size per (window, type), append-mode-legal, bit-identical
-  to the batch expression, folded/queried downstream with the
-  functions.sketches mergers.
+* :func:`windowed_distinct_sketch` / :func:`windowed_cms_sketch` /
+  :func:`windowed_qhist_sketch` — the three mergeable per-window
+  sketch artifacts (HLL registers for distinct counts, Count-Min
+  cells for heavy-hitter frequencies, quantile-histogram buckets for
+  percentiles): each is ONE watermark-bounded built-in aggregation
+  with state capped at sketch size per (window, type),
+  append-mode-legal, bit-identical to the batch expression,
+  folded/queried downstream with the functions.sketches mergers.
 * :func:`stream_assemble_documents` — a genuinely stateful custom
   operator via ``applyInPandasWithState``: document spans arriving
   across micro-batches accumulate in per-doc state until the document's
@@ -149,6 +150,42 @@ def windowed_distinct_sketch(events: DataFrame, value_col: str = "user_id",
             .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
                     .alias("window_start"),
                     "event_type", "bucket", "register"))
+
+
+def windowed_qhist_sketch(events: DataFrame, value_col: str = "value",
+                          watermark: str = "10 minutes",
+                          window: str = "1 hour") -> DataFrame:
+    """Mergeable quantile sketch per tumbling event-time window:
+    (window_start, event_type, bl, mant, lo, cnt) — the third
+    per-window sketch artifact (HLL = distinct, CMS = frequency,
+    qhist = quantiles: "p95 latency / doc length per hour" at stream
+    scale). The bucketing projection is stateless pure-integer codegen
+    (sketches._qhist_staged) and the sketch is ONE watermark-bounded
+    count aggregation with state capped at 64*32 buckets per
+    (window, type) — append-mode-legal. Fold shards/windows with
+    :func:`functions.sketches.qhist_merge` (exact) and answer
+    percentiles with :func:`functions.sketches.qhist_quantiles`.
+    Values are floored to longs (Spark floor, matching the batch
+    gate's convention); the batch path is bit-identical — pinned by
+    the streaming parity test."""
+    from .functions.sketches import _qhist_staged
+    e = events
+    if e.isStreaming:
+        # same NTZ->LTZ pinning as windowed_event_metrics
+        e = (e.withColumn("ts", F.col("ts").cast("timestamp"))
+             .withWatermark("ts", watermark))
+    staged = _qhist_staged(
+        e.select(F.window("ts", window).alias("w"),
+                 F.col("event_type"),
+                 F.floor(F.col(value_col)).cast("long").alias("_v")))
+    return (staged.groupBy("w", "event_type",
+                           F.col("_bl").alias("bl"),
+                           F.col("_mant").cast("long").alias("mant"),
+                           F.col("_lo").alias("lo"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "event_type", "bl", "mant", "lo", "cnt"))
 
 
 def windowed_cms_sketch(events: DataFrame, value_col: str = "user_id",

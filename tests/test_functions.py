@@ -933,3 +933,40 @@ def test_bpe_token_counts_hand_computed(spark):
     # widest->[w,i,d,est]=4; doc 4 has no words -> (0, 0)
     assert got == {1: (5, 5), 2: (4, 2 * 3 + 2 * 2),
                    3: (7, 4 * 2 + 3 * 4), 4: (0, 0)}
+
+
+def test_qhist_sketch_bounds_and_merge(spark):
+    import math
+    import random
+    from extractpdf4j_spark.functions.sketches import (
+        qhist_build, qhist_merge, qhist_quantiles)
+    random.seed(7)
+    vals = ([random.randint(1, 30) for _ in range(300)]
+            + [int(random.lognormvariate(8, 2)) + 1 for _ in range(700)]
+            + [0, -5])
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = qhist_build(df, "v")
+    # state bound: buckets << values
+    rows = sk.collect()
+    assert len(rows) < len(vals) / 2
+    # underflow bucket pools the two non-positive values at lo=0
+    under = [r for r in rows if r["bl"] == 0]
+    assert len(under) == 1 and under[0]["lo"] == 0 and under[0]["cnt"] == 2
+    # values < 32 are exact singleton buckets (lo == v)
+    assert all(r["lo"] < 32 for r in rows if 1 <= r["bl"] <= 5)
+    # quantile answers: deterministic underestimate within 3.2% relative
+    sv = sorted(vals)
+    qs = {r["q_bp"]: r["quantile"] for r in qhist_quantiles(sk).collect()}
+    for bp in (2500, 5000, 7500, 9500):
+        exact = sv[math.ceil(bp / 10000 * len(sv)) - 1]
+        got = qs[bp]
+        assert got <= exact
+        assert exact <= 32 or (exact - got) / exact <= 0.032, (bp, exact, got)
+    # merge exactness: merge(qhist(X), qhist(Y)) == qhist(X ++ Y)
+    a = qhist_build(spark.createDataFrame([(v,) for v in vals[:500]],
+                                          "v long"), "v")
+    b = qhist_build(spark.createDataFrame([(v,) for v in vals[500:]],
+                                          "v long"), "v")
+    key = lambda r: (r["bl"], r["mant"], r["lo"])
+    assert ({key(r): r["cnt"] for r in qhist_merge(a, b).collect()}
+            == {key(r): r["cnt"] for r in rows})

@@ -457,3 +457,71 @@ def test_windowed_cms_sketch_stream_matches_batch(spark, tmp_path):
              .agg(F.count("*").alias("n")).collect()}
     for k, n in truth.items():
         assert est[k] >= n
+
+
+def test_windowed_qhist_sketch_stream_matches_batch(spark, tmp_path):
+    """Streaming per-window quantile-sketch buckets must be
+    bit-identical to the batch sketch, and the percentile answered
+    from the streamed sketch must underestimate within one bucket."""
+    import datetime
+    import math
+    from pyspark.sql import functions as F
+    from extractpdf4j_spark.streaming import windowed_qhist_sketch
+    from extractpdf4j_spark.functions.sketches import qhist_quantiles
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, base + datetime.timedelta(minutes=7 * i),
+             i % 23, "click" if i % 2 == 0 else "view",
+             float((i * 37) % 1000 + 1), "{}")
+            for i in range(200)]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "ev")
+    df.write.parquet(src)
+    import time as _time
+    _time.sleep(1.1)
+    sentinel = [(9999, base + datetime.timedelta(days=2), 0,
+                 "sentinel", 1.0, "{}")]
+    spark.createDataFrame(sentinel, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (windowed_qhist_sketch(stream, value_col="value")
+         .writeStream.format("memory").queryName("qhsketch")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.table("qhsketch")
+           .filter(F.col("event_type") != "sentinel"))
+
+    batch = windowed_qhist_sketch(
+        spark.read.parquet(src).filter(F.col("event_type") != "sentinel"),
+        value_col="value")
+    key = lambda r: (r["window_start"], r["event_type"],
+                     r["bl"], r["mant"], r["lo"])
+    s_cells = {key(r): r["cnt"] for r in got.collect()}
+    b_cells = {key(r): r["cnt"] for r in batch.collect()}
+    assert s_cells == b_cells and len(s_cells) > 0
+
+    # p50 from the streamed sketch underestimates exact within 3.2%
+    est = {(r["window_start"], r["event_type"]): r["quantile"]
+           for r in qhist_quantiles(
+               got, ["window_start", "event_type"],
+               quantiles_bp=(5000,)).collect()}
+    truth_rows = (spark.read.parquet(src)
+                  .filter(F.col("event_type") != "sentinel")
+                  .select(F.date_format(F.window("ts", "1 hour").start,
+                                        "yyyy-MM-dd HH:mm:ss")
+                          .alias("ws"), "event_type",
+                          F.floor("value").cast("long").alias("v"))
+                  .collect())
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for r in truth_rows:
+        groups[(r["ws"], r["event_type"])].append(r["v"])
+    for k, vs in groups.items():
+        vs.sort()
+        exact = vs[math.ceil(0.5 * len(vs)) - 1]
+        assert est[k] <= exact
+        assert exact <= 32 or (exact - est[k]) / exact <= 0.032
