@@ -970,3 +970,59 @@ def test_qhist_sketch_bounds_and_merge(spark):
     key = lambda r: (r["bl"], r["mant"], r["lo"])
     assert ({key(r): r["cnt"] for r in qhist_merge(a, b).collect()}
             == {key(r): r["cnt"] for r in rows})
+
+
+def test_bpe_train_randomized_vs_reference(spark):
+    """Randomized parity: bpe_train must equal a scalar reference BPE
+    trainer (word-frequency table, max-count argmax with pair-lex
+    tie-break, greedy left-to-right merge) on arbitrary corpora."""
+    import random
+    from extractpdf4j_spark.functions.textstats import bpe_train
+
+    def ref_bpe(texts, n):
+        from collections import Counter
+        wc = Counter(w for s in texts for w in s.lower().split() if w)
+        vocab = {}
+        for w, c in wc.items():
+            t = tuple(w)
+            vocab[t] = vocab.get(t, 0) + c
+        merges = []
+        for rank in range(1, n + 1):
+            pc = Counter()
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += c
+            if not pc:
+                break
+            m = max(pc.values())
+            pair = min(p for p, c in pc.items() if c == m)
+            merges.append((rank, pair[0], pair[1], pc[pair]))
+            newv = {}
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms)
+                            and (syms[i], syms[i + 1]) == pair):
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                newv[tuple(out)] = newv.get(tuple(out), 0) + c
+            vocab = newv
+        return merges
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        words = ["".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+                 for _ in range(12)]
+        texts = [" ".join(rng.choice(words)
+                          for _ in range(rng.randint(0, 15)))
+                 for _ in range(6)]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        got = [(r["merge_rank"], r["l_sym"], r["r_sym"], r["pair_count"])
+               for r in bpe_train(docs, n_merges=5).orderBy("merge_rank")
+               .collect()]
+        assert got == ref_bpe(texts, 5), seed
