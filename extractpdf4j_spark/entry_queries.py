@@ -1901,6 +1901,46 @@ SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Priority-aware keep-one (dedup_keep_one(prefer_cols=...)): among
+    exact duplicates, keep the LONGEST raw text (the double-spaced
+    planted twin beats its original), id ascending on remaining ties —
+    the curation-relevant keeper when duplicates differ in extraction
+    completeness. Same planted-duplicate construction as q_dedup_keep,
+    so the two gates differ ONLY in which twin survives."""
+    from .functions.dedup import dedup_keep_one
+    d = _docs(spark, sf).select("doc_id", "text")
+    dups = (d.filter(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                    F.concat(F.lit("  "),
+                             F.regexp_replace("text", " ", "  "))
+                    .alias("text")))
+    full = d.unionByName(dups)
+    return (dedup_keep_one(full,
+                           prefer_cols=[F.length("text").desc()])
+            .select("doc_id").orderBy("doc_id"))
+
+
+SQL_DEDUP_KEEP_BEST = r"""
+WITH full_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           '  ' || replace(text, ' ', '  ') AS text
+    FROM documents WHERE doc_id % 7 = 0
+),
+ranked AS (
+    SELECT doc_id,
+           row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text),
+                                                    '\s+', ' ', 'g')))
+               ORDER BY length(text) DESC, doc_id) AS rn
+    FROM full_docs
+)
+SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary build (training-pipeline op; functions/textstats.py:vocab_topk
 # — the BPE-prep token-frequency step)
@@ -6203,6 +6243,7 @@ QUERIES = {
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_token_count": q_bpe_token_count,
     "q_qhist": q_qhist,
+    "q_dedup_keep_best": q_dedup_keep_best,
     "q_tfidf_topk": q_tfidf_topk,
     "q_bm25": q_bm25,
     "q_hll": q_hll,
@@ -6312,6 +6353,7 @@ ORACLES = {
     "q_bpe_merges": SQL_BPE_MERGES,
     "q_bpe_token_count": SQL_BPE_TOKEN_COUNT,
     "q_qhist": SQL_QHIST,
+    "q_dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "q_tfidf_topk": SQL_TFIDF_TOPK,
     "q_bm25": SQL_BM25,
     "q_hll": SQL_HLL,

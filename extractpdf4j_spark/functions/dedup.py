@@ -418,25 +418,38 @@ def dedup_against_corpus(new_df: DataFrame, corpus_df: DataFrame,
     return _keep_one_hashed(fresh, id_col)
 
 
-def _keep_one_hashed(df: DataFrame, id_col: str) -> DataFrame:
+def _keep_one_hashed(df: DataFrame, id_col: str,
+                     prefer_cols=()) -> DataFrame:
     """Keep-one tail shared by dedup_keep_one and dedup_against_corpus:
-    min-``id`` row per precomputed ``_th`` hash column (the ONE copy of
-    the tie-break rule), dropping the helper columns."""
-    w = Window.partitionBy("_th").orderBy(id_col)
+    one row per precomputed ``_th`` hash column, ordered by the
+    optional ``prefer_cols`` (Column expressions, e.g. a quality score
+    descending) then min-``id`` as the deterministic final tie-break
+    (the ONE copy of the tie-break rule), dropping the helpers."""
+    w = Window.partitionBy("_th").orderBy(*prefer_cols, id_col)
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_th", "_rn"))
 
 
 def dedup_keep_one(df: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
-    """Materialize the deduplicated corpus: exactly one row (min id) per
-    normalized text hash — the endpoint :func:`exact_duplicates` reports
-    on. One shuffle (window over the hash) and no join: at 100 TB the
+                   id_col: str = "doc_id",
+                   prefer_cols=()) -> DataFrame:
+    """Materialize the deduplicated corpus: exactly one row per
+    normalized text hash — the endpoint :func:`exact_duplicates`
+    reports on. ``prefer_cols`` (Column expressions evaluated on the
+    input row, e.g. ``[F.col("quality").desc()]`` or
+    ``[F.length("text").desc()]``) picks WHICH duplicate survives —
+    the curation-relevant choice when duplicates differ in extraction
+    quality or completeness; ``id_col`` ascending always breaks the
+    remaining ties, so the keeper stays deterministic. Default (no
+    preference) keeps the minimum id, unchanged.
+
+    One shuffle (window over the hash) and no join: at 100 TB the
     row_number window beats groupBy-keepers + self-join because the
     payload columns never cross a second exchange."""
     norm = normalized_text_hash(F.col(text_col))
-    return _keep_one_hashed(df.withColumn("_th", norm), id_col)
+    return _keep_one_hashed(df.withColumn("_th", norm), id_col,
+                            prefer_cols)
 
 
 def fuzzy_dedup(df: DataFrame, text_col: str = "text",

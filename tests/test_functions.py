@@ -1026,3 +1026,20 @@ def test_bpe_train_randomized_vs_reference(spark):
                for r in bpe_train(docs, n_merges=5).orderBy("merge_rank")
                .collect()]
         assert got == ref_bpe(texts, 5), seed
+
+
+def test_dedup_keep_one_prefer_cols(spark):
+    from pyspark.sql import functions as F
+    from extractpdf4j_spark.functions.dedup import dedup_keep_one
+    docs = spark.createDataFrame(
+        [(1, "hello world", 0.2),      # same normalized text as 2, 3
+         (2, "hello   world ", 0.9),   # highest quality duplicate
+         (3, " hello world", 0.9),     # quality tie with 2 -> id wins
+         (4, "unique", 0.1)],
+        "doc_id long, text string, quality double")
+    # default: min id survives
+    assert {r["doc_id"] for r in dedup_keep_one(docs).collect()} == {1, 4}
+    # prefer quality desc: doc 2 beats 3 on the id tie-break
+    kept = {r["doc_id"] for r in dedup_keep_one(
+        docs, prefer_cols=[F.col("quality").desc()]).collect()}
+    assert kept == {2, 4}
