@@ -4656,6 +4656,181 @@ FROM normed GROUP BY norm_url, domain ORDER BY norm_url
 """
 
 
+def _planted_robots(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic (robots, urls) pair derived from doc_id. Seven
+    hosts (k = doc_id%7, cat c = k%3); each host's robots.txt exercises
+    stacked User-agent lines sharing a group (even k only), a named
+    Googlebot group that must be ignored, an unknown Crawl-delay field,
+    a second merging '*' group, case-insensitive DISALLOW, an
+    allow-overrides-shorter-disallow pair, an equal-length allow/disallow
+    tie, and an empty no-op Allow. URL paths (v = doc_id%6) hit: the
+    host's own disallowed cat vs another host's cat, the longest-match
+    allow override, /private, the /tie tie, a no-match path with a query
+    string, and /shared (disallowed on even hosts only); every 5th doc
+    upper-cases scheme+host."""
+    k = (F.col("doc_id") % 7).cast("long")
+    ks = k.cast("string")
+    c = (k % 3).cast("string")
+    robots = (d.select(k.alias("_k")).distinct()
+              .withColumn("host", F.concat(F.lit("site"),
+                                           F.col("_k").cast("string"),
+                                           F.lit(".com")))
+              .withColumn("robots_txt", F.concat(
+                  F.when(F.col("_k") % 2 == 0, F.lit(
+                      "User-agent: FooBot\nUser-agent: *\n"
+                      "Disallow: /shared\n")).otherwise(F.lit("")),
+                  F.lit("# planted policy\nUser-agent: Googlebot\n"
+                        "Disallow: /\nCrawl-delay: 5\nUser-agent: *\n"
+                        "Allow: /cat"),
+                  (F.col("_k") % 3).cast("string"),
+                  F.lit("/ok\nDISALLOW: /cat"),
+                  (F.col("_k") % 3).cast("string"),
+                  F.lit("\nDisallow: /private\nAllow: /tie\n"
+                        "Disallow: /tie\nAllow:")))
+              .select("host", "robots_txt"))
+    v = F.col("doc_id") % 6
+    ids = F.col("doc_id").cast("string")
+    path = (F.when(v == 0, F.concat(F.lit("/cat"),
+                                    (F.col("doc_id") % 3).cast("string"),
+                                    F.lit("/item")))
+            .when(v == 1, F.concat(F.lit("/cat"), c, F.lit("/ok/p")))
+            .when(v == 2, F.lit("/private/doc"))
+            .when(v == 3, F.lit("/tie"))
+            .when(v == 4, F.concat(F.lit("/free/p?q="), ids,
+                                   F.lit("&utm=x")))
+            .otherwise(F.lit("/shared/x")))
+    base = F.concat(F.lit("https://site"), ks, F.lit(".com"))
+    base_u = F.concat(F.lit("HTTPS://SITE"), ks, F.lit(".COM"))
+    url = F.concat(F.when(F.col("doc_id") % 5 == 0, base_u)
+                    .otherwise(base), path)
+    urls = d.select("doc_id", url.alias("url"))
+    return robots, urls
+
+
+def q_robots(spark: SparkSession, sf: str) -> DataFrame:
+    """robots.txt compliance (urlops.parse_robots + robots_filter):
+    RFC 9309 group scoping (stacked/merged User-agent lines, named
+    groups ignored, unknown fields skipped, pre-group rules dropped)
+    and match semantics (longest literal prefix wins, allow beats
+    disallow on a length tie, missing rules mean allowed). Rule build =
+    one host window + one block join; the URL decision = one host
+    equi-join + one map-side-combinable max(struct) argmax — no window
+    over the match list."""
+    from .functions.urlops import parse_robots, robots_filter
+    robots, urls = _planted_robots(_docs(spark, sf).select("doc_id"))
+    return (robots_filter(urls, parse_robots(robots),
+                          broadcast_rules=True)
+            .withColumn("allowed", F.col("allowed").cast("long"))
+            .select("doc_id", "url", "host", "target", "matched_rule",
+                    "matched_prefix", "allowed")
+            .orderBy("doc_id"))
+
+
+SQL_ROBOTS = r"""
+WITH ks AS (SELECT DISTINCT doc_id % 7 AS k FROM documents),
+robots AS (
+    SELECT 'site' || CAST(k AS VARCHAR) || '.com' AS host,
+           (CASE WHEN k % 2 = 0 THEN
+                'User-agent: FooBot' || chr(10) || 'User-agent: *'
+                || chr(10) || 'Disallow: /shared' || chr(10)
+            ELSE '' END)
+           || '# planted policy' || chr(10)
+           || 'User-agent: Googlebot' || chr(10) || 'Disallow: /'
+           || chr(10) || 'Crawl-delay: 5' || chr(10)
+           || 'User-agent: *' || chr(10)
+           || 'Allow: /cat' || CAST(k % 3 AS VARCHAR) || '/ok' || chr(10)
+           || 'DISALLOW: /cat' || CAST(k % 3 AS VARCHAR) || chr(10)
+           || 'Disallow: /private' || chr(10)
+           || 'Allow: /tie' || chr(10) || 'Disallow: /tie' || chr(10)
+           || 'Allow:' AS robots_txt
+    FROM ks),
+rlines AS (
+    SELECT host, i AS ln,
+           regexp_replace(regexp_replace(lparts[i], '#.*', ''),
+                          '^\s+|\s+$', '', 'g') AS line
+    FROM (SELECT host, string_split(robots_txt, chr(10)) AS lparts
+          FROM robots) t,
+         unnest(generate_series(1, len(lparts))) AS u(i)),
+meaningful AS (
+    SELECT host, ln,
+           lower(regexp_extract(line, '(?i)^user-agent:\s*(\S+)', 1))
+               AS ua,
+           lower(regexp_extract(line, '(?i)^(allow|disallow):\s*(\S*)',
+                                1)) AS rtype,
+           regexp_extract(line, '(?i)^(allow|disallow):\s*(\S*)', 2)
+               AS prefix
+    FROM rlines
+    WHERE regexp_extract(line, '(?i)^user-agent:\s*(\S+)', 1) <> ''
+       OR regexp_extract(line, '(?i)^(allow|disallow):\s*(\S*)', 1)
+          <> ''),
+blocks AS (
+    SELECT *, sum(CASE WHEN ua <> '' AND prev_ua = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY host ORDER BY ln
+                     ROWS UNBOUNDED PRECEDING) AS blk
+    FROM (SELECT *, coalesce(lag(CASE WHEN ua <> '' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY host ORDER BY ln), 0) AS prev_ua
+          FROM meaningful) m),
+star AS (
+    SELECT DISTINCT host, blk FROM blocks WHERE ua = '*' AND blk > 0),
+rules AS (
+    SELECT b.host, b.rtype AS rule, b.prefix,
+           CAST(len(b.prefix) AS BIGINT) AS prefix_len
+    FROM blocks b JOIN star s ON b.host = s.host AND b.blk = s.blk
+    WHERE b.rtype <> '' AND b.prefix <> ''),
+urls AS (
+    SELECT doc_id,
+           (CASE WHEN doc_id % 5 = 0
+                 THEN 'HTTPS://SITE' || CAST(doc_id % 7 AS VARCHAR)
+                      || '.COM'
+                 ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                      || '.com' END)
+           || (CASE doc_id % 6
+               WHEN 0 THEN '/cat' || CAST(doc_id % 3 AS VARCHAR)
+                           || '/item'
+               WHEN 1 THEN '/cat' || CAST((doc_id % 7) % 3 AS VARCHAR)
+                           || '/ok/p'
+               WHEN 2 THEN '/private/doc'
+               WHEN 3 THEN '/tie'
+               WHEN 4 THEN '/free/p?q=' || CAST(doc_id AS VARCHAR)
+                           || '&utm=x'
+               ELSE '/shared/x' END) AS url
+    FROM documents),
+parsed AS (
+    SELECT doc_id, url,
+           lower(regexp_extract(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
+               '^([^:]*)', 1)) AS host,
+           (CASE WHEN regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1)
+                    = '' THEN '/'
+                 ELSE regexp_extract(url,
+                    '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1)
+            END)
+           || (CASE WHEN regexp_extract(url, '\?([^#]*)', 1) = ''
+                    THEN ''
+                    ELSE '?' || regexp_extract(url, '\?([^#]*)', 1)
+               END) AS target
+    FROM urls),
+hits AS (
+    SELECT p.doc_id, r.rule, r.prefix,
+           row_number() OVER (PARTITION BY p.doc_id
+               ORDER BY r.prefix_len DESC,
+                        CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END
+                            DESC,
+                        r.prefix DESC, r.rule DESC) AS rn
+    FROM parsed p JOIN rules r
+      ON p.host = r.host AND starts_with(p.target, r.prefix)),
+best AS (SELECT doc_id, rule, prefix FROM hits WHERE rn = 1)
+SELECT p.doc_id, p.url, p.host, p.target,
+       coalesce(b.rule, '') AS matched_rule,
+       coalesce(b.prefix, '') AS matched_prefix,
+       CAST(CASE WHEN b.rule IS NULL OR b.rule = 'allow' THEN 1 ELSE 0
+            END AS BIGINT) AS allowed
+FROM parsed p LEFT JOIN best b ON p.doc_id = b.doc_id
+ORDER BY p.doc_id
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination (corpusops.decontaminate): a 2% slice
     of the corpus (deterministic 60-bit id-hash pick) plays the eval
@@ -6269,6 +6444,7 @@ QUERIES = {
     "q_dsir": q_dsir,
     "q_url_normalize": q_url_normalize,
     "q_anchor_corpus": q_anchor_corpus,
+    "q_robots": q_robots,
     "q_domain_curate": q_domain_curate,
     "q_dedup_incr": q_dedup_incr,
     "q_html_main": q_html_main,
@@ -6379,6 +6555,7 @@ ORACLES = {
     "q_dsir": SQL_DSIR,
     "q_url_normalize": SQL_URL_NORMALIZE,
     "q_anchor_corpus": SQL_ANCHOR_CORPUS,
+    "q_robots": SQL_ROBOTS,
     "q_domain_curate": SQL_DOMAIN_CURATE,
     "q_dedup_incr": SQL_DEDUP_INCR,
     "q_html_main": SQL_HTML_MAIN,

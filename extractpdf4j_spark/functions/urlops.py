@@ -165,3 +165,129 @@ def domain_cap(df: DataFrame, cap: int, domain_col: str = "domain",
     ``sample_rank``."""
     from .corpusops import quota_sample
     return quota_sample(df, domain_col, cap, key_col)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt compliance (RFC 9309) — crawl-politeness filter
+# ---------------------------------------------------------------------------
+
+# RE2-safe, (?i) inline flag works identically under Java regex and RE2.
+ROBOTS_UA_RE = r"(?i)^user-agent:\s*(\S+)"
+ROBOTS_RULE_RE = r"(?i)^(allow|disallow):\s*(\S*)"
+
+
+def parse_robots(robots: DataFrame, host_col: str = "host",
+                 text_col: str = "robots_txt") -> DataFrame:
+    """Parse per-host robots.txt bodies into a rule table
+    ``(host, rule 'allow'|'disallow', prefix, prefix_len long)`` scoped
+    to the ``User-agent: *`` groups (RFC 9309 §2.2.1; named-agent
+    groups are for someone else's crawler).
+
+    Grammar subset, deliberately: literal path prefixes only — no
+    ``*``/``$`` wildcards, no percent-decoding — the subset whose
+    longest-match semantics are exactly replayable in ANSI SQL (the
+    DuckDB oracle replays every regex verbatim). Handling per the RFC:
+
+    - field names case-insensitive (``DISALLOW:`` works)
+    - ``#`` comments stripped, surrounding whitespace trimmed
+    - consecutive ``User-agent:`` lines share the following rule group
+      (``FooBot`` + ``*`` stacked above one ``Disallow:`` both get it)
+    - multiple ``*`` groups merge (their rules union)
+    - empty ``Allow:`` / ``Disallow:`` values are no-ops (dropped)
+    - rules before any ``User-agent:`` line are ignored
+    - unknown fields (``Crawl-delay:``, ``Sitemap:``) neither add rules
+      nor split a group
+
+    Plan: posexplode lines (robots bodies are KB-scale — the explode is
+    bounded), one window shuffle on host for the group-id running sum,
+    one self-join on (host, block) to keep ``*`` groups. At 100 TB the
+    rule table is tiny next to the URL table it filters.
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("ln", "raw"))
+    line = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), "#.*", ""), r"^\s+|\s+$", "")
+    meaningful = (lines
+                  .withColumn("line", line)
+                  .withColumn("ua", F.lower(
+                      F.regexp_extract("line", ROBOTS_UA_RE, 1)))
+                  .withColumn("rtype", F.lower(
+                      F.regexp_extract("line", ROBOTS_RULE_RE, 1)))
+                  .withColumn("prefix",
+                              F.regexp_extract("line", ROBOTS_RULE_RE, 2))
+                  .filter((F.col("ua") != "") | (F.col("rtype") != "")))
+    w = Window.partitionBy("host").orderBy("ln")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_ua = (F.col("ua") != "").cast("int")
+    blocks = (meaningful
+              .withColumn("_prev_ua", F.lag(is_ua, 1, 0).over(w))
+              .withColumn("_new", ((is_ua == 1)
+                                   & (F.col("_prev_ua") == 0)).cast("int"))
+              .withColumn("blk", F.sum("_new").over(wcum)))
+    star = (blocks.filter((F.col("ua") == "*") & (F.col("blk") > 0))
+            .select("host", "blk").distinct())
+    return (blocks
+            .filter((F.col("rtype") != "") & (F.col("prefix") != ""))
+            .join(star, ["host", "blk"])
+            .select("host", F.col("rtype").alias("rule"), "prefix",
+                    F.length("prefix").cast("long").alias("prefix_len")))
+
+
+def robots_filter(urls: DataFrame, rules: DataFrame,
+                  url_col: str = "url", id_col: str = "doc_id",
+                  broadcast_rules: bool = False) -> DataFrame:
+    """Apply a :func:`parse_robots` rule table to a URL table — the
+    fetch/keep decision a polite crawl pipeline makes before anything
+    else touches a page. RFC 9309 §2.2.2 match semantics: among rules
+    whose literal prefix matches the URL's path(+query) target, the
+    LONGEST prefix wins; an ``allow`` beats a ``disallow`` of the same
+    length; no matching rule (or no rules for the host) means allowed.
+
+    Returns one row per input row: ``(id, url, host, target,
+    matched_rule, matched_prefix, allowed int)`` with '' for the
+    matched columns when nothing matched.
+
+    Plan: host/target parse is a codegen regex projection in the scan
+    stage; one equi-join on host (pass ``broadcast_rules=True`` when the
+    rule table fits the broadcast budget — hot hosts replicate fine
+    because rules-per-host is small); the per-URL argmax is ONE
+    map-side-combinable ``max(struct(len, is_allow, prefix, rule))``
+    aggregation — no window, no full sort of the match list.
+    """
+    for c in ("host", "target", "rule", "prefix", "prefix_len"):
+        if c in urls.columns and c not in (url_col, id_col):
+            raise ValueError(
+                f"robots_filter reserves column name {c!r}; rename it "
+                "on the URL side first")
+    u = F.col(url_col)
+    hostport = F.regexp_extract(u, _AUTHORITY_RE, 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    query = F.regexp_extract(u, _QUERY_RE, 1)
+    target = F.concat(
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(query == "", F.lit(""))
+         .otherwise(F.concat(F.lit("?"), query)))
+    parsed = (urls.select(id_col, url_col)
+              .withColumn("host", host).withColumn("target", target))
+    r = F.broadcast(rules) if broadcast_rules else rules
+    joined = parsed.join(r, "host", "left")
+    hit = (F.col("prefix").isNotNull()
+           & F.col("target").startswith(F.col("prefix")))
+    best = F.max(F.when(hit, F.struct(
+        F.col("prefix_len").alias("l"),
+        (F.col("rule") == "allow").cast("int").alias("a"),
+        F.col("prefix").alias("p"),
+        F.col("rule").alias("r")))).alias("best")
+    return (joined
+            .groupBy(id_col, url_col, "host", "target")
+            .agg(best)
+            .withColumn("matched_rule",
+                        F.coalesce(F.col("best.r"), F.lit("")))
+            .withColumn("matched_prefix",
+                        F.coalesce(F.col("best.p"), F.lit("")))
+            .withColumn("allowed",
+                        (F.col("best").isNull()
+                         | (F.col("best.a") == 1)).cast("int"))
+            .drop("best"))

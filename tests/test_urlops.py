@@ -320,3 +320,68 @@ def test_anchor_corpus_pools_normalized_targets(spark):
     assert a["anchors"] == "Alpha | beta"
     b = got["https://y.org/b"]
     assert b["n_refs"] == 1 and b["anchors"] == ""
+
+
+ROBOTS_A = "\n".join([
+    "# crawl policy",
+    "User-agent: FooBot",
+    "User-agent: *",          # stacked UA lines share the group
+    "Disallow: /shared",
+    "",
+    "User-agent: Googlebot",  # named group — not ours
+    "Disallow: /",
+    "Crawl-delay: 5",         # unknown field: ignored, doesn't split
+    "",
+    "User-agent: *",          # second * group merges with the first
+    "Allow: /cat/ok",
+    "DISALLOW: /cat",         # case-insensitive field name
+    "Allow: /tie",
+    "Disallow: /tie",         # same length -> allow wins
+    "Allow:",                 # empty value: no-op
+    "  Disallow: /ws  # pad", # surrounding ws + trailing comment
+])
+ROBOTS_B = "\n".join([
+    "Disallow: /orphan",      # rule before any UA line: ignored
+    "User-agent: OtherBot",
+    "Disallow: /",
+])
+
+
+def test_parse_robots_groups_and_rules(spark):
+    from extractpdf4j_spark.functions.urlops import parse_robots
+    robots = spark.createDataFrame(
+        [("a.com", ROBOTS_A), ("b.com", ROBOTS_B)],
+        ["host", "robots_txt"])
+    rules = {(r["host"], r["rule"], r["prefix"])
+             for r in parse_robots(robots).collect()}
+    assert rules == {
+        ("a.com", "disallow", "/shared"),
+        ("a.com", "allow", "/cat/ok"),
+        ("a.com", "disallow", "/cat"),
+        ("a.com", "allow", "/tie"),
+        ("a.com", "disallow", "/tie"),
+        ("a.com", "disallow", "/ws"),
+    }  # Googlebot group and b.com's rules never reach '*'
+
+
+def test_robots_filter_longest_match_semantics(spark):
+    from extractpdf4j_spark.functions.urlops import (parse_robots,
+                                                     robots_filter)
+    robots = spark.createDataFrame(
+        [("a.com", ROBOTS_A), ("b.com", ROBOTS_B)],
+        ["host", "robots_txt"])
+    cases = [
+        ("https://a.com/cat/item1", 0, "/cat"),      # disallow match
+        ("https://a.com/cat/ok/p", 1, "/cat/ok"),    # longer allow wins
+        ("https://a.com/tie", 1, "/tie"),            # length tie -> allow
+        ("https://a.com/shared/x", 0, "/shared"),    # merged first group
+        ("https://a.com/free", 1, ""),               # no match -> allowed
+        ("https://A.COM/ws?q=1", 0, "/ws"),          # host case; query in target
+        ("https://b.com/orphan/x", 1, ""),           # orphan rule ignored
+        ("https://c.com/anything", 1, ""),           # unknown host
+    ]
+    urls = _urls(spark, [u for u, _, _ in cases])
+    out = {r["url"]: (r["allowed"], r["matched_prefix"])
+           for r in robots_filter(urls, parse_robots(robots),
+                                  broadcast_rules=True).collect()}
+    assert out == {u: (a, p) for u, a, p in cases}
