@@ -129,6 +129,8 @@ HEAVY_QUERIES = [
     "q_curate", "q_media_features", "q_ann_scale",
     "q_embed_neardup",
     "q_ivf_ann", "q_ivf_pq", "q_semantic_dedup", "q_simhash", "q_lsh_ann",
+    "q_bpe_merges", "q_bpe_token_count", "q_char_entropy",
+    "q_pagerank", "q_leakage_split",
     "q_fuzzy_header",
     "q_extract_ocr_spans", "q_extract_ocr_metrics",
     "q_extract_lattice_spans", "q_extract_lattice_metrics",

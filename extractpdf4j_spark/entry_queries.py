@@ -4726,8 +4726,9 @@ def q_robots(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-SQL_ROBOTS = r"""
-WITH ks AS (SELECT DISTINCT doc_id % 7 AS k FROM documents),
+# robots grammar + decision SQL is split into fragments so the composed
+# q_curate_web oracle replays the rule build and match verbatim
+_ROBOTS_RULES_CTES = r"""ks AS (SELECT DISTINCT doc_id % 7 AS k FROM documents),
 robots AS (
     SELECT 'site' || CAST(k AS VARCHAR) || '.com' AS host,
            (CASE WHEN k % 2 = 0 THEN
@@ -4776,8 +4777,9 @@ rules AS (
     SELECT b.host, b.rtype AS rule, b.prefix,
            CAST(len(b.prefix) AS BIGINT) AS prefix_len
     FROM blocks b JOIN star s ON b.host = s.host AND b.blk = s.blk
-    WHERE b.rtype <> '' AND b.prefix <> ''),
-urls AS (
+    WHERE b.rtype <> '' AND b.prefix <> '')"""
+
+_ROBOTS_URLS_CTE = r"""urls AS (
     SELECT doc_id,
            (CASE WHEN doc_id % 5 = 0
                  THEN 'HTTPS://SITE' || CAST(doc_id % 7 AS VARCHAR)
@@ -4794,8 +4796,9 @@ urls AS (
                WHEN 4 THEN '/free/p?q=' || CAST(doc_id AS VARCHAR)
                            || '&utm=x'
                ELSE '/shared/x' END) AS url
-    FROM documents),
-parsed AS (
+    FROM documents)"""
+
+_ROBOTS_DECIDE_CTES = r"""parsed AS (
     SELECT doc_id, url,
            lower(regexp_extract(regexp_extract(url,
                '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1),
@@ -4820,7 +4823,12 @@ hits AS (
                         r.prefix DESC, r.rule DESC) AS rn
     FROM parsed p JOIN rules r
       ON p.host = r.host AND starts_with(p.target, r.prefix)),
-best AS (SELECT doc_id, rule, prefix FROM hits WHERE rn = 1)
+best AS (SELECT doc_id, rule, prefix FROM hits WHERE rn = 1)"""
+
+SQL_ROBOTS = f"""
+WITH {_ROBOTS_RULES_CTES},
+{_ROBOTS_URLS_CTE},
+{_ROBOTS_DECIDE_CTES}
 SELECT p.doc_id, p.url, p.host, p.target,
        coalesce(b.rule, '') AS matched_rule,
        coalesce(b.prefix, '') AS matched_prefix,
@@ -4828,6 +4836,196 @@ SELECT p.doc_id, p.url, p.host, p.target,
             END AS BIGINT) AS allowed
 FROM parsed p LEFT JOIN best b ON p.doc_id = b.doc_id
 ORDER BY p.doc_id
+"""
+
+
+def q_curate_web(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed web-curation funnel with drop-reason provenance
+    (urlops.curate_web): robots.txt gate → keep-one per normalized URL
+    among allowed rows → domain blocklist → per-domain hash-ranked cap,
+    every input row labeled with the FIRST stage that rejected it. The
+    oracle replays the robots grammar/decision (fragments shared
+    verbatim with q_robots), the normalization rules (shared with
+    q_url_normalize), the allowed-only keeper min, and the
+    survivors-first rank ordering."""
+    from .functions.urlops import curate_web
+    robots, urls = _planted_robots(_docs(spark, sf).select("doc_id"))
+    return (curate_web(urls, robots=robots, blocked=["site3.com"],
+                       cap=5)
+            .orderBy("doc_id"))
+
+
+SQL_CURATE_WEB = f"""
+WITH {_ROBOTS_RULES_CTES},
+{_ROBOTS_URLS_CTE},
+{_ROBOTS_DECIDE_CTES},
+decided AS (
+    SELECT p.doc_id, p.url,
+           CASE WHEN b.rule IS NULL OR b.rule = 'allow' THEN 1 ELSE 0
+           END AS allowed
+    FROM parsed p LEFT JOIN best b ON p.doc_id = b.doc_id),
+planted AS (SELECT doc_id, url FROM urls),
+{_URL_PARTS_SQL},
+{_URL_NORM_SQL},
+flagged AS (
+    SELECT n.doc_id, n.url, n.norm_url, n.domain, d.allowed,
+           CASE WHEN d.allowed = 1 AND n.doc_id =
+                min(CASE WHEN d.allowed = 1 THEN n.doc_id END)
+                    OVER (PARTITION BY n.norm_url)
+                THEN 1 ELSE 0 END AS keep,
+           CASE WHEN n.domain IN ('site3.com') THEN 1 ELSE 0
+           END AS blockedf
+    FROM normed n
+    JOIN decided d ON n.doc_id = d.doc_id),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY domain
+        ORDER BY (CASE WHEN keep = 1 AND blockedf = 0 THEN 1 ELSE 0
+                  END) DESC,
+                 {_H60_DOCID_SQL} ASC, doc_id ASC) AS rnk
+    FROM flagged)
+SELECT doc_id, url, norm_url, domain,
+       CASE WHEN allowed = 0 THEN 'disallowed'
+            WHEN keep = 0 THEN 'duplicate_url'
+            WHEN blockedf = 1 THEN 'blocked_domain'
+            WHEN rnk > 5 THEN 'over_cap'
+            ELSE 'kept' END AS status
+FROM ranked ORDER BY doc_id
+"""
+
+
+def _planted_sitemaps(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic (sitemaps, crawled) pair derived from doc_id. Five
+    hosts (k = doc_id%5); each sitemap lists page0 (lastmod day 12+k +
+    a priority, junk 'high' on host 2 → NULL via try_cast), page1
+    (loc whitespace-padded across lines, no lastmod), page2 (lastmod
+    day 18+k, space-padded), a loc-less block (must be dropped but
+    still consumes a position), and an uncrawled /page9. The crawl
+    ledger has one row per (host, page doc_id%4) — page3 is unlisted —
+    fetched day 10+(7k+5p)%19, so stale/fresh both occur."""
+    k = (F.col("doc_id") % 5).cast("long")
+    kk = F.col("_k")
+    kks = kk.cast("string")
+    base = F.concat(F.lit("https://site"), kks, F.lit(".org"))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?>\n<urlset>\n<url><loc>'),
+        base, F.lit("/page0</loc><lastmod>2026-01-"),
+        (kk + 12).cast("string"),
+        F.lit("</lastmod><priority>"),
+        F.when(kk == 2, F.lit("high"))
+         .otherwise(F.concat(F.lit("0."), kks)),
+        F.lit("</priority></url>\n<url>\n  <loc>\n    "),
+        base, F.lit("/page1\n  </loc>\n</url>\n<url><loc>"),
+        base, F.lit("/page2</loc><lastmod> 2026-01-"),
+        (kk + 18).cast("string"),
+        F.lit(" </lastmod></url>\n"
+              "<url><lastmod>2026-01-01</lastmod></url>\n<url><loc>"),
+        base, F.lit("/page9</loc></url>\n</urlset>"))
+    sitemaps = (d.select(k.alias("_k")).distinct()
+                .select(F.concat(F.lit("site"), kks,
+                                 F.lit(".org")).alias("host"),
+                        xml.alias("sitemap_xml")))
+    p = (F.col("doc_id") % 4).cast("long")
+    pp = F.col("_p")
+    crawled = (d.select(k.alias("_k"), p.alias("_p")).distinct()
+               .select(
+        F.concat(F.lit("https://site"), kks, F.lit(".org/page"),
+                 pp.cast("string")).alias("url"),
+        F.concat(F.lit("2026-01-"),
+                 ((kk * 7 + pp * 5) % 19 + 10).cast("string"))
+         .alias("fetched_on")))
+    return sitemaps, crawled
+
+
+def q_sitemap(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap parsing + recrawl scheduling (urlops.parse_sitemaps +
+    sitemap_staleness): dotall lazy <url>-block extraction with
+    position, loc/lastmod trim, try_cast priority (junk → NULL),
+    loc-less blocks dropped; then the full-outer reconcile against the
+    crawl ledger labeling every URL uncrawled/stale/fresh/unlisted.
+    ISO date strings compare lexically — no timestamp arithmetic on
+    either engine. NULL sentinels (-1 si / -1.0 priority) keep the
+    output scalar and hashable."""
+    from .functions.urlops import parse_sitemaps, sitemap_staleness
+    sitemaps, crawled = _planted_sitemaps(_docs(spark, sf)
+                                          .select("doc_id"))
+    entries = parse_sitemaps(sitemaps)
+    st = sitemap_staleness(entries, crawled)
+    return (st.join(entries.select(F.col("loc").alias("url"), "si",
+                                   "priority"), "url", "left")
+            .select("url", "host",
+                    F.coalesce(F.col("si"), F.lit(-1)).cast("long")
+                     .alias("si"),
+                    "lastmod",
+                    F.round(F.coalesce(F.col("priority"), F.lit(-1.0)),
+                            6).alias("priority"),
+                    "fetched_on", "status")
+            .orderBy("url"))
+
+
+SQL_SITEMAP = r"""
+WITH ks AS (SELECT DISTINCT doc_id % 5 AS k FROM documents),
+sitemaps AS (
+    SELECT 'site' || CAST(k AS VARCHAR) || '.org' AS host,
+           '<?xml version="1.0"?>' || chr(10) || '<urlset>' || chr(10)
+           || '<url><loc>https://site' || CAST(k AS VARCHAR)
+           || '.org/page0</loc><lastmod>2026-01-'
+           || CAST(k + 12 AS VARCHAR) || '</lastmod><priority>'
+           || (CASE WHEN k = 2 THEN 'high'
+               ELSE '0.' || CAST(k AS VARCHAR) END)
+           || '</priority></url>' || chr(10)
+           || '<url>' || chr(10) || '  <loc>' || chr(10)
+           || '    https://site' || CAST(k AS VARCHAR) || '.org/page1'
+           || chr(10) || '  </loc>' || chr(10) || '</url>' || chr(10)
+           || '<url><loc>https://site' || CAST(k AS VARCHAR)
+           || '.org/page2</loc><lastmod> 2026-01-'
+           || CAST(k + 18 AS VARCHAR) || ' </lastmod></url>' || chr(10)
+           || '<url><lastmod>2026-01-01</lastmod></url>' || chr(10)
+           || '<url><loc>https://site' || CAST(k AS VARCHAR)
+           || '.org/page9</loc></url>' || chr(10) || '</urlset>' AS xml
+    FROM ks),
+blocks AS (
+    SELECT host, i - 1 AS si, blist[i] AS block
+    FROM (SELECT host,
+                 regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)
+                     AS blist
+          FROM sitemaps) t,
+         unnest(generate_series(1, len(blist))) AS u(i)),
+entries AS (
+    SELECT host, CAST(si AS BIGINT) AS si,
+           regexp_replace(regexp_extract(block,
+               '(?s)<loc>([^<]*)</loc>', 1),
+               '^\s+|\s+$', '', 'g') AS loc,
+           regexp_replace(regexp_extract(block,
+               '(?s)<lastmod>([^<]*)</lastmod>', 1),
+               '^\s+|\s+$', '', 'g') AS lastmod,
+           TRY_CAST(regexp_replace(regexp_extract(block,
+               '(?s)<priority>([^<]*)</priority>', 1),
+               '^\s+|\s+$', '', 'g') AS DOUBLE) AS priority
+    FROM blocks
+    WHERE regexp_replace(regexp_extract(block,
+              '(?s)<loc>([^<]*)</loc>', 1), '^\s+|\s+$', '', 'g')
+          <> ''),
+crawled AS (
+    SELECT DISTINCT
+           'https://site' || CAST(doc_id % 5 AS VARCHAR) || '.org/page'
+               || CAST(doc_id % 4 AS VARCHAR) AS url,
+           '2026-01-' || CAST(((doc_id % 5) * 7 + (doc_id % 4) * 5)
+               % 19 + 10 AS VARCHAR) AS fetched_on
+    FROM documents),
+joined AS (
+    SELECT coalesce(e.loc, c.url) AS url,
+           coalesce(e.host, '') AS host,
+           coalesce(e.lastmod, '') AS lastmod,
+           e.si, e.priority, e.loc AS eloc, c.url AS curl,
+           coalesce(c.fetched_on, '') AS fetched_on
+    FROM entries e FULL OUTER JOIN crawled c ON e.loc = c.url)
+SELECT url, host, CAST(coalesce(si, -1) AS BIGINT) AS si, lastmod,
+       round(coalesce(priority, -1.0), 6) AS priority, fetched_on,
+       CASE WHEN eloc IS NULL THEN 'unlisted'
+            WHEN curl IS NULL THEN 'uncrawled'
+            WHEN lastmod <> '' AND lastmod > fetched_on THEN 'stale'
+            ELSE 'fresh' END AS status
+FROM joined ORDER BY url
 """
 
 
@@ -6445,6 +6643,8 @@ QUERIES = {
     "q_url_normalize": q_url_normalize,
     "q_anchor_corpus": q_anchor_corpus,
     "q_robots": q_robots,
+    "q_curate_web": q_curate_web,
+    "q_sitemap": q_sitemap,
     "q_domain_curate": q_domain_curate,
     "q_dedup_incr": q_dedup_incr,
     "q_html_main": q_html_main,
@@ -6556,6 +6756,8 @@ ORACLES = {
     "q_url_normalize": SQL_URL_NORMALIZE,
     "q_anchor_corpus": SQL_ANCHOR_CORPUS,
     "q_robots": SQL_ROBOTS,
+    "q_curate_web": SQL_CURATE_WEB,
+    "q_sitemap": SQL_SITEMAP,
     "q_domain_curate": SQL_DOMAIN_CURATE,
     "q_dedup_incr": SQL_DEDUP_INCR,
     "q_html_main": SQL_HTML_MAIN,

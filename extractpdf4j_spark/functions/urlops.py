@@ -234,6 +234,95 @@ def parse_robots(robots: DataFrame, host_col: str = "host",
                     F.length("prefix").cast("long").alias("prefix_len")))
 
 
+# RE2-safe: (?s) dotall + lazy quantifier behave identically under Java
+# regex and RE2; sitemap entry bodies never nest.
+SITEMAP_URL_RE = r"(?s)<url>(.*?)</url>"
+SITEMAP_LOC_RE = r"(?s)<loc>([^<]*)</loc>"
+SITEMAP_LASTMOD_RE = r"(?s)<lastmod>([^<]*)</lastmod>"
+SITEMAP_PRIORITY_RE = r"(?s)<priority>([^<]*)</priority>"
+
+
+def _xml_trim(col):
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
+def parse_sitemaps(sitemaps: DataFrame, host_col: str = "host",
+                   xml_col: str = "sitemap_xml") -> DataFrame:
+    """Parse per-host sitemap.xml bodies into an entry table
+    ``(host, si long, loc, lastmod, priority double)`` — the crawl-side
+    companion of :func:`parse_robots` (sitemaps.org protocol; the
+    ``Sitemap:`` field robots.txt may carry points at these).
+
+    Regex-subset parser, deliberately: ``<url>`` blocks are extracted
+    with a dotall lazy match, then ``<loc>``/``<lastmod>``/
+    ``<priority>`` pulled from each block — no XML entity decoding, no
+    nested elements — the subset that replays exactly in the DuckDB
+    oracle. Blocks without a ``<loc>`` are dropped; values are
+    whitespace-trimmed; priority is ``try_cast`` to double (ANSI-safe:
+    junk becomes NULL, not a job kill). ``si`` is the entry's position
+    within its host's sitemap.
+
+    Plan: regexp_extract_all + posexplode — sitemap bodies are KB-scale
+    so the explode is bounded; everything else is codegen projection.
+    At 100 TB the entry table is tiny next to the crawl it steers."""
+    blocks = sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.regexp_extract_all(F.col(xml_col),
+                                          F.lit(SITEMAP_URL_RE), 1))
+         .alias("si", "block"))
+    loc = _xml_trim(F.regexp_extract("block", SITEMAP_LOC_RE, 1))
+    lastmod = _xml_trim(F.regexp_extract("block", SITEMAP_LASTMOD_RE, 1))
+    prio = _xml_trim(
+        F.regexp_extract("block", SITEMAP_PRIORITY_RE, 1)
+    ).try_cast("double")
+    return (blocks
+            .withColumn("loc", loc)
+            .withColumn("lastmod", lastmod)
+            .withColumn("priority", prio)
+            .filter(F.col("loc") != "")
+            .select("host", F.col("si").cast("long").alias("si"),
+                    "loc", "lastmod", "priority"))
+
+
+def sitemap_staleness(entries: DataFrame, crawled: DataFrame,
+                      url_col: str = "url",
+                      fetched_col: str = "fetched_on") -> DataFrame:
+    """Reconcile a sitemap entry table against a crawl ledger — the
+    scheduling decision a recrawl pipeline makes: what to fetch next.
+
+    ``crawled`` carries one row per URL (``url_col``, ``fetched_col`` —
+    an ISO ``YYYY-MM-DD`` date string, so ordering is plain string
+    comparison on both engines; no timestamp-zone knife-edges). Output
+    is one row per URL seen on either side: ``(url, host, lastmod,
+    fetched_on, status)`` with
+
+    - ``uncrawled``: listed in the sitemap, never fetched
+    - ``stale``: fetched before the sitemap's ``lastmod``
+    - ``fresh``: fetched on/after ``lastmod`` (or no lastmod given)
+    - ``unlisted``: fetched but absent from the sitemap (discovery —
+      candidates for demotion or for sitemap gap reports)
+
+    Plan: ONE full-outer sort-merge join on the URL (full-outer cannot
+    broadcast; both sides hash-partition on the join key). '' sentinels
+    for the absent side keep the output scalar-typed."""
+    e = entries.select(F.col("loc").alias("_loc"), "host", "lastmod")
+    c = crawled.select(F.col(url_col).alias("_url"),
+                       F.col(fetched_col).alias("_fetched"))
+    j = e.join(c, e["_loc"] == c["_url"], "full_outer")
+    status = (F.when(F.col("_loc").isNull(), F.lit("unlisted"))
+              .when(F.col("_url").isNull(), F.lit("uncrawled"))
+              .when((F.col("lastmod") != "")
+                    & (F.col("lastmod") > F.col("_fetched")),
+                    F.lit("stale"))
+              .otherwise(F.lit("fresh")))
+    return (j.select(
+        F.coalesce(F.col("_loc"), F.col("_url")).alias("url"),
+        F.coalesce(F.col("host"), F.lit("")).alias("host"),
+        F.coalesce(F.col("lastmod"), F.lit("")).alias("lastmod"),
+        F.coalesce(F.col("_fetched"), F.lit("")).alias("fetched_on"),
+        status.alias("status")))
+
+
 def robots_filter(urls: DataFrame, rules: DataFrame,
                   url_col: str = "url", id_col: str = "doc_id",
                   broadcast_rules: bool = False) -> DataFrame:
@@ -291,3 +380,66 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
                         (F.col("best").isNull()
                          | (F.col("best.a") == 1)).cast("int"))
             .drop("best"))
+
+
+def curate_web(urls: DataFrame, robots: DataFrame | None = None,
+               blocked: list[str] | tuple[str, ...] = (),
+               cap: int | None = None, url_col: str = "url",
+               id_col: str = "doc_id") -> DataFrame:
+    """The composed URL-curation front with drop-reason provenance —
+    every input row comes back with the FIRST stage that rejected it
+    (or ``kept``), so a 100 TB run can report exactly where its corpus
+    went (the per-status counts are the curation funnel):
+
+    1. ``disallowed`` — robots.txt forbids the fetch
+       (:func:`robots_filter` over ``parse_robots(robots)``; skipped
+       when ``robots`` is None)
+    2. ``duplicate_url`` — not the min-``id_col`` row for its
+       normalized URL *among robots-allowed rows* (a disallowed row
+       never claims the keeper slot)
+    3. ``blocked_domain`` — registered domain on the blocklist
+    4. ``over_cap`` — past the per-domain quota among surviving rows,
+       ranked by deterministic id hash (RefinedWeb-style anti-spam;
+       skipped when ``cap`` is None)
+
+    Unlike chaining url_dedup/filter_blocked_domains/domain_cap (which
+    FILTER), this keeps all rows and still spends the same shuffles:
+    the robots host join, ONE window-agg on norm_url (a plain min —
+    no sort), and ONE window on domain whose sort key floats survivors
+    first so ``row_number`` ranks them 1..S without a second shuffle.
+    Output: (id, url, norm_url, domain, status)."""
+    from .dedup import _hash60
+    base = normalize_urls(urls.select(id_col, url_col), url_col) \
+        .select(id_col, url_col, "norm_url", "domain")
+    if robots is not None:
+        dec = (robots_filter(urls.select(id_col, url_col),
+                             parse_robots(robots), url_col, id_col,
+                             broadcast_rules=True)
+               .select(id_col, "allowed"))
+        base = base.join(dec, id_col)
+    else:
+        base = base.withColumn("allowed", F.lit(1))
+    wn = Window.partitionBy("norm_url")
+    keeper = F.min(F.when(F.col("allowed") == 1, F.col(id_col))).over(wn)
+    base = base.withColumn(
+        "_keep", ((F.col("allowed") == 1)
+                  & (F.col(id_col) == keeper)).cast("int"))
+    is_blocked = (F.col("domain").isin(*blocked) if blocked
+                  else F.lit(False))
+    base = base.withColumn("_blocked", is_blocked.cast("int"))
+    surv = (F.col("_keep") == 1) & (F.col("_blocked") == 0)
+    if cap is not None:
+        h = _hash60(F.col(id_col).cast("string"))
+        wd = Window.partitionBy("domain").orderBy(
+            surv.cast("int").desc(), h.asc(), F.col(id_col).asc())
+        base = base.withColumn("_rank", F.row_number().over(wd))
+        over_cap = surv & (F.col("_rank") > cap)
+    else:
+        over_cap = F.lit(False)
+    status = (F.when(F.col("allowed") == 0, F.lit("disallowed"))
+              .when(F.col("_keep") == 0, F.lit("duplicate_url"))
+              .when(F.col("_blocked") == 1, F.lit("blocked_domain"))
+              .when(over_cap, F.lit("over_cap"))
+              .otherwise(F.lit("kept")))
+    return (base.withColumn("status", status)
+            .select(id_col, url_col, "norm_url", "domain", "status"))

@@ -385,3 +385,83 @@ def test_robots_filter_longest_match_semantics(spark):
            for r in robots_filter(urls, parse_robots(robots),
                                   broadcast_rules=True).collect()}
     assert out == {u: (a, p) for u, a, p in cases}
+
+
+SITEMAP_XML = (
+    '<?xml version="1.0"?>\n<urlset>\n'
+    "<url><loc>https://s.com/a</loc>"
+    "<lastmod>2026-01-15</lastmod><priority>0.8</priority></url>\n"
+    "<url>\n  <loc>\n    https://s.com/b\n  </loc>\n</url>\n"   # padded loc
+    "<url><lastmod>2026-02-01</lastmod></url>\n"                # no loc
+    "<url><loc>https://s.com/c</loc><priority>junk</priority></url>\n"
+    "</urlset>")
+
+
+def test_parse_sitemaps_grammar(spark):
+    from extractpdf4j_spark.functions.urlops import parse_sitemaps
+    sm = spark.createDataFrame([("s.com", SITEMAP_XML)],
+                               ["host", "sitemap_xml"])
+    rows = {r["loc"]: r for r in parse_sitemaps(sm).collect()}
+    # loc-less block dropped but still consumed position 2
+    assert set(rows) == {"https://s.com/a", "https://s.com/b",
+                         "https://s.com/c"}
+    a = rows["https://s.com/a"]
+    assert (a["si"], a["lastmod"], a["priority"]) == (0, "2026-01-15", 0.8)
+    b = rows["https://s.com/b"]          # whitespace trimmed, no lastmod
+    assert (b["si"], b["lastmod"], b["priority"]) == (1, "", None)
+    c = rows["https://s.com/c"]          # junk priority -> NULL not crash
+    assert (c["si"], c["priority"]) == (3, None)
+
+
+def test_sitemap_staleness_statuses(spark):
+    from extractpdf4j_spark.functions.urlops import (parse_sitemaps,
+                                                     sitemap_staleness)
+    sm = spark.createDataFrame([("s.com", SITEMAP_XML)],
+                               ["host", "sitemap_xml"])
+    crawled = spark.createDataFrame(
+        [("https://s.com/a", "2026-01-10"),    # before lastmod -> stale
+         ("https://s.com/b", "2026-01-10"),    # no lastmod -> fresh
+         ("https://s.com/x", "2026-01-10")],   # not in sitemap -> unlisted
+        ["url", "fetched_on"])                 # /c never fetched -> uncrawled
+    out = {r["url"]: r["status"]
+           for r in sitemap_staleness(parse_sitemaps(sm),
+                                      crawled).collect()}
+    assert out == {"https://s.com/a": "stale",
+                   "https://s.com/b": "fresh",
+                   "https://s.com/c": "uncrawled",
+                   "https://s.com/x": "unlisted"}
+
+
+def test_curate_web_provenance(spark):
+    """Every row labeled with the FIRST rejecting stage; a disallowed
+    row never claims the dedup keeper slot; the cap ranks survivors
+    only."""
+    from extractpdf4j_spark.functions.urlops import curate_web
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /no")],
+        ["host", "robots_txt"])
+    urls = [
+        "http://a.com/no/1",           # 0 disallowed
+        "http://a.com/no/1",           # 1 disallowed (NOT duplicate_url)
+        "HTTP://WWW.A.com:80/x",       # 2 keeper for /x (robots-allowed)
+        "http://a.com/x",              # 3 duplicate_url of 2
+        "http://spam.net/y",           # 4 blocked_domain
+        "http://b.org/1",              # 5 kept
+        "http://b.org/2",              # 6 kept or over_cap (cap=1)
+    ]
+    out = {r["doc_id"]: r["status"]
+           for r in curate_web(_urls(spark, urls), robots=robots,
+                               blocked=["spam.net"], cap=1).collect()}
+    assert out[0] == "disallowed" and out[1] == "disallowed"
+    assert out[2] == "kept" and out[3] == "duplicate_url"
+    assert out[4] == "blocked_domain"
+    assert sorted([out[5], out[6]]) == ["kept", "over_cap"]
+    assert len(out) == 7                       # provenance keeps all rows
+
+
+def test_curate_web_no_robots_no_cap(spark):
+    from extractpdf4j_spark.functions.urlops import curate_web
+    urls = ["http://a.com/x", "http://www.a.com/x", "http://b.org/y"]
+    out = {r["doc_id"]: r["status"]
+           for r in curate_web(_urls(spark, urls)).collect()}
+    assert out == {0: "kept", 1: "duplicate_url", 2: "kept"}
