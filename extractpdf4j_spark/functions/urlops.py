@@ -229,7 +229,9 @@ def parse_robots(robots: DataFrame, host_col: str = "host",
             .select("host", "blk").distinct())
     return (blocks
             .filter((F.col("rtype") != "") & (F.col("prefix") != ""))
-            .join(star, ["host", "blk"])
+            # robots bodies are KB-scale, so the '*'-block list always
+            # fits a broadcast — keeps the rule build sort-merge-free
+            .join(F.broadcast(star), ["host", "blk"])
             .select("host", F.col("rtype").alias("rule"), "prefix",
                     F.length("prefix").cast("long").alias("prefix_len")))
 
@@ -409,16 +411,19 @@ def curate_web(urls: DataFrame, robots: DataFrame | None = None,
     first so ``row_number`` ranks them 1..S without a second shuffle.
     Output: (id, url, norm_url, domain, status)."""
     from .dedup import _hash60
-    base = normalize_urls(urls.select(id_col, url_col), url_col) \
-        .select(id_col, url_col, "norm_url", "domain")
     if robots is not None:
-        dec = (robots_filter(urls.select(id_col, url_col),
-                             parse_robots(robots), url_col, id_col,
-                             broadcast_rules=True)
-               .select(id_col, "allowed"))
-        base = base.join(dec, id_col)
+        # normalize ON TOP of the robots decision (same lineage) — a
+        # separate normalize branch re-joined on id would cost a second
+        # corpus-wide exchange for nothing
+        dec = robots_filter(urls.select(id_col, url_col),
+                            parse_robots(robots), url_col, id_col,
+                            broadcast_rules=True)
+        base = normalize_urls(
+            dec.select(id_col, url_col, "allowed"), url_col)
     else:
-        base = base.withColumn("allowed", F.lit(1))
+        base = normalize_urls(urls.select(id_col, url_col), url_col) \
+            .withColumn("allowed", F.lit(1))
+    base = base.select(id_col, url_col, "norm_url", "domain", "allowed")
     wn = Window.partitionBy("norm_url")
     keeper = F.min(F.when(F.col("allowed") == 1, F.col(id_col))).over(wn)
     base = base.withColumn(
