@@ -4962,8 +4962,7 @@ def q_sitemap(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("url"))
 
 
-SQL_SITEMAP = r"""
-WITH ks AS (SELECT DISTINCT doc_id % 5 AS k FROM documents),
+_SITEMAP_CTES = r"""ks AS (SELECT DISTINCT doc_id % 5 AS k FROM documents),
 sitemaps AS (
     SELECT 'site' || CAST(k AS VARCHAR) || '.org' AS host,
            '<?xml version="1.0"?>' || chr(10) || '<urlset>' || chr(10)
@@ -5018,14 +5017,61 @@ joined AS (
            coalesce(e.lastmod, '') AS lastmod,
            e.si, e.priority, e.loc AS eloc, c.url AS curl,
            coalesce(c.fetched_on, '') AS fetched_on
-    FROM entries e FULL OUTER JOIN crawled c ON e.loc = c.url)
-SELECT url, host, CAST(coalesce(si, -1) AS BIGINT) AS si, lastmod,
-       round(coalesce(priority, -1.0), 6) AS priority, fetched_on,
-       CASE WHEN eloc IS NULL THEN 'unlisted'
-            WHEN curl IS NULL THEN 'uncrawled'
-            WHEN lastmod <> '' AND lastmod > fetched_on THEN 'stale'
-            ELSE 'fresh' END AS status
-FROM joined ORDER BY url
+    FROM entries e FULL OUTER JOIN crawled c ON e.loc = c.url),
+recon AS (
+    SELECT url, host, CAST(coalesce(si, -1) AS BIGINT) AS si, lastmod,
+           round(coalesce(priority, -1.0), 6) AS priority, fetched_on,
+           CASE WHEN eloc IS NULL THEN 'unlisted'
+                WHEN curl IS NULL THEN 'uncrawled'
+                WHEN lastmod <> '' AND lastmod > fetched_on THEN 'stale'
+                ELSE 'fresh' END AS status
+    FROM joined)"""
+
+SQL_SITEMAP = f"""
+WITH {_SITEMAP_CTES}
+SELECT url, host, si, lastmod, priority, fetched_on, status
+FROM recon ORDER BY url
+"""
+
+
+def q_crawl_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Frontier scheduling (urlops.crawl_schedule) over the q_sitemap
+    reconcile: uncrawled/stale rows only, per-host window ranked by
+    urgency (uncrawled first) then priority (absent/negative sentinel
+    takes the sitemaps.org default 0.5) then URL, capped at 2 per host
+    per cycle. The oracle replays the reconcile fragments verbatim and
+    the exact rank ordering."""
+    from .functions.urlops import (crawl_schedule, parse_sitemaps,
+                                   sitemap_staleness)
+    sitemaps, crawled = _planted_sitemaps(_docs(spark, sf)
+                                          .select("doc_id"))
+    entries = parse_sitemaps(sitemaps)
+    st = sitemap_staleness(entries, crawled)
+    recon = (st.join(entries.select(F.col("loc").alias("url"),
+                                    "priority"), "url", "left")
+             .withColumn("priority",
+                         F.round(F.coalesce(F.col("priority"),
+                                            F.lit(-1.0)), 6)))
+    return (crawl_schedule(recon, per_host_budget=2)
+            .orderBy("host", "crawl_rank"))
+
+
+SQL_CRAWL_SCHEDULE = f"""
+WITH {_SITEMAP_CTES},
+cand AS (
+    SELECT host, url, status,
+           CASE WHEN priority IS NULL OR priority < 0 THEN 0.5
+                ELSE priority END AS priority,
+           CASE WHEN status = 'uncrawled' THEN 2 ELSE 1 END AS urg
+    FROM recon WHERE status IN ('uncrawled', 'stale')),
+ranked AS (
+    SELECT host, url, status, priority,
+           CAST(row_number() OVER (PARTITION BY host
+               ORDER BY urg DESC, priority DESC, url ASC) AS BIGINT)
+               AS crawl_rank
+    FROM cand)
+SELECT host, url, status, priority, crawl_rank FROM ranked
+WHERE crawl_rank <= 2 ORDER BY host, crawl_rank
 """
 
 
@@ -6645,6 +6691,7 @@ QUERIES = {
     "q_robots": q_robots,
     "q_curate_web": q_curate_web,
     "q_sitemap": q_sitemap,
+    "q_crawl_schedule": q_crawl_schedule,
     "q_domain_curate": q_domain_curate,
     "q_dedup_incr": q_dedup_incr,
     "q_html_main": q_html_main,
@@ -6758,6 +6805,7 @@ ORACLES = {
     "q_robots": SQL_ROBOTS,
     "q_curate_web": SQL_CURATE_WEB,
     "q_sitemap": SQL_SITEMAP,
+    "q_crawl_schedule": SQL_CRAWL_SCHEDULE,
     "q_domain_curate": SQL_DOMAIN_CURATE,
     "q_dedup_incr": SQL_DEDUP_INCR,
     "q_html_main": SQL_HTML_MAIN,

@@ -27,7 +27,8 @@ from .sketches import (cms_build, cms_merge, cms_query, hll_count_distinct,
 from .statsops import group_quantiles, key_skew
 from .corpusops import (classifier_score, nb_train_quality_classifier,
                         snapshot_diff)
-from .urlops import (anchor_corpus, curate_web, parse_robots,
+from .urlops import (anchor_corpus, crawl_schedule, curate_web,
+                     parse_robots,
                      parse_sitemaps, robots_filter, sitemap_staleness)
 
 __all__ = [
@@ -46,6 +47,7 @@ __all__ = [
     "qhist_build", "qhist_merge", "qhist_quantiles",
     "nb_train_quality_classifier", "classifier_score", "snapshot_diff",
     "anchor_corpus",
+    "crawl_schedule",
     "curate_web",
     "parse_robots",
     "parse_sitemaps",

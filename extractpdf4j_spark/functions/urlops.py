@@ -325,6 +325,41 @@ def sitemap_staleness(entries: DataFrame, crawled: DataFrame,
         status.alias("status")))
 
 
+def crawl_schedule(candidates: DataFrame, per_host_budget: int,
+                   url_col: str = "url", host_col: str = "host",
+                   status_col: str = "status",
+                   priority_col: str = "priority") -> DataFrame:
+    """Pick the next crawl batch from a :func:`sitemap_staleness`-shaped
+    table under a per-host politeness budget — the frontier-scheduling
+    step between "may we fetch" (robots) and "what changed" (sitemap).
+
+    Only ``uncrawled``/``stale`` rows are candidates. Within each host,
+    rank by: uncrawled before stale (discovery beats refresh — a page
+    we have never seen is worth more than a newer copy of one we have),
+    then sitemap ``priority`` descending (absent/invalid priority takes
+    the sitemaps.org default 0.5), then URL for determinism; keep the
+    top ``per_host_budget``. Output: (host, url, status, priority
+    double, crawl_rank long).
+
+    Plan: codegen filter + ONE window per host — the politeness key is
+    also the natural partition key, so a 1000-executor run schedules
+    every host independently and the budget bounds each partition's
+    output. Negative sentinel priorities (< 0, e.g. the -1.0 some
+    reconcile outputs carry for "absent") are treated as absent."""
+    urgency = F.when(F.col(status_col) == "uncrawled", F.lit(2)) \
+               .when(F.col(status_col) == "stale", F.lit(1))
+    prio = F.col(priority_col).cast("double")
+    prio = F.when(prio.isNull() | (prio < 0), F.lit(0.5)).otherwise(prio)
+    w = Window.partitionBy(host_col).orderBy(
+        urgency.desc(), prio.desc(), F.col(url_col).asc())
+    return (candidates
+            .filter(F.col(status_col).isin("uncrawled", "stale"))
+            .withColumn("crawl_rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("crawl_rank") <= per_host_budget)
+            .select(host_col, url_col, status_col,
+                    prio.alias(priority_col), "crawl_rank"))
+
+
 def robots_filter(urls: DataFrame, rules: DataFrame,
                   url_col: str = "url", id_col: str = "doc_id",
                   broadcast_rules: bool = False) -> DataFrame:

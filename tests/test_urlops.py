@@ -459,6 +459,32 @@ def test_curate_web_provenance(spark):
     assert len(out) == 7                       # provenance keeps all rows
 
 
+def test_crawl_schedule_urgency_priority_budget(spark):
+    """uncrawled beats stale regardless of priority; absent/negative
+    priority takes the sitemaps.org default 0.5; per-host budget caps
+    independently; fresh/unlisted rows are never scheduled."""
+    from extractpdf4j_spark.functions.urlops import crawl_schedule
+    rows = [
+        ("h1", "u/a", "stale", 0.9),
+        ("h1", "u/b", "uncrawled", None),     # default 0.5, still first
+        ("h1", "u/c", "stale", 0.1),
+        ("h1", "u/d", "fresh", 1.0),          # never scheduled
+        ("h2", "u/e", "stale", -1.0),         # sentinel -> 0.5
+        ("h2", "u/f", "stale", 0.4),
+        ("h2", "u/g", "unlisted", None),
+    ]
+    df = spark.createDataFrame(rows,
+                               "host string, url string, status string, "
+                               "priority double")
+    out = [(r["host"], r["url"], r["crawl_rank"], r["priority"])
+           for r in crawl_schedule(df, per_host_budget=2)
+           .orderBy("host", "crawl_rank").collect()]
+    assert out == [("h1", "u/b", 1, 0.5),     # uncrawled first
+                   ("h1", "u/a", 2, 0.9),     # then best stale; u/c cut
+                   ("h2", "u/e", 1, 0.5),     # sentinel default beats 0.4
+                   ("h2", "u/f", 2, 0.4)]
+
+
 def test_curate_web_no_robots_no_cap(spark):
     from extractpdf4j_spark.functions.urlops import curate_web
     urls = ["http://a.com/x", "http://www.a.com/x", "http://b.org/y"]
