@@ -1108,8 +1108,11 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     # the pair graph is tiny next to the corpus: size the per-round
     # propagation shuffles to 8 partitions (result is partitioning-
     # independent; per-stage task scheduling dominated the rounds at the
-    # session's corpus-scale setting)
-    return duplicate_clusters(pairs, num_partitions=8).orderBy("node")
+    # session's corpus-scale setting), and check convergence only every
+    # 2nd round (the budget-rounds knob — converged output is identical,
+    # half the driver actions)
+    return (duplicate_clusters(pairs, num_partitions=8, check_every=2)
+            .orderBy("node"))
 
 
 def _dedup_clusters_oracle_sql() -> str:

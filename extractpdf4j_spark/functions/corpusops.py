@@ -658,6 +658,11 @@ def curate_corpus(df: DataFrame, text_col: str = "text",
     from .dedup import dedup_keep_one
 
     deduped = dedup_keep_one(df, text_col, id_col)
+    if materialize:
+        # strip_boilerplate reads its input TWICE (boilerplate-line
+        # frequency table + rebuild pass), so the dedup window would
+        # execute twice without a barrier here.
+        deduped = deduped.localCheckpoint(eager=False)
     cleaned = strip_boilerplate(deduped, min_docs=min_line_docs,
                                 text_col=text_col, id_col=id_col)
     if materialize:
