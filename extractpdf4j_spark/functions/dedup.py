@@ -478,10 +478,17 @@ def fuzzy_dedup(df: DataFrame, text_col: str = "text",
     of documents into one keep-one group.
     """
     sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
-    pairs = lsh_candidate_pairs(sigs, id_col, k, bands, max_bucket)
+    # Truncate at the two candidate-set seams: both are bounded by the
+    # candidate count (tiny next to the corpus), and every downstream
+    # stage re-reads its input lineage — without the barriers the
+    # signature/banding scan executes once per consumer (verification
+    # join, verification counts, clustering seed) instead of once.
+    pairs = (lsh_candidate_pairs(sigs, id_col, k, bands, max_bucket)
+             .localCheckpoint(eager=False))
     verified = (ngram_jaccard_pairs(df, pairs, text_col, id_col, shingle_n)
                 .filter(F.col("jaccard") >= jaccard_threshold)
-                .select("a", "b"))
+                .select("a", "b")
+                .localCheckpoint(eager=False))
     clusters = duplicate_clusters(verified, max_iter=max_iter,
                                   check_every=check_every,
                                   num_partitions=num_partitions)
