@@ -2726,6 +2726,136 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_pack_multimodal(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal sequence packing (corpusops.pack_multimodal) over a
+    deterministically derived INTERLEAVED spans corpus: each document's
+    text split into 8-word text spans, an image span planted after
+    every 3rd chunk for even doc_ids, an audio span appended for
+    doc_id%5==0. seq_len=48, image=17 / audio=29 tokens — the prime
+    media costs force misaligned boundaries so the atomic-media padding
+    fold actually pads. The oracle replays the greedy fold as a
+    recursive CTE over the per-bucket span sequence (the sequential-
+    fold pattern from the OCR header-claim oracle)."""
+    from .functions.corpusops import pack_multimodal
+    d = _docs(spark, sf)
+    words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    dm = d.select("doc_id", words.alias("words"))
+    nch = F.expr("(size(words) + 7) div 8")
+    ch = (dm.select("doc_id", "words",
+                    F.explode(F.sequence(F.lit(0).cast("long"),
+                                         (nch - 1).cast("long")))
+                    .alias("ci")))
+    txt = ch.select(
+        "doc_id", (F.col("ci") * 10).alias("key"),
+        F.lit("text").alias("kind"),
+        F.array_join(F.slice("words", F.col("ci").cast("int") * 8 + 1, 8),
+                     " ").alias("text"),
+        F.lit(None).cast("string").alias("ref"))
+    img = (ch.filter((F.col("doc_id") % 2 == 0)
+                     & ((F.col("ci") + 1) % 3 == 0))
+           .select("doc_id", (F.col("ci") * 10 + 5).alias("key"),
+                   F.lit("image").alias("kind"),
+                   F.lit(None).cast("string").alias("text"),
+                   F.concat(F.lit("img:"), F.col("doc_id").cast("string"),
+                            F.lit(":"), F.col("ci").cast("string"))
+                   .alias("ref")))
+    aud = (dm.filter(F.col("doc_id") % 5 == 0)
+           .select("doc_id", F.lit(1000000).cast("long").alias("key"),
+                   F.lit("audio").alias("kind"),
+                   F.lit(None).cast("string").alias("text"),
+                   F.concat(F.lit("aud:"), F.col("doc_id").cast("string"))
+                   .alias("ref")))
+    un = txt.unionByName(img).unionByName(aud)
+    spans_tbl = (un.groupBy("doc_id").agg(F.transform(
+        F.array_sort(F.collect_list(F.struct("key", "kind", "text",
+                                             "ref"))),
+        lambda s: F.struct(s["kind"].alias("kind"),
+                           s["text"].alias("text"),
+                           s["ref"].alias("media_ref"),
+                           s["key"].cast("int").alias("offset")))
+        .alias("spans")))
+    return (pack_multimodal(spans_tbl, seq_len=48,
+                            media_costs={"image": 17, "audio": 29},
+                            default_media_cost=29, n_buckets=4)
+            .select("doc_id", "span_idx", "kind", "cost", "bucket",
+                    "cum_before", "pad_before", "global_start",
+                    "seq_first", "offset_in_seq", "n_seqs")
+            .orderBy("doc_id", "span_idx"))
+
+
+SQL_PACK_MULTIMODAL = f"""
+WITH RECURSIVE doc AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                        ' ') AS words
+    FROM documents
+),
+dm AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words FROM doc),
+chunks AS (
+    SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS ci,
+           least(CAST(8 AS BIGINT), n_words - (u.i - 1) * 8) AS cost
+    FROM dm, unnest(generate_series(1, (n_words + 7) // 8)) AS u(i)
+),
+sp0 AS (
+    SELECT doc_id, ci * 10 AS key, 'text' AS kind, cost FROM chunks
+    UNION ALL
+    SELECT doc_id, ci * 10 + 5, 'image', CAST(17 AS BIGINT) FROM chunks
+    WHERE doc_id % 2 = 0 AND (ci + 1) % 3 = 0
+    UNION ALL
+    SELECT doc_id, CAST(1000000 AS BIGINT), 'audio', CAST(29 AS BIGINT)
+    FROM dm WHERE doc_id % 5 = 0
+),
+sp AS (
+    SELECT doc_id, kind, cost,
+           row_number() OVER (PARTITION BY doc_id ORDER BY key) - 1
+               AS span_idx
+    FROM sp0
+),
+ord AS MATERIALIZED (
+    -- MATERIALIZED: the recursive fold below joins this CTE once per
+    -- iteration; without the barrier DuckDB re-evaluates the whole
+    -- split/chunk/window lineage each step (measured 63 s -> sub-second)
+    SELECT doc_id, span_idx, kind, cost,
+           {_H60_DOCID_SQL} AS hh,
+           {_H60_DOCID_SQL} % 4 AS bucket,
+           (kind <> 'text') AS is_media,
+           row_number() OVER (
+               PARTITION BY {_H60_DOCID_SQL} % 4
+               ORDER BY {_H60_DOCID_SQL}, doc_id, span_idx) AS rn,
+           CAST(sum(cost) OVER (
+               PARTITION BY {_H60_DOCID_SQL} % 4
+               ORDER BY {_H60_DOCID_SQL}, doc_id, span_idx
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) - cost AS cum_before
+    FROM sp
+),
+fold AS (
+    SELECT bucket, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS pad_total
+    FROM (SELECT DISTINCT bucket FROM ord)
+    UNION ALL
+    SELECT o.bucket, o.rn, f.pad_total +
+        CASE WHEN o.is_media
+                  AND ((o.cum_before + f.pad_total) % 48) > 0
+                  AND ((o.cum_before + f.pad_total) % 48) + o.cost > 48
+             THEN 48 - ((o.cum_before + f.pad_total) % 48)
+             ELSE CAST(0 AS BIGINT) END
+    FROM fold f JOIN ord o ON o.bucket = f.bucket AND o.rn = f.rn + 1
+)
+SELECT o.doc_id, CAST(o.span_idx AS BIGINT) AS span_idx, o.kind, o.cost,
+       o.bucket, o.cum_before,
+       f.pad_total - fp.pad_total AS pad_before,
+       o.cum_before + f.pad_total AS global_start,
+       (o.cum_before + f.pad_total) // 48 AS seq_first,
+       (o.cum_before + f.pad_total) % 48 AS offset_in_seq,
+       CASE WHEN o.cost = 0 THEN 0
+            ELSE ((o.cum_before + f.pad_total) % 48 + o.cost + 47) // 48
+       END AS n_seqs
+FROM ord o
+JOIN fold f ON f.bucket = o.bucket AND f.rn = o.rn
+JOIN fold fp ON fp.bucket = o.bucket AND fp.rn = o.rn - 1
+ORDER BY o.doc_id, o.span_idx
+"""
+
+
 def q_mix_corpora(spark: SparkSession, sf: str) -> DataFrame:
     """Training-mixture construction (corpusops.mix_corpora): sources
     src0/src1/src2/src3 weighted 5:3:1:1 over a 12000-token target,
@@ -6655,6 +6785,7 @@ QUERIES = {
     "q_temperature_sample": q_temperature_sample,
     "q_dedup_paragraphs": q_dedup_paragraphs,
     "q_pack_sequences": q_pack_sequences,
+    "q_pack_multimodal": q_pack_multimodal,
     "q_mix_corpora": q_mix_corpora,
     "q_ppl_buckets": q_ppl_buckets,
     "q_edit_sim": q_edit_sim,
@@ -6769,6 +6900,7 @@ ORACLES = {
     "q_temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "q_dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
     "q_pack_sequences": SQL_PACK_SEQUENCES,
+    "q_pack_multimodal": SQL_PACK_MULTIMODAL,
     "q_mix_corpora": SQL_MIX_CORPORA,
     "q_ppl_buckets": SQL_PPL_BUCKETS,
     "q_edit_sim": SQL_EDIT_SIM,

@@ -28,7 +28,8 @@ __all__ = [
     "pii_scrub", "unigram_logprob", "chunk_documents",
     "repetition_metrics", "curate_corpus",
     "decontaminate", "remove_contaminated", "temperature_sample",
-    "dedup_paragraphs", "pack_sequences", "mix_corpora",
+    "dedup_paragraphs", "pack_sequences", "pack_multimodal",
+    "mix_corpora",
     "logprob_buckets", "bigram_logprob", "clean_text", "corpus_report",
     "split_corpus", "leakage_safe_split",
     "EMAIL_RE", "IPV4_RE", "LONGNUM_RE",
@@ -764,6 +765,125 @@ def pack_sequences(df: DataFrame, token_col: str, seq_len: int,
                            f"{int(seq_len)} - 1) div {int(seq_len)}"))
                 .cast("long"))
             .drop("_h", "_cumb", "_boff"))
+
+
+def pack_multimodal(df: DataFrame, seq_len: int,
+                    media_costs: dict | None = None,
+                    default_media_cost: int = 64,
+                    n_buckets: int = 4, id_col: str = "doc_id",
+                    spans_col: str = "spans") -> DataFrame:
+    """Pack INTERLEAVED text + media spans into fixed-length training
+    sequences — the multimodal analog of :func:`pack_sequences`, over
+    the north-rule document shape ``(doc_id, spans:array<struct<kind,
+    text, media_ref, offset>>)``.
+
+    Costing: a ``text`` span costs its whitespace token count (same
+    normalization as the rest of this module); any other kind costs
+    ``media_costs[kind]`` tokens (``default_media_cost`` for kinds not
+    in the map) — the fixed patch/frame budget a multimodal tokenizer
+    assigns an image/audio/video item. Text spans may SPLIT across a
+    sequence boundary; media spans are ATOMIC: a media item that does
+    not fit in the remainder of the current sequence pushes padding to
+    the next boundary (every media cost must therefore be ``<=
+    seq_len`` — validated up front).
+
+    Returns one manifest row per span (text columns dropped):
+    ``(bucket, id, span_idx, kind, cost, cum_before, pad_before,
+    global_start, seq_first, offset_in_seq, n_seqs)`` — ``cum_before``
+    is the span's pad-free stream offset, ``pad_before`` the padding
+    injected immediately before it, ``global_start`` its final offset.
+
+    Scale shape: span explosion and costing are pure codegen
+    projections; the only shuffle is ONE window + ONE groupBy on
+    ``bucket`` (deterministic 60-bit-hash order inside, documents
+    contiguous). The padding fold is inherently sequential per bucket
+    (each pad depends on every pad before it), so it runs as an
+    Arrow-batched ``applyInPandas`` over the MANIFEST columns only —
+    a bucket of N spans is ~40 bytes/row in pandas, and ``n_buckets``
+    is the parallelism/memory knob: size it so corpus_spans/n_buckets
+    fits a task (at 100 TB that is ~cluster cores x a safety factor,
+    exactly the :func:`pack_shards` guidance). Inside the fold the
+    Python loop walks only the MEDIA spans (pads change nowhere else);
+    text rows are filled vectorized via searchsorted."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    media_costs = dict(media_costs or {})
+    for kind, c in [*media_costs.items(), ("<default>", default_media_cost)]:
+        if not (0 < int(c) <= seq_len):
+            raise ValueError(
+                f"media cost for {kind!r} must be in (0, seq_len] — an "
+                f"atomic span larger than a sequence can never be placed "
+                f"(got {c}, seq_len {seq_len})")
+
+    span = F.col("_span")
+    cost_media = F.lit(int(default_media_cost))
+    for kind, c in sorted(media_costs.items()):
+        cost_media = F.when(span["kind"] == kind,
+                            F.lit(int(c))).otherwise(cost_media)
+    n_tok = F.size(F.split(F.trim(F.regexp_replace(
+        F.coalesce(span["text"], F.lit("")), r"\s+", " ")), " "))
+    cost = F.when(span["kind"] == "text",
+                  n_tok.cast("long")).otherwise(cost_media.cast("long"))
+
+    h = _hash60(F.col(id_col).cast("string"))
+    rows = (df.select(id_col, F.posexplode(spans_col)
+                      .alias("span_idx", "_span"))
+            .withColumn("_h", h)
+            .withColumn("bucket", (h % n_buckets).cast("long"))
+            .withColumn("kind", span["kind"])
+            .withColumn("cost", cost)
+            .withColumn("span_idx", F.col("span_idx").cast("long"))
+            .drop("_span"))
+    w = (Window.partitionBy("bucket")
+         .orderBy(F.col("_h").asc(), F.col(id_col).asc(),
+                  F.col("span_idx").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    manifest = rows.withColumn(
+        "cum_before", (F.sum("cost").over(w) - F.col("cost")).cast("long"))
+
+    from pyspark.sql.types import LongType, StructField, StructType
+    out_schema = StructType(
+        [f for f in manifest.schema.fields if f.name != "_h"]
+        + [StructField(n, LongType()) for n in
+           ("pad_before", "global_start", "seq_first",
+            "offset_in_seq", "n_seqs")])
+    out_cols = [f.name for f in out_schema.fields]
+    order_cols = ["_h", id_col, "span_idx"]
+    L = int(seq_len)
+
+    def fold(pdf):
+        import numpy as np
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pdf = pdf.reset_index(drop=True)
+        cum = pdf["cum_before"].to_numpy(dtype=np.int64)
+        c = pdf["cost"].to_numpy(dtype=np.int64)
+        is_media = (pdf["kind"] != "text").to_numpy()
+        midx = np.flatnonzero(is_media)
+        pads = np.zeros(len(midx), dtype=np.int64)
+        P = 0
+        for j, i in enumerate(midx):
+            r = (cum[i] + P) % L
+            if r > 0 and r + c[i] > L:
+                pads[j] = L - r
+                P += pads[j]
+        pad_before = np.zeros(len(pdf), dtype=np.int64)
+        pad_before[midx] = pads
+        # pad total in effect AT each row = cumsum of pads at media rows
+        # <= this row (a row's own pad applies to itself)
+        pad_cum = np.zeros(len(midx) + 1, dtype=np.int64)
+        np.cumsum(pads, out=pad_cum[1:])
+        at_row = pad_cum[np.searchsorted(midx, np.arange(len(pdf)),
+                                         side="right")]
+        gs = cum + at_row
+        pdf["pad_before"] = pad_before
+        pdf["global_start"] = gs
+        pdf["seq_first"] = gs // L
+        pdf["offset_in_seq"] = gs % L
+        pdf["n_seqs"] = np.where(c == 0, 0,
+                                 (gs % L + c + L - 1) // L)
+        return pdf[out_cols]
+
+    return manifest.groupBy("bucket").applyInPandas(fold, out_schema)
 
 
 # ---------------------------------------------------------------------------

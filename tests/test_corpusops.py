@@ -608,3 +608,87 @@ def test_snapshot_diff_all_statuses(spark):
     got = {r["doc_id"]: r["status"]
            for r in snapshot_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def _h60(s: str) -> int:
+    import hashlib
+    return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
+
+
+def test_pack_multimodal_matches_scalar_replay(spark):
+    from extractpdf4j_spark.functions.corpusops import pack_multimodal
+    L = 32
+    docs = []
+    for i in range(12):
+        spans = []
+        words = ["w%d" % k for k in range(5 + (i * 7) % 40)]
+        for c in range(0, len(words), 6):
+            spans.append(("text", " ".join(words[c:c + 6]), None, c))
+            if i % 2 == 0 and (c // 6) % 2 == 1:
+                spans.append(("image", None, f"img:{i}:{c}", c))
+        if i % 5 == 0:
+            spans.append(("audio", None, f"aud:{i}", 999))
+        docs.append((i, spans))
+    d = spark.createDataFrame(
+        docs, "doc_id long, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    out = pack_multimodal(d, seq_len=L, media_costs={"image": 7},
+                          default_media_cost=13, n_buckets=3).collect()
+
+    # scalar replay: same hash order, same greedy atomic-media fold
+    span_rows = []
+    for i, spans in docs:
+        for sidx, (kind, text, ref, off) in enumerate(spans):
+            cost = (len((text or "").split()) or 1) if kind == "text" \
+                else (7 if kind == "image" else 13)
+            span_rows.append((_h60(i) % 3, _h60(i), i, sidx, kind, cost))
+    expected = {}
+    for b in range(3):
+        rows = sorted([r for r in span_rows if r[0] == b],
+                      key=lambda r: (r[1], r[2], r[3]))
+        pos = 0
+        for _, _, i, sidx, kind, cost in rows:
+            pad = 0
+            if kind != "text":
+                r = pos % L
+                if r > 0 and r + cost > L:
+                    pad = L - r
+            gs = pos + pad
+            expected[(i, sidx)] = (b, cost, gs, pad, gs // L, gs % L,
+                                   0 if cost == 0 else
+                                   (gs % L + cost + L - 1) // L)
+            pos = gs + cost
+    assert len(out) == len(expected)
+    for r in out:
+        exp = expected[(r["doc_id"], r["span_idx"])]
+        got = (r["bucket"], r["cost"], r["global_start"], r["pad_before"],
+               r["seq_first"], r["offset_in_seq"], r["n_seqs"])
+        assert got == exp, (r["doc_id"], r["span_idx"], got, exp)
+    # media atomicity: never crosses a boundary, exactly one sequence
+    for r in out:
+        if r["kind"] != "text":
+            assert r["offset_in_seq"] + r["cost"] <= L
+            assert r["n_seqs"] == 1
+
+
+def test_pack_multimodal_partition_invariant_and_validation(spark):
+    import pytest as _pytest
+    from extractpdf4j_spark.functions.corpusops import pack_multimodal
+    d = spark.createDataFrame(
+        [(i, [("text", "a b c d e", None, 0),
+              ("image", None, "m%d" % i, 1)]) for i in range(20)],
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    key = lambda rows: sorted((r["doc_id"], r["span_idx"],
+                               r["global_start"], r["pad_before"])
+                              for r in rows)
+    a = key(pack_multimodal(d.repartition(2), 16, media_costs={"image": 9},
+                            default_media_cost=9).collect())
+    b = key(pack_multimodal(d.repartition(8), 16, media_costs={"image": 9},
+                            default_media_cost=9).collect())
+    assert a == b
+    with _pytest.raises(ValueError):
+        pack_multimodal(d, 16, media_costs={"image": 17},
+                        default_media_cost=9)
+    with _pytest.raises(ValueError):
+        pack_multimodal(d, 16, default_media_cost=0)
