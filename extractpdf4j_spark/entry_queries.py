@@ -2726,6 +2726,111 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking (dedup.cdc_chunks): rolling-hash cut
+    points (w=16, FNV-32 coefficients, mask 2^6) with the FastCDC
+    min/max clamp [32,128], over documents with a 300-char passage
+    (doc 0's prefix) appended to every 4th doc — the shared passage
+    yields identical chunk hashes across docs (the shift-invariance
+    that makes chunk-level dedup work). The oracle recomputes the hash
+    as a 16-term join-sum, precomputes next-candidate-at-position as a
+    DESCENDING running min (no aggregate needed inside the recursion),
+    and replays the greedy clamp fold as a per-doc recursive CTE."""
+    from .functions.dedup import cdc_chunks
+    d = _docs(spark, sf)
+    passage = (d.filter(F.col("doc_id") == 0)
+               .select(F.substring("text", 1, 300).alias("_passage")))
+    planted = (d.crossJoin(F.broadcast(passage))
+               .select("doc_id",
+                       F.when(F.col("doc_id") % 4 == 0,
+                              F.concat("text", F.lit(" "),
+                                       F.col("_passage")))
+                       .otherwise(F.col("text")).alias("text")))
+    return (cdc_chunks(planted, w=16, mask_bits=6,
+                       min_len=32, max_len=128)
+            .select("doc_id", "chunk_idx", "start", "length",
+                    "chunk_hash")
+            .orderBy("doc_id", "chunk_idx"))
+
+
+def _cdc_oracle_sql() -> str:
+    from .functions.dedup import cdc_powers
+    pw_rows = ", ".join(f"({k}, {p})"
+                        for k, p in enumerate(cdc_powers(16)))
+    return f"""
+WITH RECURSIVE base AS MATERIALIZED (
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 4 = 0
+                THEN d.text || ' ' ||
+                     (SELECT substr(text, 1, 300) FROM documents
+                      WHERE doc_id = 0)
+                ELSE d.text END AS text
+    FROM documents d
+),
+lens AS MATERIALIZED (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n
+    FROM base WHERE length(text) > 0
+),
+chars AS MATERIALIZED (
+    SELECT b.doc_id, CAST(u.i AS BIGINT) AS pos,
+           CAST(unicode(substr(b.text, CAST(u.i AS INT), 1)) AS BIGINT)
+               AS code
+    FROM base b, unnest(generate_series(1, length(b.text))) AS u(i)
+),
+pw(k, pk) AS (VALUES {pw_rows}),
+hashes AS MATERIALIZED (
+    -- h at cut position i = sum over the 16-char window ending at i of
+    -- code(i-k) * p^k, mod 2^32 (every product < 2^53: exact BIGINT)
+    SELECT c.doc_id, c.pos AS i,
+           SUM(c2.code * pw.pk) % 4294967296 AS h
+    FROM chars c
+    JOIN pw ON TRUE
+    JOIN chars c2 ON c2.doc_id = c.doc_id AND c2.pos = c.pos - pw.k
+    WHERE c.pos >= 16
+    GROUP BY c.doc_id, c.pos
+),
+nextc AS MATERIALIZED (
+    -- smallest candidate cut >= pos, per position: a DESCENDING
+    -- running min over candidate flags — lets the recursive fold look
+    -- up its in-range minimum with a plain equi-join
+    SELECT c.doc_id, c.pos,
+           min(CASE WHEN h.h IS NOT NULL AND h.h % 64 = 0
+                    THEN c.pos END)
+               OVER (PARTITION BY c.doc_id ORDER BY c.pos DESC
+                     ROWS UNBOUNDED PRECEDING) AS next_cand
+    FROM chars c
+    LEFT JOIN hashes h ON h.doc_id = c.doc_id AND h.i = c.pos
+),
+fold AS (
+    SELECT doc_id, CAST(-1 AS BIGINT) AS chunk_idx, CAST(0 AS BIGINT)
+               AS cut
+    FROM lens
+    UNION ALL
+    SELECT f.doc_id, f.chunk_idx + 1,
+           CASE WHEN nc.next_cand IS NOT NULL
+                     AND nc.next_cand <= least(f.cut + 128, l.n)
+                THEN nc.next_cand
+                ELSE least(f.cut + 128, l.n) END
+    FROM fold f
+    JOIN lens l ON l.doc_id = f.doc_id
+    LEFT JOIN nextc nc ON nc.doc_id = f.doc_id
+                      AND nc.pos = f.cut + 32
+    WHERE f.cut < l.n
+)
+SELECT f.doc_id, f.chunk_idx, fp.cut AS start, f.cut - fp.cut AS length,
+       md5(substr(b.text, CAST(fp.cut + 1 AS INT),
+                  CAST(f.cut - fp.cut AS INT))) AS chunk_hash
+FROM fold f
+JOIN fold fp ON fp.doc_id = f.doc_id AND fp.chunk_idx = f.chunk_idx - 1
+JOIN base b ON b.doc_id = f.doc_id
+WHERE f.chunk_idx >= 0
+ORDER BY f.doc_id, f.chunk_idx
+"""
+
+
+SQL_CDC_CHUNKS = _cdc_oracle_sql()
+
+
 def q_pack_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal sequence packing (corpusops.pack_multimodal) over a
     deterministically derived INTERLEAVED spans corpus: each document's
@@ -6786,6 +6891,7 @@ QUERIES = {
     "q_dedup_paragraphs": q_dedup_paragraphs,
     "q_pack_sequences": q_pack_sequences,
     "q_pack_multimodal": q_pack_multimodal,
+    "q_cdc_chunks": q_cdc_chunks,
     "q_mix_corpora": q_mix_corpora,
     "q_ppl_buckets": q_ppl_buckets,
     "q_edit_sim": q_edit_sim,
@@ -6901,6 +7007,7 @@ ORACLES = {
     "q_dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
     "q_pack_sequences": SQL_PACK_SEQUENCES,
     "q_pack_multimodal": SQL_PACK_MULTIMODAL,
+    "q_cdc_chunks": SQL_CDC_CHUNKS,
     "q_mix_corpora": SQL_MIX_CORPORA,
     "q_ppl_buckets": SQL_PPL_BUCKETS,
     "q_edit_sim": SQL_EDIT_SIM,

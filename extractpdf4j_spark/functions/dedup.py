@@ -865,3 +865,126 @@ def corpus_overlap_matrix(df: DataFrame, group_col: str = "source",
                     F.round(F.col("n_common").cast("double")
                             / F.col("n_b").cast("double"), 6)
                     .alias("contain_in_a")))
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (FastCDC-style rolling-hash cut points)
+# ---------------------------------------------------------------------------
+
+CDC_P = 0x01000193          # FNV-32 prime: odd, so powers cycle mod 2^32
+CDC_MOD = 1 << 32
+
+
+def cdc_powers(w: int) -> list[int]:
+    """``[p^0, p^1, ..., p^(w-1)] mod 2^32`` — the window coefficients.
+
+    Exposed so an oracle can embed the exact same constants."""
+    out, x = [], 1
+    for _ in range(w):
+        out.append(x)
+        x = (x * CDC_P) % CDC_MOD
+    return out
+
+
+def cdc_chunks(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", w: int = 16, mask_bits: int = 6,
+               min_len: int = 32, max_len: int = 128) -> DataFrame:
+    """Content-defined chunking: split each document at ROLLING-HASH cut
+    points instead of fixed offsets, so chunk boundaries are a function
+    of local content — insert a byte at the front of a document and,
+    one resynchronized window later, every downstream chunk (and its
+    hash) is identical again. That shift invariance is what makes
+    chunk-level exact dedup work at 100 TB: shared passages produce
+    identical ``chunk_hash`` values across documents regardless of
+    position, so duplicated content is ONE ``groupBy(chunk_hash)``
+    away (the binary/media analog of :func:`remove_duplicate_ngrams`'s
+    token windows).
+
+    Semantics (all in Unicode code points, w fixed):
+
+    * rolling hash at position i (1-based, ``i >= w``):
+      ``h_i = sum_{k=0..w-1} code(char_{i-k}) * p^k  mod 2^32`` with
+      ``p = CDC_P``;
+    * i is a CANDIDATE cut when ``h_i % 2^mask_bits == 0`` (expected
+      chunk length ~ ``2^mask_bits``);
+    * greedy fold per document: from chunk start s, cut at the smallest
+      candidate i with ``min_len <= i - s <= max_len``; if none exists
+      cut at ``min(s + max_len, n)`` (the FastCDC min/max clamp);
+    * the final tail is a chunk even when shorter than ``min_len``.
+
+    Returns ``(id, chunk_idx, start, length, chunk_hash)`` — ``start``
+    0-based, ``chunk_hash`` = md5 of the chunk substring (engine-
+    portable). Empty/NULL text yields no rows.
+
+    Scale shape: documents are independent, so this is a pure
+    ``mapInPandas`` — ZERO shuffles, embarrassingly parallel, memory
+    bounded by one Arrow batch. Inside the batch the hash is 16
+    vectorized shifted multiply-adds per document (every term <
+    2^53, exact in uint64) and only the greedy fold loops — over
+    CHUNKS (~n/2^mask_bits steps), not characters."""
+    if w <= 1:
+        raise ValueError("w must be > 1")
+    if not (0 < min_len <= max_len):
+        raise ValueError("need 0 < min_len <= max_len")
+    if mask_bits <= 0:
+        raise ValueError("mask_bits must be positive")
+    pw = cdc_powers(w)
+    mask = (1 << mask_bits) - 1
+    W, MINL, MAXL = int(w), int(min_len), int(max_len)
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+    id_field = df.schema[id_col]
+    out_schema = StructType([
+        StructField(id_col, id_field.dataType),
+        StructField("chunk_idx", LongType()),
+        StructField("start", LongType()),
+        StructField("length", LongType()),
+        StructField("chunk_hash", StringType()),
+    ])
+
+    def gen(batches):
+        import hashlib
+        import numpy as np
+        import pandas as pd
+        P = np.array(pw, dtype=np.uint64)
+        for pdf in batches:
+            out = {k: [] for k in ("id", "ci", "st", "ln", "h")}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or len(text) == 0:
+                    continue
+                c = np.frombuffer(text.encode("utf-32-le"),
+                                  dtype=np.uint32).astype(np.uint64)
+                n = len(c)
+                if n >= W:
+                    h = np.zeros(n - W + 1, dtype=np.uint64)
+                    for k in range(W):
+                        # h[j] covers chars [j .. j+W-1]; coefficient
+                        # p^k multiplies char (j+W-1-k)
+                        h += c[W - 1 - k: n - k] * P[k]
+                    h &= 0xFFFFFFFF
+                    # candidate CUT positions (1-based i = j + W)
+                    cand = np.flatnonzero((h & mask) == 0) + W
+                else:
+                    cand = np.empty(0, dtype=np.int64)
+                s, ci = 0, 0
+                while s < n:
+                    lo, hi = s + MINL, min(s + MAXL, n)
+                    j = np.searchsorted(cand, lo, side="left")
+                    cut = (int(cand[j])
+                           if j < len(cand) and cand[j] <= hi
+                           else hi)
+                    piece = text[s:cut]
+                    out["id"].append(did)
+                    out["ci"].append(ci)
+                    out["st"].append(s)
+                    out["ln"].append(cut - s)
+                    out["h"].append(hashlib.md5(
+                        piece.encode("utf-8")).hexdigest())
+                    s, ci = cut, ci + 1
+            yield pd.DataFrame({
+                id_col: out["id"], "chunk_idx": out["ci"],
+                "start": out["st"], "length": out["ln"],
+                "chunk_hash": out["h"]})
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)

@@ -491,3 +491,83 @@ def test_curate_web_no_robots_no_cap(spark):
     out = {r["doc_id"]: r["status"]
            for r in curate_web(_urls(spark, urls)).collect()}
     assert out == {0: "kept", 1: "duplicate_url", 2: "kept"}
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking
+# ---------------------------------------------------------------------------
+
+def _cdc_scalar(text, w=16, mask_bits=6, min_len=32, max_len=128):
+    """Literal scalar replay of cdc_chunks' documented semantics."""
+    import hashlib
+    from extractpdf4j_spark.functions.dedup import cdc_powers
+    P = cdc_powers(w)
+    mask = (1 << mask_bits) - 1
+    codes = [ord(ch) for ch in text]
+    n = len(codes)
+    cand = []
+    for i in range(w, n + 1):          # 1-based cut position
+        h = sum(codes[i - 1 - k] * P[k] for k in range(w)) % (1 << 32)
+        if h & mask == 0:
+            cand.append(i)
+    chunks, s, ci = [], 0, 0
+    while s < n:
+        lo, hi = s + min_len, min(s + max_len, n)
+        cut = next((i for i in cand if lo <= i <= hi), hi)
+        chunks.append((ci, s, cut - s,
+                       hashlib.md5(text[s:cut].encode()).hexdigest()))
+        s, ci = cut, ci + 1
+    return chunks
+
+
+def test_cdc_chunks_matches_scalar_replay(spark):
+    from extractpdf4j_spark.functions.dedup import cdc_chunks
+    import random
+    rng = random.Random(7)
+    docs = []
+    for i in range(8):
+        words = ["w%d" % rng.randrange(50) for _ in range(rng.randrange(5, 120))]
+        docs.append((i, " ".join(words)))
+    docs.append((8, ""))        # empty -> no rows
+    docs.append((9, None))      # null  -> no rows
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in cdc_chunks(d).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start"], r["length"], r["chunk_hash"]))
+    for i, text in docs:
+        exp = _cdc_scalar(text) if text else []
+        assert sorted(got.get(i, [])) == exp, i
+    # every doc fully covered, chunks contiguous, lengths within clamp
+    for i, text in docs[:8]:
+        ch = sorted(got[i])
+        assert ch[0][1] == 0 and sum(c[2] for c in ch) == len(text)
+        assert all(c[2] <= 128 for c in ch)
+        assert all(c[2] >= 1 for c in ch)
+
+
+def test_cdc_chunks_shift_invariant_shared_passage(spark):
+    """THE CDC property: a long passage shared by two documents at
+    different offsets produces identical chunk hashes once the rolling
+    window resynchronizes — which is what makes groupBy(chunk_hash)
+    find cross-document duplicated content."""
+    from extractpdf4j_spark.functions.dedup import cdc_chunks
+    import random
+    rng = random.Random(13)
+    passage = " ".join("p%d" % rng.randrange(40) for _ in range(400))
+    pre_a = "short intro. "
+    pre_b = "a considerably longer and different preamble text here. "
+    d = spark.createDataFrame([(1, pre_a + passage), (2, pre_b + passage)],
+                              "doc_id long, text string")
+    rows = cdc_chunks(d).collect()
+    h1 = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in rows if r["doc_id"] == 2}
+    shared = h1 & h2
+    # all chunks strictly inside the passage (after resync, before the
+    # tail) must coincide; require a substantial overlap
+    assert len(shared) >= max(len(h1), len(h2)) - 4, (len(h1), len(h2),
+                                                      len(shared))
+    with __import__("pytest").raises(ValueError):
+        cdc_chunks(d, min_len=0)
+    with __import__("pytest").raises(ValueError):
+        cdc_chunks(d, w=1)
