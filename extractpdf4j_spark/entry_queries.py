@@ -2831,6 +2831,57 @@ ORDER BY f.doc_id, f.chunk_idx
 SQL_CDC_CHUNKS = _cdc_oracle_sql()
 
 
+def q_cdc_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-passage report over content-defined chunks
+    (dedup.cdc_duplicate_chunks): same planted corpus as q_cdc_chunks
+    (doc 0's 300-char prefix appended to every 4th doc), chunks pooled
+    by hash, shared ones (>= 2 distinct docs) reported with the
+    min-(id, start) keeper. Gate pins that the shared passage really
+    does surface as cross-document identical chunk hashes."""
+    from .functions.dedup import cdc_duplicate_chunks
+    d = _docs(spark, sf)
+    passage = (d.filter(F.col("doc_id") == 0)
+               .select(F.substring("text", 1, 300).alias("_passage")))
+    planted = (d.crossJoin(F.broadcast(passage))
+               .select("doc_id",
+                       F.when(F.col("doc_id") % 4 == 0,
+                              F.concat("text", F.lit(" "),
+                                       F.col("_passage")))
+                       .otherwise(F.col("text")).alias("text")))
+    return (cdc_duplicate_chunks(planted, w=16, mask_bits=6,
+                                 min_len=32, max_len=128, min_docs=2)
+            .orderBy("chunk_hash"))
+
+
+def _cdc_dedup_oracle_sql() -> str:
+    chunks_subq = SQL_CDC_CHUNKS.replace("ORDER BY f.doc_id, f.chunk_idx",
+                                         "")
+    return f"""
+WITH ch AS MATERIALIZED (SELECT * FROM ({chunks_subq})),
+g AS (
+    SELECT chunk_hash, CAST(max(length) AS BIGINT) AS length,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           min(doc_id) AS keeper_id
+    FROM ch GROUP BY chunk_hash
+    HAVING count(DISTINCT doc_id) >= 2
+),
+k AS (
+    SELECT c.chunk_hash, CAST(min(c.start) AS BIGINT) AS keeper_start
+    FROM ch c JOIN g ON g.chunk_hash = c.chunk_hash
+                    AND c.doc_id = g.keeper_id
+    GROUP BY c.chunk_hash
+)
+SELECT g.chunk_hash, g.length, g.n_docs, g.n_occurrences, g.keeper_id,
+       k.keeper_start
+FROM g JOIN k ON k.chunk_hash = g.chunk_hash
+ORDER BY g.chunk_hash
+"""
+
+
+SQL_CDC_DEDUP = _cdc_dedup_oracle_sql()
+
+
 def q_pack_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal sequence packing (corpusops.pack_multimodal) over a
     deterministically derived INTERLEAVED spans corpus: each document's
@@ -6892,6 +6943,7 @@ QUERIES = {
     "q_pack_sequences": q_pack_sequences,
     "q_pack_multimodal": q_pack_multimodal,
     "q_cdc_chunks": q_cdc_chunks,
+    "q_cdc_dedup": q_cdc_dedup,
     "q_mix_corpora": q_mix_corpora,
     "q_ppl_buckets": q_ppl_buckets,
     "q_edit_sim": q_edit_sim,
@@ -7008,6 +7060,7 @@ ORACLES = {
     "q_pack_sequences": SQL_PACK_SEQUENCES,
     "q_pack_multimodal": SQL_PACK_MULTIMODAL,
     "q_cdc_chunks": SQL_CDC_CHUNKS,
+    "q_cdc_dedup": SQL_CDC_DEDUP,
     "q_mix_corpora": SQL_MIX_CORPORA,
     "q_ppl_buckets": SQL_PPL_BUCKETS,
     "q_edit_sim": SQL_EDIT_SIM,

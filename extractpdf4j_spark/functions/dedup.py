@@ -988,3 +988,35 @@ def cdc_chunks(df: DataFrame, text_col: str = "text",
                 "chunk_hash": out["h"]})
 
     return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def cdc_duplicate_chunks(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", w: int = 16,
+                         mask_bits: int = 6, min_len: int = 32,
+                         max_len: int = 128,
+                         min_docs: int = 2) -> DataFrame:
+    """Cross-document duplicated-passage report over content-defined
+    chunks: run :func:`cdc_chunks`, then one map-side-combinable
+    ``groupBy(chunk_hash)`` — chunks whose hash appears in at least
+    ``min_docs`` DISTINCT documents are shared content (boilerplate,
+    syndicated passages, mirrored pages), reported with their keeper
+    (minimum ``(id, start)`` occurrence, the same keep-first rule as
+    :func:`remove_duplicate_ngrams`).
+
+    Returns ``(chunk_hash, length, n_docs, n_occurrences, keeper_id,
+    keeper_start)``. Shuffle ledger: the chunk manifest (ids + 32-byte
+    hashes, never text) through ONE aggregation — at 100 TB the
+    manifest is ~1% of corpus bytes and the aggregation combines
+    map-side, so the report costs about one corpus scan."""
+    chunks = cdc_chunks(df, text_col, id_col, w, mask_bits,
+                        min_len, max_len)
+    keeper = F.min(F.struct(F.col(id_col), F.col("start"))).alias("_k")
+    return (chunks.groupBy("chunk_hash")
+            .agg(F.max("length").cast("long").alias("length"),
+                 F.countDistinct(id_col).cast("long").alias("n_docs"),
+                 F.count("*").cast("long").alias("n_occurrences"),
+                 keeper)
+            .filter(F.col("n_docs") >= min_docs)
+            .select("chunk_hash", "length", "n_docs", "n_occurrences",
+                    F.col(f"_k.{id_col}").alias("keeper_id"),
+                    F.col("_k.start").alias("keeper_start")))

@@ -571,3 +571,28 @@ def test_cdc_chunks_shift_invariant_shared_passage(spark):
         cdc_chunks(d, min_len=0)
     with __import__("pytest").raises(ValueError):
         cdc_chunks(d, w=1)
+
+
+def test_cdc_duplicate_chunks_finds_shared_passage(spark):
+    from extractpdf4j_spark.functions.dedup import (cdc_chunks,
+                                                    cdc_duplicate_chunks)
+    import random
+    rng = random.Random(99)
+    passage = " ".join("s%d" % rng.randrange(30) for _ in range(300))
+    uniq = lambda i: " ".join("u%d_%d" % (i, k) for k in range(120))
+    d = spark.createDataFrame(
+        [(1, uniq(1) + " " + passage),
+         (2, uniq(2) + " " + passage),
+         (3, uniq(3))],
+        "doc_id long, text string")
+    rep = cdc_duplicate_chunks(d, min_docs=2).collect()
+    assert rep, "shared passage must surface as duplicated chunks"
+    for r in rep:
+        assert r["n_docs"] >= 2
+        assert r["keeper_id"] == 1          # min (id, start) keeper
+        assert r["n_occurrences"] >= r["n_docs"]
+    # keeper_start matches the keeper doc's own chunk at that hash
+    ch1 = {r["chunk_hash"]: r["start"]
+           for r in cdc_chunks(d).collect() if r["doc_id"] == 1}
+    for r in rep:
+        assert ch1[r["chunk_hash"]] == r["keeper_start"]
