@@ -2882,6 +2882,88 @@ ORDER BY g.chunk_hash
 SQL_CDC_DEDUP = _cdc_dedup_oracle_sql()
 
 
+def q_cdc_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunk-level dedup REMOVAL (dedup.cdc_dedup_rewrite): same planted
+    shared-passage corpus as q_cdc_chunks; every non-keeper occurrence
+    of a cross-document duplicated chunk is dropped and documents are
+    reassembled from the kept chunks. The rebuilt text is hash-gated
+    (md5), so the gate pins the exact byte-level reassembly — keeper
+    docs must reconstruct their input exactly."""
+    from .functions.dedup import cdc_dedup_rewrite
+    d = _docs(spark, sf)
+    passage = (d.filter(F.col("doc_id") == 0)
+               .select(F.substring("text", 1, 300).alias("_passage")))
+    planted = (d.crossJoin(F.broadcast(passage))
+               .select("doc_id",
+                       F.when(F.col("doc_id") % 4 == 0,
+                              F.concat("text", F.lit(" "),
+                                       F.col("_passage")))
+                       .otherwise(F.col("text")).alias("text")))
+    return (cdc_dedup_rewrite(planted, w=16, mask_bits=6,
+                              min_len=32, max_len=128, min_docs=2)
+            .select("doc_id", F.md5("text").alias("text_hash"),
+                    "n_chunks_kept", "n_chunks_dropped")
+            .orderBy("doc_id"))
+
+
+def _cdc_rewrite_oracle_sql() -> str:
+    chunks_subq = SQL_CDC_CHUNKS.replace("ORDER BY f.doc_id, f.chunk_idx",
+                                         "")
+    return f"""
+WITH ch AS MATERIALIZED (SELECT * FROM ({chunks_subq})),
+base2 AS MATERIALIZED (
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 4 = 0
+                THEN d.text || ' ' ||
+                     (SELECT substr(text, 1, 300) FROM documents
+                      WHERE doc_id = 0)
+                ELSE d.text END AS text
+    FROM documents d
+),
+g AS (
+    SELECT chunk_hash, min(doc_id) AS keeper_id
+    FROM ch GROUP BY chunk_hash
+    HAVING count(DISTINCT doc_id) >= 2
+),
+k AS (
+    SELECT c.chunk_hash, min(c.start) AS keeper_start
+    FROM ch c JOIN g ON g.chunk_hash = c.chunk_hash
+                    AND c.doc_id = g.keeper_id
+    GROUP BY c.chunk_hash
+),
+marked AS (
+    SELECT c.doc_id, c.chunk_idx,
+           substr(b.text, CAST(c.start + 1 AS INT),
+                  CAST(c.length AS INT)) AS piece,
+           (g.chunk_hash IS NULL
+            OR (c.doc_id = g.keeper_id AND c.start = k.keeper_start))
+               AS keep
+    FROM ch c
+    JOIN base2 b ON b.doc_id = c.doc_id
+    LEFT JOIN g ON g.chunk_hash = c.chunk_hash
+    LEFT JOIN k ON k.chunk_hash = c.chunk_hash
+),
+rebuilt AS (
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN piece END, ''
+                               ORDER BY chunk_idx), '') AS new_text,
+           CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT)
+               AS n_chunks_kept,
+           CAST(count(*) - count(CASE WHEN keep THEN 1 END) AS BIGINT)
+               AS n_chunks_dropped
+    FROM marked GROUP BY doc_id
+)
+SELECT b.doc_id, md5(coalesce(r.new_text, '')) AS text_hash,
+       coalesce(r.n_chunks_kept, 0) AS n_chunks_kept,
+       coalesce(r.n_chunks_dropped, 0) AS n_chunks_dropped
+FROM base2 b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+SQL_CDC_REWRITE = _cdc_rewrite_oracle_sql()
+
+
 def q_pack_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal sequence packing (corpusops.pack_multimodal) over a
     deterministically derived INTERLEAVED spans corpus: each document's
@@ -6944,6 +7026,7 @@ QUERIES = {
     "q_pack_multimodal": q_pack_multimodal,
     "q_cdc_chunks": q_cdc_chunks,
     "q_cdc_dedup": q_cdc_dedup,
+    "q_cdc_rewrite": q_cdc_rewrite,
     "q_mix_corpora": q_mix_corpora,
     "q_ppl_buckets": q_ppl_buckets,
     "q_edit_sim": q_edit_sim,
@@ -7061,6 +7144,7 @@ ORACLES = {
     "q_pack_multimodal": SQL_PACK_MULTIMODAL,
     "q_cdc_chunks": SQL_CDC_CHUNKS,
     "q_cdc_dedup": SQL_CDC_DEDUP,
+    "q_cdc_rewrite": SQL_CDC_REWRITE,
     "q_mix_corpora": SQL_MIX_CORPORA,
     "q_ppl_buckets": SQL_PPL_BUCKETS,
     "q_edit_sim": SQL_EDIT_SIM,

@@ -16,6 +16,7 @@ from .dedup import shingle_hash_rows
 from .dedup import (dedup_keep_one, dedup_against_corpus, fuzzy_dedup,
                     fuzzy_dedup_against_corpus, remove_duplicate_ngrams,
                     cdc_chunks, cdc_duplicate_chunks,
+                    cdc_dedup_rewrite,
                     duplicate_clusters)
 from .similarity import (cosine_topk, embedding_near_duplicates, knn_join,
                          lsh_bucketed_topk)
@@ -40,7 +41,7 @@ __all__ = [
     "add_text_stats", "language_id", "fingerprint",
     "dedup_keep_one", "dedup_against_corpus", "fuzzy_dedup",
     "fuzzy_dedup_against_corpus", "remove_duplicate_ngrams",
-    "cdc_chunks", "cdc_duplicate_chunks",
+    "cdc_chunks", "cdc_duplicate_chunks", "cdc_dedup_rewrite",
     "duplicate_clusters",
     "bm25_topk", "tfidf_topk", "pmi_collocations", "char_entropy",
     "bpe_train", "bpe_token_counts",

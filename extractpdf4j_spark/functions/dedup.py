@@ -1020,3 +1020,68 @@ def cdc_duplicate_chunks(df: DataFrame, text_col: str = "text",
             .select("chunk_hash", "length", "n_docs", "n_occurrences",
                     F.col(f"_k.{id_col}").alias("keeper_id"),
                     F.col("_k.start").alias("keeper_start")))
+
+
+def cdc_dedup_rewrite(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", w: int = 16,
+                      mask_bits: int = 6, min_len: int = 32,
+                      max_len: int = 128,
+                      min_docs: int = 2) -> DataFrame:
+    """Chunk-level exact-substring dedup REMOVAL: every occurrence of a
+    cross-document duplicated chunk except its min-``(id, start)``
+    keeper is dropped, and documents are reassembled from the kept
+    chunks — the CDC analog of :func:`remove_duplicate_ngrams` (same
+    keep-first rule), trading token-window precision for chunk-sized
+    cuts and a manifest-sized shuffle. Documents that keep everything
+    reconstruct EXACTLY (chunks are contiguous substrings).
+
+    Returns ``(id, text, n_chunks_kept, n_chunks_dropped)`` for every
+    input document (chunkless docs — NULL/empty text — come back with
+    empty text and zero counts).
+
+    Shuffle ledger: chunk manifest checkpointed once (it feeds the
+    keeper aggregation AND the keep-mark join), one groupBy(chunk_hash),
+    one equi-join back on the hash, one substring-extract join on the
+    id (codegen substring against the original text — chunk text never
+    left the document), one doc-keyed reassembly groupBy. Reassembly
+    memory is bounded by the largest single document."""
+    chunks = cdc_chunks(df, text_col, id_col, w, mask_bits,
+                        min_len, max_len)
+    # two consumers below (keeper aggregation + keep-mark join): without
+    # a barrier the Arrow chunking pass executes twice
+    chunks = chunks.localCheckpoint(eager=False)
+    keeper = (chunks.groupBy("chunk_hash")
+              .agg(F.countDistinct(id_col).alias("_nd"),
+                   F.min(F.struct(F.col(id_col), F.col("start")))
+                   .alias("_k"))
+              .filter(F.col("_nd") >= min_docs)
+              .select("chunk_hash",
+                      F.col(f"_k.{id_col}").alias("_kid"),
+                      F.col("_k.start").alias("_kstart")))
+    marked = (chunks.join(keeper, "chunk_hash", "left")
+              .withColumn("_keep",
+                          F.col("_kid").isNull()
+                          | ((F.col(id_col) == F.col("_kid"))
+                             & (F.col("start") == F.col("_kstart")))))
+    pieces = (marked.join(df.select(id_col, text_col), id_col)
+              .withColumn("_piece",
+                          F.expr(f"substring({text_col}, start + 1, "
+                                 f"length)")))
+    rebuilt = (pieces.groupBy(id_col)
+               .agg(F.array_join(F.transform(
+                        F.array_sort(F.collect_list(
+                            F.when(F.col("_keep"),
+                                   F.struct("chunk_idx", "_piece")))),
+                        lambda s: s["_piece"]), "").alias("_new"),
+                    F.count(F.when(F.col("_keep"), F.lit(1)))
+                    .cast("long").alias("n_chunks_kept"),
+                    (F.count("*")
+                     - F.count(F.when(F.col("_keep"), F.lit(1))))
+                    .cast("long").alias("n_chunks_dropped")))
+    return (df.select(id_col).join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("_new", F.lit("")).alias(text_col),
+                    F.coalesce("n_chunks_kept", F.lit(0)).cast("long")
+                    .alias("n_chunks_kept"),
+                    F.coalesce("n_chunks_dropped", F.lit(0))
+                    .cast("long").alias("n_chunks_dropped")))

@@ -596,3 +596,35 @@ def test_cdc_duplicate_chunks_finds_shared_passage(spark):
            for r in cdc_chunks(d).collect() if r["doc_id"] == 1}
     for r in rep:
         assert ch1[r["chunk_hash"]] == r["keeper_start"]
+
+
+def test_cdc_dedup_rewrite_keeper_reconstructs_exactly(spark):
+    from extractpdf4j_spark.functions.dedup import (cdc_chunks,
+                                                    cdc_dedup_rewrite)
+    import random
+    rng = random.Random(21)
+    passage = " ".join("s%d" % rng.randrange(30) for _ in range(300))
+    uniq = lambda i: " ".join("u%d_%d" % (i, k) for k in range(120))
+    t1, t2, t3 = (uniq(1) + " " + passage, uniq(2) + " " + passage,
+                  uniq(3))
+    d = spark.createDataFrame([(1, t1), (2, t2), (3, t3), (4, None)],
+                              "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cdc_dedup_rewrite(d).collect()}
+    assert len(out) == 4
+    # keeper doc and the unique doc reconstruct EXACTLY
+    assert out[1]["text"] == t1 and out[1]["n_chunks_dropped"] == 0
+    assert out[3]["text"] == t3 and out[3]["n_chunks_dropped"] == 0
+    assert out[4]["text"] == "" and out[4]["n_chunks_kept"] == 0
+    # doc2 loses exactly its duplicated chunks; expected rebuilt text
+    # derived from the manifest + the duplicated-hash set
+    ch = [r for r in cdc_chunks(d).collect()]
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    hashes1 = {r["chunk_hash"] for r in by_doc[1]}
+    exp2 = "".join(t2[r["start"]:r["start"] + r["length"]]
+                   for r in sorted(by_doc[2], key=lambda r: r["chunk_idx"])
+                   if r["chunk_hash"] not in hashes1)
+    assert out[2]["text"] == exp2
+    assert out[2]["n_chunks_dropped"] > 0
+    assert out[2]["n_chunks_kept"] + out[2]["n_chunks_dropped"] == len(by_doc[2])
