@@ -5849,6 +5849,212 @@ FROM tg t LEFT JOIN md m ON t.doc_id = m.doc_id ORDER BY t.doc_id
 
 
 # ---------------------------------------------------------------------------
+# HTML <table> grid extraction (htmlops.html_tables) — the web-corpus
+# analog of the PDF cell parsers. Pages are planted deterministically
+# from doc_id arithmetic: a header+2-row data table with attributes,
+# uppercase tags, an entity in a header, nested markup in a cell, a
+# ragged second row (every 3rd doc), a second table with an EMPTY cell
+# (every 2nd doc), and table-free docs (every 5th doc).
+# ---------------------------------------------------------------------------
+
+
+def _html_table_docs(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    ds = F.col("doc_id").cast("string")
+    h = F.conv(F.substring(F.md5(ds), 1, 15), 16, 10).cast("long")
+    qty = (h % 100).cast("string")
+    price = F.concat(((h % 9000) + 100).cast("string"), F.lit("."),
+                     F.lpad((h % 100).cast("string"), 2, "0"))
+    row2_tail = F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("<td>"), price, F.lit("</td>")))
+    t2 = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('<table id="t2"><tr><td>a</td><td></td></tr>'
+                       '<tr><td>'), ds,
+                 F.lit('</td><td>z</td></tr></table>'))).otherwise(F.lit(""))
+    body = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("<p>plain doc "), ds,
+                 F.lit(" has no tables</p>"))).otherwise(
+        F.concat(
+            F.lit("<p>intro for doc "), ds, F.lit("</p>"),
+            F.lit('<TABLE class="data"><TR><TH>Item</TH><TH  >Qty</TH>'
+                  '<th>Price &amp; Tax</th></TR>'),
+            F.lit('<tr><td>widget-'), ds,
+            F.lit('</td><td align="right">'), qty,
+            F.lit('</td><td>'), price, F.lit('</td></tr>'),
+            F.lit('<tr><td><b>gadget</b>-'), ds, F.lit('</td><td>'),
+            (h % 7).cast("string"), F.lit('</td>'), row2_tail,
+            F.lit('</tr></TABLE>'), t2))
+    html = F.concat(F.lit("<html><body>"), body, F.lit("</body></html>"))
+    return d.select("doc_id", html.alias("html"))
+
+
+_HTML_TABLE_DOCS_SQL = """
+tdocs AS (
+    SELECT doc_id,
+           '<html><body>'
+           || CASE WHEN doc_id % 5 = 0
+                THEN '<p>plain doc ' || ds || ' has no tables</p>'
+                ELSE '<p>intro for doc ' || ds || '</p>'
+                  || '<TABLE class="data"><TR><TH>Item</TH><TH  >Qty</TH>'
+                  || '<th>Price &amp; Tax</th></TR>'
+                  || '<tr><td>widget-' || ds
+                  || '</td><td align="right">'
+                  || CAST(h % 100 AS VARCHAR)
+                  || '</td><td>' || price || '</td></tr>'
+                  || '<tr><td><b>gadget</b>-' || ds || '</td><td>'
+                  || CAST(h % 7 AS VARCHAR) || '</td>'
+                  || CASE WHEN doc_id % 3 = 0 THEN ''
+                          ELSE '<td>' || price || '</td>' END
+                  || '</tr></TABLE>'
+                  || CASE WHEN doc_id % 2 = 0
+                       THEN '<table id="t2"><tr><td>a</td><td></td></tr>'
+                            || '<tr><td>' || ds || '</td><td>z</td></tr>'
+                            || '</table>'
+                       ELSE '' END
+              END
+           || '</body></html>' AS html
+    FROM (
+        SELECT doc_id, ds, h,
+               CAST((h % 9000) + 100 AS VARCHAR) || '.'
+               || lpad(CAST(h % 100 AS VARCHAR), 2, '0') AS price
+        FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1,
+                                         15) AS BIGINT) AS h
+              FROM documents)
+    )
+)
+"""
+
+_DUCK_TABLE_RE = r"(?is)<table(?:\s[^>]*)?>(.*?)</table>"
+_DUCK_TR_RE = r"(?is)<tr(?:\s[^>]*)?>(.*?)</tr>"
+_DUCK_CELL_RE = r"(?is)<t[dh](?:\s[^>]*)?>.*?</t[dh]>"
+
+
+def q_html_tables(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML <table> grid extraction over planted pages: attributes,
+    case-insensitive tags, entities, nested cell markup, ragged rows
+    and empty cells are all exercised; the oracle replays the noise
+    strip + three-level lazy regex explode + visible-text chain
+    verbatim in DuckDB."""
+    from .functions.htmlops import html_tables
+    return (html_tables(_html_table_docs(spark, sf))
+            .orderBy("doc_id", "table_idx", "row_idx", "col_idx"))
+
+
+SQL_HTML_TABLES = f"""
+WITH {_HTML_TABLE_DOCS_SQL},
+cleaned AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(html,
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g') AS ch
+    FROM tdocs
+),
+tbls AS (
+    SELECT doc_id,
+           regexp_extract_all(ch, '{_DUCK_TABLE_RE}', 1) AS lst
+    FROM cleaned
+),
+t AS (
+    SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS table_idx, lst[u.i] AS tbl
+    FROM tbls, unnest(generate_series(1, len(lst))) AS u(i)
+),
+rws AS (
+    SELECT doc_id, table_idx,
+           regexp_extract_all(tbl, '{_DUCK_TR_RE}', 1) AS lst
+    FROM t
+),
+r AS (
+    SELECT doc_id, table_idx, CAST(u.i - 1 AS BIGINT) AS row_idx,
+           lst[u.i] AS rw
+    FROM rws, unnest(generate_series(1, len(lst))) AS u(i)
+),
+cls AS (
+    SELECT doc_id, table_idx, row_idx,
+           regexp_extract_all(rw, '{_DUCK_CELL_RE}', 0) AS lst
+    FROM r
+),
+c AS (
+    SELECT doc_id, table_idx, row_idx, CAST(u.i - 1 AS BIGINT) AS col_idx,
+           lst[u.i] AS el
+    FROM cls, unnest(generate_series(1, len(lst))) AS u(i)
+)
+SELECT doc_id, table_idx, row_idx, col_idx,
+       CAST(CASE WHEN regexp_matches(el, '(?i)^<th') THEN 1 ELSE 0 END
+            AS BIGINT) AS is_header,
+       {_DUCK_VIS.format(src="el")} AS text
+FROM c ORDER BY doc_id, table_idx, row_idx, col_idx
+"""
+
+
+def q_html_table_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-table shape report (n_rows / widest row / header-cell count
+    / raggedness flag) over the same planted pages — two chained
+    aggregations over the cell grid."""
+    from .functions.htmlops import html_tables, html_table_stats
+    return (html_table_stats(html_tables(_html_table_docs(spark, sf)))
+            .orderBy("doc_id", "table_idx"))
+
+
+SQL_HTML_TABLE_STATS = f"""
+WITH {_HTML_TABLE_DOCS_SQL},
+cleaned AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(html,
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g') AS ch
+    FROM tdocs
+),
+tbls AS (
+    SELECT doc_id,
+           regexp_extract_all(ch, '{_DUCK_TABLE_RE}', 1) AS lst
+    FROM cleaned
+),
+t AS (
+    SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS table_idx, lst[u.i] AS tbl
+    FROM tbls, unnest(generate_series(1, len(lst))) AS u(i)
+),
+rws AS (
+    SELECT doc_id, table_idx,
+           regexp_extract_all(tbl, '{_DUCK_TR_RE}', 1) AS lst
+    FROM t
+),
+r AS (
+    SELECT doc_id, table_idx, CAST(u.i - 1 AS BIGINT) AS row_idx,
+           lst[u.i] AS rw
+    FROM rws, unnest(generate_series(1, len(lst))) AS u(i)
+),
+cls AS (
+    SELECT doc_id, table_idx, row_idx,
+           regexp_extract_all(rw, '{_DUCK_CELL_RE}', 0) AS lst
+    FROM r
+),
+-- per-row stats come from the extracted CELL list (a cell-less <tr>
+-- contributes no grid rows on the Spark side either); header cells are
+-- the ones whose element starts with <th — same rule as is_header.
+per_row AS (
+    SELECT doc_id, table_idx, row_idx,
+           CAST(len(lst) AS BIGINT) AS w,
+           CAST(len(list_filter(lst,
+                    x -> regexp_matches(x, '(?i)^<th'))) AS BIGINT) AS nh
+    FROM cls WHERE len(lst) > 0
+)
+SELECT doc_id, table_idx,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(max(w) AS BIGINT) AS n_cols,
+       CAST(sum(nh) AS BIGINT) AS n_header_cells,
+       CAST(CASE WHEN min(w) <> max(w) THEN 1 ELSE 0 END AS BIGINT)
+           AS is_ragged
+FROM per_row GROUP BY doc_id, table_idx
+ORDER BY doc_id, table_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # OCR-stream extraction, END-TO-END oracle (ocrstream ops 26-35 composed;
 # OcrStreamParser.java:117-438). A 24-doc word corpus is derived
 # arithmetically (integer coords/texts from the doc index), serialized
@@ -7072,6 +7278,8 @@ QUERIES = {
     "q_html_main": q_html_main,
     "q_dom_stats": q_dom_stats,
     "q_html_links": q_html_links,
+    "q_html_tables": q_html_tables,
+    "q_html_table_stats": q_html_table_stats,
     "q_extract_hybrid_spans": q_extract_hybrid_spans,
     "q_extract_hybrid_metrics": q_extract_hybrid_metrics,
     "q_extract_lattice_spans": q_extract_lattice_spans,
@@ -7190,6 +7398,8 @@ ORACLES = {
     "q_html_main": SQL_HTML_MAIN,
     "q_dom_stats": SQL_DOM_STATS,
     "q_html_links": SQL_HTML_LINKS,
+    "q_html_tables": SQL_HTML_TABLES,
+    "q_html_table_stats": SQL_HTML_TABLE_STATS,
     # full stream-kernel transliteration gating the real pipeline
     # end-to-end (stream-only config over derived text docs)
     "q_extract_hybrid_spans": SQL_EXTRACT_HYBRID_SPANS,

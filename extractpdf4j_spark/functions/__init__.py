@@ -32,6 +32,7 @@ from .corpusops import (classifier_score, nb_train_quality_classifier,
 from .urlops import (anchor_corpus, crawl_schedule, curate_web,
                      parse_robots,
                      parse_sitemaps, robots_filter, sitemap_staleness)
+from .htmlops import html_tables, html_table_stats
 
 __all__ = [
     "exact_duplicates", "minhash_signatures", "lsh_candidate_pairs",
@@ -56,4 +57,6 @@ __all__ = [
     "parse_sitemaps",
     "robots_filter",
     "sitemap_staleness",
+    "html_tables",
+    "html_table_stats",
 ]

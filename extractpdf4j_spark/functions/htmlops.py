@@ -31,8 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["html_blocks", "extract_main_content", "dom_stats",
-           "extract_links", "spanize_html", "BLOCK_SPLIT_RE", "TAG_RE",
-           "VOID_TAGS"]
+           "extract_links", "spanize_html", "html_tables",
+           "html_table_stats", "BLOCK_SPLIT_RE", "TAG_RE", "VOID_TAGS"]
 
 # Closing block-level tags and <br> end a text block. Tag names are
 # case-insensitive in HTML, hence (?i) throughout (RE2- and Java-safe).
@@ -231,6 +231,77 @@ def extract_links(df: DataFrame, html_col: str = "html",
                 href.alias("href"), domain.alias("domain"),
                 anchor.alias("anchor_text"))
             .filter(F.col("href") != ""))
+
+
+# <table> grid extraction. Lazy (non-greedy) matching means NESTED
+# tables are not supported: an inner </table> closes the outer match
+# (regex subset, same rule both engines). Attributes are allowed on
+# every tag; names are case-insensitive.
+_TABLE_RE = r"(?is)<table(?:\s[^>]*)?>(.*?)</table>"
+_TR_RE = r"(?is)<tr(?:\s[^>]*)?>(.*?)</tr>"
+_CELL_RE = r"(?is)<t[dh](?:\s[^>]*)?>.*?</t[dh]>"
+
+
+def html_tables(df: DataFrame, html_col: str = "html",
+                id_col: str = "doc_id") -> DataFrame:
+    """Extract HTML ``<table>`` grids into the engine's cell model —
+    the web-corpus analog of the PDF table parsers: where the stream /
+    lattice / ocrstream kernels recover ``(row, col, text)`` cells from
+    glyph geometry, this recovers them from explicit table markup
+    (reference scope anchor: the CSV/table sink model,
+    ``Table.java``-shaped row/col grids).
+
+    Returns ``(id, table_idx, row_idx, col_idx, is_header, text)`` —
+    one row per ``<td>``/``<th>`` cell in document order. Empty cells
+    survive with ``text=''`` (grid positions matter); ``is_header`` is
+    1 for ``<th>`` cells. Ragged rows are emitted as-is (no padding) —
+    :func:`html_table_stats` reports raggedness.
+
+    Scale: one scan → three chained posexplode projections, all
+    codegen regex (RE2-safe, replayed verbatim by the DuckDB oracle);
+    ZERO shuffles — parallelism is per document row and a giant page
+    costs one lazy O(n) regex pass per level."""
+    cleaned = _strip_noise(F.coalesce(F.col(html_col), F.lit("")))
+    t = df.select(
+        F.col(id_col),
+        F.posexplode(F.regexp_extract_all(cleaned, F.lit(_TABLE_RE), 1))
+        .alias("table_idx", "_tbl"))
+    r = t.select(
+        id_col, "table_idx",
+        F.posexplode(F.regexp_extract_all(F.col("_tbl"), F.lit(_TR_RE), 1))
+        .alias("row_idx", "_row"))
+    c = r.select(
+        id_col, "table_idx", "row_idx",
+        F.posexplode(F.regexp_extract_all(F.col("_row"), F.lit(_CELL_RE), 0))
+        .alias("col_idx", "_el"))
+    is_header = F.when(F.col("_el").rlike(r"(?i)^<th"),
+                       F.lit(1)).otherwise(F.lit(0))
+    return c.select(
+        id_col,
+        F.col("table_idx").cast("long").alias("table_idx"),
+        F.col("row_idx").cast("long").alias("row_idx"),
+        F.col("col_idx").cast("long").alias("col_idx"),
+        is_header.cast("long").alias("is_header"),
+        _visible_text(F.col("_el")).alias("text"))
+
+
+def html_table_stats(cells: DataFrame,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-table shape report over :func:`html_tables` output:
+    ``(id, table_idx, n_rows, n_cols, n_header_cells, is_ragged)``.
+    ``n_cols`` is the widest row; ``is_ragged`` flags tables whose rows
+    disagree on width (the quality signal web-table miners filter on).
+    Two chained aggregations on prefixes of the same key — row meta
+    only, cell text never re-shuffles."""
+    per_row = (cells.groupBy(id_col, "table_idx", "row_idx")
+               .agg(F.count("*").alias("_w"),
+                    F.sum("is_header").alias("_h")))
+    return (per_row.groupBy(id_col, "table_idx")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.max("_w").cast("long").alias("n_cols"),
+                 F.sum("_h").cast("long").alias("n_header_cells"),
+                 (F.min("_w") != F.max("_w")).cast("long")
+                 .alias("is_ragged")))
 
 
 def spanize_html(df: DataFrame, html_col: str = "html",

@@ -163,3 +163,51 @@ def test_main_content_roundtrip_property(spark, paras):
     ).collect()[0]
     assert out["main_text"] == "\n".join(texts)
     assert out["n_blocks_kept"] == len(paras)
+
+
+TABLE_PAGE = (
+    "<html><body><p>intro</p>"
+    '<TABLE class="x"><TR><TH>A</TH><th  align="c">B &amp; C</th></TR>'
+    '<tr><td>1</td><td><b>two</b>-x</td></tr>'
+    "<tr><td>ragged</td></tr>"
+    "<tr><td>3</td><td></td></tr></TABLE>"
+    "<table><tr><td>solo</td></tr></table>"
+    "</body></html>"
+)
+
+
+def test_html_tables_grid_headers_entities_ragged(spark):
+    from extractpdf4j_spark.functions.htmlops import html_tables
+    out = html_tables(_df(spark, [(1, TABLE_PAGE)])) \
+        .orderBy("table_idx", "row_idx", "col_idx").collect()
+    # table 0: 4 rows (2+2+1+2 cells) + table 1: 1 row/1 cell
+    assert [(r["table_idx"], r["row_idx"], r["col_idx"]) for r in out] == [
+        (0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1), (0, 2, 0),
+        (0, 3, 0), (0, 3, 1), (1, 0, 0)]
+    grid = {(r["table_idx"], r["row_idx"], r["col_idx"]): r for r in out}
+    assert grid[(0, 0, 0)]["text"] == "A"
+    assert grid[(0, 0, 0)]["is_header"] == 1
+    assert grid[(0, 0, 1)]["text"] == "B & C"          # entity unescaped
+    assert grid[(0, 1, 1)]["text"] == "two -x"         # nested tag -> space
+    assert grid[(0, 1, 1)]["is_header"] == 0
+    assert grid[(0, 3, 1)]["text"] == ""               # empty cell kept
+    assert grid[(1, 0, 0)]["text"] == "solo"
+
+
+def test_html_tables_no_table_and_script_noise(spark):
+    from extractpdf4j_spark.functions.htmlops import html_tables
+    noise = ("<html><script>'<table><tr><td>fake</td></tr></table>'"
+             "</script><p>plain</p></html>")
+    assert html_tables(_df(spark, [(1, noise)])).count() == 0
+
+
+def test_html_table_stats_shape_and_raggedness(spark):
+    from extractpdf4j_spark.functions.htmlops import (html_tables,
+                                                      html_table_stats)
+    out = html_table_stats(html_tables(_df(spark, [(1, TABLE_PAGE)]))) \
+        .orderBy("table_idx").collect()
+    t0, t1 = out
+    assert (t0["n_rows"], t0["n_cols"], t0["n_header_cells"],
+            t0["is_ragged"]) == (4, 2, 2, 1)
+    assert (t1["n_rows"], t1["n_cols"], t1["n_header_cells"],
+            t1["is_ragged"]) == (1, 1, 0, 0)
