@@ -1867,6 +1867,146 @@ ORDER BY asset_id, frame_ts_ms
 
 
 # ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (multimodal ops: image_dhash +
+# dhash_pairs). The pixel source is resize_images over the fake
+# sha256-derived decode (exactly reconstructible in SQL, as in
+# q_media_resize), PLUS planted near-dup copies: every image whose
+# 60-bit doc hash is divisible by 4 gets a '-dup' twin with ONE pixel
+# channel bumped +60 (flips at most 2 dHash bits), every h%7==0 image
+# an identical '-copy' twin (Hamming 0). The oracle replays the pixel
+# reconstruction, the perturbation, the gray/bit/byte arithmetic, the
+# banded candidate join with its max_bucket cap, and the exact
+# bit_count Hamming verify.
+# ---------------------------------------------------------------------------
+
+_DHASH_W, _DHASH_H = 9, 8
+_DHASH_NPIX = _DHASH_W * _DHASH_H * 3
+
+
+def _dhash_pixels(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.multimodal import resize_images
+    base = resize_images(_media_assets(spark, sf), out_w=_DHASH_W,
+                         out_h=_DHASH_H, fake=True)
+    h = F.conv(F.substring(F.md5(F.col("doc_id")), 1, 15), 16, 10) \
+         .cast("long")
+    p = (h % _DHASH_NPIX).cast("int")
+    dup = (base.filter(h % 4 == 0)
+           .withColumn("pixels",
+                       F.transform("pixels",
+                                   lambda v, i: F.when(i == p, v + 60)
+                                   .otherwise(v)))
+           .withColumn("asset_id", F.concat("asset_id", F.lit("-dup"))))
+    copy = (base.filter(h % 7 == 0)
+            .withColumn("asset_id", F.concat("asset_id", F.lit("-copy"))))
+    return base.unionByName(dup).unionByName(copy)
+
+
+def q_image_dhash(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bit perceptual difference-hash per image (integer-channel-sum
+    grayscale over the 9x8 resize; bit 8y+x = gray(y,x+1) > gray(y,x));
+    exact hex-digest equality gates the whole pixel→bits derivation."""
+    from .functions.multimodal import image_dhash
+    return (image_dhash(_dhash_pixels(spark, sf))
+            .select("asset_id", "dhash_hex").orderBy("asset_id"))
+
+
+def q_image_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate image pairs: 8-bit banded LSH candidates (hot
+    buckets capped) verified with exact bit_count Hamming distance —
+    planted '-copy' twins must pair at distance 0 and '-dup' twins
+    within 2 bits."""
+    from .functions.multimodal import image_dhash, dhash_pairs
+    pairs = dhash_pairs(image_dhash(_dhash_pixels(spark, sf)),
+                        max_hamming=6)
+    return pairs.orderBy("asset_a", "asset_b")
+
+
+# pixel val at flat index i (y=i//27, x=(i%27)//3, c=i%3) = digest byte
+# ((y*8 + (x*8)//9)*3 + c) % 32 of sha256(payload), +60 on the planted
+# '-dup' rows at i == h % 216.
+_DHASH_PIXELS_SQL = f"""
+img AS (
+    SELECT asset_id, sha256(payload_str) AS hx,
+           CAST('0x' || substr(md5(doc_id), 1, 15) AS BIGINT) AS h
+    FROM assets WHERE kind = 'image'
+),
+variants AS (
+    SELECT asset_id, hx, CAST(-1 AS BIGINT) AS bump FROM img
+    UNION ALL
+    SELECT asset_id || '-dup', hx, h % {_DHASH_NPIX} FROM img
+    WHERE h % 4 = 0
+    UNION ALL
+    SELECT asset_id || '-copy', hx, CAST(-1 AS BIGINT) FROM img
+    WHERE h % 7 = 0
+),
+px AS (
+    SELECT asset_id,
+           CAST(t.i AS BIGINT) AS i,
+           CAST(t.i // 27 AS BIGINT) AS y,
+           CAST((t.i % 27) // 3 AS BIGINT) AS x,
+           CAST('0x' || substr(hx,
+               2 * ((((t.i // 27) * 8 + (((t.i % 27) // 3) * 8) // 9) * 3
+                     + t.i % 3) % 32) + 1, 2) AS BIGINT)
+           + CASE WHEN t.i = bump THEN 60 ELSE 0 END AS val
+    FROM variants CROSS JOIN range(0, {_DHASH_NPIX}) AS t(i)
+),
+gray AS (
+    SELECT asset_id, y, x, sum(val) AS g
+    FROM px GROUP BY asset_id, y, x
+),
+bits AS (
+    SELECT asset_id, y, x, g,
+           lead(g) OVER (PARTITION BY asset_id, y ORDER BY x) AS nx
+    FROM gray
+),
+rowbytes AS (
+    SELECT asset_id, y,
+           CAST(sum(CASE WHEN x <= 7 AND nx > g
+                         THEN (1 << CAST(x AS INT)) ELSE 0 END)
+                AS BIGINT) AS byte
+    FROM bits GROUP BY asset_id, y
+)
+"""
+
+SQL_IMAGE_DHASH = f"""
+WITH assets AS ({MEDIA_ASSETS_SQL}),
+{_DHASH_PIXELS_SQL}
+SELECT asset_id,
+       string_agg(printf('%02x', byte), '' ORDER BY y) AS dhash_hex
+FROM rowbytes GROUP BY asset_id ORDER BY asset_id
+"""
+
+SQL_IMAGE_DEDUP = f"""
+WITH assets AS ({MEDIA_ASSETS_SQL}),
+{_DHASH_PIXELS_SQL},
+bands AS (
+    SELECT asset_id, y AS band_idx, byte AS band_val,
+           row_number() OVER (PARTITION BY y, byte
+                              ORDER BY asset_id) AS rn
+    FROM rowbytes
+),
+capped AS (SELECT * FROM bands WHERE rn <= 200),
+cand AS (
+    SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b
+    FROM capped a JOIN capped b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.asset_id < b.asset_id
+),
+ham AS (
+    SELECT c.asset_a, c.asset_b,
+           CAST(sum(bit_count(xor(ra.byte, rb.byte))) AS BIGINT)
+               AS hamming
+    FROM cand c
+    JOIN rowbytes ra ON ra.asset_id = c.asset_a
+    JOIN rowbytes rb ON rb.asset_id = c.asset_b AND rb.y = ra.y
+    GROUP BY c.asset_a, c.asset_b
+)
+SELECT asset_a, asset_b, hamming FROM ham
+WHERE hamming <= 6 ORDER BY asset_a, asset_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Dedup corpus materialization (training-pipeline op;
 # functions/dedup.py:dedup_keep_one — the keep-one endpoint of the
 # exact-dedup family, same planted duplicates as q_dedup_exact)
@@ -7213,6 +7353,8 @@ QUERIES = {
     "q_media_features": q_media_features,
     "q_media_resize": q_media_resize,
     "q_frame_sample": q_frame_sample,
+    "q_image_dhash": q_image_dhash,
+    "q_image_dedup": q_image_dedup,
     "q_embed_quantize": q_embed_quantize,
     "q_dedup_keep": q_dedup_keep,
     "q_vocab_topk": q_vocab_topk,
@@ -7333,6 +7475,8 @@ ORACLES = {
     "q_media_features": SQL_MEDIA_FEATURES,
     "q_media_resize": SQL_MEDIA_RESIZE,
     "q_frame_sample": SQL_FRAME_SAMPLE,
+    "q_image_dhash": SQL_IMAGE_DHASH,
+    "q_image_dedup": SQL_IMAGE_DEDUP,
     "q_embed_quantize": SQL_EMBED_QUANTIZE,
     "q_dedup_keep": SQL_DEDUP_KEEP,
     "q_vocab_topk": SQL_VOCAB_TOPK,

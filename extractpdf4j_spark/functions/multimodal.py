@@ -141,6 +141,97 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
                      F.explode(ts).alias("frame_ts_ms")))
 
 
+def image_dhash(resized: DataFrame, out_w: int = 9,
+                out_h: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash) over resized image pixels —
+    the LAION-style image near-dup signature: two images whose pixels
+    differ only by re-encoding/scaling/brightness produce hashes within
+    a few Hamming bits.
+
+    Input is :func:`resize_images` output shape (``pixels`` =
+    flattened row-major ``out_h x out_w x 3``); standard dHash uses
+    ``out_w=9, out_h=8`` → 8 comparisons per row → a 64-bit hash.
+    Grayscale is the exact integer channel sum (no luma weights — no
+    float rounding to disagree across engines); bit ``8*y + x`` is set
+    when ``gray(y, x+1) > gray(y, x)``.
+
+    Returns ``(asset_id, doc_id, b0..b{out_h-1}, dhash_hex)`` — one
+    byte column per pixel row (these are exactly the Hamming-join
+    bands :func:`dhash_pairs` buckets on) plus the concatenated hex
+    digest. Pure codegen projection: ``3*w*h`` array gets + ``(w-1)*h``
+    comparisons, no Python, no shuffle."""
+    px = F.col("pixels")
+
+    def gray(y: int, x: int):
+        k = 3 * (out_w * y + x)
+        return px.getItem(k) + px.getItem(k + 1) + px.getItem(k + 2)
+
+    cols = [F.col("asset_id"), F.col("doc_id")]
+    hex_parts = []
+    for y in range(out_h):
+        byte = F.lit(0).cast("long")
+        for x in range(out_w - 1):
+            byte = byte + F.when(gray(y, x + 1) > gray(y, x),
+                                 F.lit(1 << x).cast("long")).otherwise(
+                F.lit(0).cast("long"))
+        cols.append(byte.alias(f"b{y}"))
+        hex_parts.append(F.format_string("%02x", byte.cast("int")))
+    out = resized.select(*cols, F.concat(*hex_parts).alias("dhash_hex"))
+    return out
+
+
+def dhash_pairs(hashes: DataFrame, max_hamming: int = 6,
+                n_bands: int = 8, max_bucket: int = 200) -> DataFrame:
+    """Near-duplicate image pairs via banded Hamming join over
+    :func:`image_dhash` output.
+
+    Each of the ``n_bands`` row bytes is an 8-bit LSH band: images
+    sharing ANY band byte become candidates (pigeonhole: every pair
+    within Hamming distance ``n_bands - 1`` is guaranteed a shared
+    band; beyond that recall decays gracefully, the standard LSH
+    trade). Candidates are verified with the exact distance
+    ``sum(bit_count(a.b_y XOR b.b_y))`` and filtered to
+    ``<= max_hamming``.
+
+    Scale: equi-join on (band_idx, band_value) — never all-pairs; at
+    web scale 8-bit bands produce hot buckets (65k distinct values per
+    band), so ``max_bucket`` caps candidates per bucket exactly like
+    ``lsh_candidate_pairs``' hot-key guard — flat-color thumbnails
+    (the all-zero hash) cannot quadratically explode a task. Returns
+    ``(asset_a, asset_b, hamming)`` distinct pairs."""
+    byte_cols = [c for c in hashes.columns if c.startswith("b")
+                 and c[1:].isdigit()]
+    bands = hashes.select(
+        F.col("asset_id"),
+        F.posexplode(F.array(*[F.col(c) for c in byte_cols]))
+        .alias("band_idx", "band_val"))
+    if max_bucket:
+        from pyspark.sql import Window
+        w = Window.partitionBy("band_idx", "band_val").orderBy("asset_id")
+        bands = (bands.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+    cand = (bands.alias("x")
+            .join(bands.alias("y"),
+                  (F.col("x.band_idx") == F.col("y.band_idx"))
+                  & (F.col("x.band_val") == F.col("y.band_val"))
+                  & (F.col("x.asset_id") < F.col("y.asset_id")))
+            .select(F.col("x.asset_id").alias("asset_a"),
+                    F.col("y.asset_id").alias("asset_b"))
+            .distinct())
+    a = hashes.select(F.col("asset_id").alias("asset_a"),
+                      *[F.col(c).alias(f"_a{c}") for c in byte_cols])
+    b = hashes.select(F.col("asset_id").alias("asset_b"),
+                      *[F.col(c).alias(f"_b{c}") for c in byte_cols])
+    joined = cand.join(a, "asset_a").join(b, "asset_b")
+    ham = None
+    for c in byte_cols:
+        term = F.bit_count(F.col(f"_a{c}").bitwiseXOR(F.col(f"_b{c}")))
+        ham = term if ham is None else ham + term
+    return (joined.select("asset_a", "asset_b",
+                          ham.cast("long").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
 RESIZED_SCHEMA = StructType([
     StructField("asset_id", StringType()),
     StructField("doc_id", StringType()),

@@ -166,6 +166,35 @@ def test_embedding_near_duplicates(spark):
     assert all(k == (0, 1) for k in got)
 
 
+def test_image_dhash_and_pairs(spark):
+    """Hand-computable dHash values + banded Hamming pairing: an exact
+    copy pairs at distance 0, a one-comparison perturbation at distance
+    1 (7 shared bands), and an all-constant image shares no band with
+    the gradient image so it is never even a candidate."""
+    from extractpdf4j_spark.functions.multimodal import (image_dhash,
+                                                         dhash_pairs)
+    # 9x8x3 flattened row-major; gray(y,x) = sum of 3 channels.
+    grad = [x for _ in range(8) for x in range(9) for _ in range(3)]
+    flat = [5] * (9 * 8 * 3)
+    near = list(grad)
+    near[0] = 10            # gray(0,0): 0 -> 10+1+2=13 > gray(0,1)=3+4+5
+    rows = [("g", "d1", grad), ("g-copy", "d1", grad),
+            ("g-near", "d1", near), ("flat", "d2", flat)]
+    df = spark.createDataFrame(rows, "asset_id string, doc_id string, "
+                               "pixels array<int>")
+    hashes = image_dhash(df)
+    hx = {r["asset_id"]: r["dhash_hex"] for r in hashes.collect()}
+    assert hx["g"] == "ff" * 8          # strictly increasing gray
+    assert hx["flat"] == "00" * 8       # no comparison fires
+    assert hx["g-copy"] == hx["g"]
+    assert hx["g-near"] == "fe" + "ff" * 7   # bit 0 of row 0 flipped
+    got = {(r["asset_a"], r["asset_b"]): r["hamming"]
+           for r in dhash_pairs(hashes, max_hamming=6).collect()}
+    assert got[("g", "g-copy")] == 0
+    assert got[("g", "g-near")] == 1 and got[("g-copy", "g-near")] == 1
+    assert all("flat" not in k[0] and "flat" not in k[1] for k in got)
+
+
 def test_as_of_join_semantics(spark):
     """Inclusive match at equal ts, latest-prior wins, unmatched -> null."""
     from extractpdf4j_spark.functions.joins import as_of_join
