@@ -197,12 +197,22 @@ def dhash_pairs(hashes: DataFrame, max_hamming: int = 6,
     web scale 8-bit bands produce hot buckets (65k distinct values per
     band), so ``max_bucket`` caps candidates per bucket exactly like
     ``lsh_candidate_pairs``' hot-key guard — flat-color thumbnails
-    (the all-zero hash) cannot quadratically explode a task. Returns
-    ``(asset_a, asset_b, hamming)`` distinct pairs."""
+    (the all-zero hash) cannot quadratically explode a task.
+
+    Each band row CARRIES all ``n_bands`` byte columns (64 extra bytes
+    per row), so the verify distance is computed inline on the
+    self-join output instead of joining the pair set back to the hash
+    table twice: the self-join key equals the hot-key window's
+    partitioning, Spark reuses that exchange, and the whole operator is
+    ONE band shuffle + ONE pair groupBy (was 7 exchanges / 3
+    sort-merge joins as candidate-then-verify). The ``<= max_hamming``
+    filter runs before the pair dedup, shrinking the final shuffle to
+    surviving pairs only. Returns ``(asset_a, asset_b, hamming)``
+    distinct pairs."""
     byte_cols = [c for c in hashes.columns if c.startswith("b")
                  and c[1:].isdigit()]
     bands = hashes.select(
-        F.col("asset_id"),
+        F.col("asset_id"), *byte_cols,
         F.posexplode(F.array(*[F.col(c) for c in byte_cols]))
         .alias("band_idx", "band_val"))
     if max_bucket:
@@ -210,26 +220,22 @@ def dhash_pairs(hashes: DataFrame, max_hamming: int = 6,
         w = Window.partitionBy("band_idx", "band_val").orderBy("asset_id")
         bands = (bands.withColumn("_rn", F.row_number().over(w))
                  .filter(F.col("_rn") <= max_bucket).drop("_rn"))
-    cand = (bands.alias("x")
-            .join(bands.alias("y"),
-                  (F.col("x.band_idx") == F.col("y.band_idx"))
-                  & (F.col("x.band_val") == F.col("y.band_val"))
-                  & (F.col("x.asset_id") < F.col("y.asset_id")))
-            .select(F.col("x.asset_id").alias("asset_a"),
-                    F.col("y.asset_id").alias("asset_b"))
-            .distinct())
-    a = hashes.select(F.col("asset_id").alias("asset_a"),
-                      *[F.col(c).alias(f"_a{c}") for c in byte_cols])
-    b = hashes.select(F.col("asset_id").alias("asset_b"),
-                      *[F.col(c).alias(f"_b{c}") for c in byte_cols])
-    joined = cand.join(a, "asset_a").join(b, "asset_b")
+    joined = (bands.alias("x")
+              .join(bands.alias("y"),
+                    (F.col("x.band_idx") == F.col("y.band_idx"))
+                    & (F.col("x.band_val") == F.col("y.band_val"))
+                    & (F.col("x.asset_id") < F.col("y.asset_id"))))
     ham = None
     for c in byte_cols:
-        term = F.bit_count(F.col(f"_a{c}").bitwiseXOR(F.col(f"_b{c}")))
+        term = F.bit_count(
+            F.col(f"x.{c}").bitwiseXOR(F.col(f"y.{c}")))
         ham = term if ham is None else ham + term
-    return (joined.select("asset_a", "asset_b",
+    return (joined.select(F.col("x.asset_id").alias("asset_a"),
+                          F.col("y.asset_id").alias("asset_b"),
                           ham.cast("long").alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+            .filter(F.col("hamming") <= max_hamming)
+            .groupBy("asset_a", "asset_b")
+            .agg(F.first("hamming").alias("hamming")))
 
 
 RESIZED_SCHEMA = StructType([
