@@ -1976,9 +1976,7 @@ SELECT asset_id,
 FROM rowbytes GROUP BY asset_id ORDER BY asset_id
 """
 
-SQL_IMAGE_DEDUP = f"""
-WITH assets AS ({MEDIA_ASSETS_SQL}),
-{_DHASH_PIXELS_SQL},
+_DHASH_PAIRS_SQL = """
 bands AS (
     SELECT asset_id, y AS band_idx, byte AS band_val,
            row_number() OVER (PARTITION BY y, byte
@@ -2001,8 +1999,48 @@ ham AS (
     JOIN rowbytes rb ON rb.asset_id = c.asset_b AND rb.y = ra.y
     GROUP BY c.asset_a, c.asset_b
 )
+"""
+
+SQL_IMAGE_DEDUP = f"""
+WITH assets AS ({MEDIA_ASSETS_SQL}),
+{_DHASH_PIXELS_SQL},
+{_DHASH_PAIRS_SQL}
 SELECT asset_a, asset_b, hamming FROM ham
 WHERE hamming <= 6 ORDER BY asset_a, asset_b
+"""
+
+
+def q_image_dedup_keep(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed perceptual-dedup REMOVAL: dHash → banded Hamming pairs
+    → connected components → keep min asset_id per cluster. The planted
+    '-copy'/'-dup' twins must vanish while every base image (the
+    cluster minimum — '-copy' > '-dup' > base lexically) survives with
+    its digest intact."""
+    from .functions.multimodal import image_near_dedup
+    kept = image_near_dedup(_dhash_pixels(spark, sf), num_partitions=8,
+                            check_every=2)
+    return kept.select("asset_id", "dhash_hex").orderBy("asset_id")
+
+
+SQL_IMAGE_DEDUP_KEEP = f"""
+WITH RECURSIVE assets AS ({MEDIA_ASSETS_SQL}),
+{_DHASH_PIXELS_SQL},
+{_DHASH_PAIRS_SQL},
+vp AS (SELECT asset_a AS a, asset_b AS b FROM ham WHERE hamming <= 6),
+ed AS (SELECT a AS u, b AS v FROM vp UNION ALL SELECT b AS u, a AS v FROM vp),
+reach AS (
+    SELECT u AS node, u AS label FROM (SELECT DISTINCT u FROM ed)
+    UNION
+    SELECT ed.u AS node, reach.label
+    FROM ed JOIN reach ON ed.v = reach.node
+),
+cl AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+drp AS (SELECT node FROM cl WHERE node <> cluster)
+SELECT asset_id,
+       string_agg(printf('%02x', byte), '' ORDER BY y) AS dhash_hex
+FROM rowbytes
+WHERE asset_id NOT IN (SELECT node FROM drp)
+GROUP BY asset_id ORDER BY asset_id
 """
 
 
@@ -7355,6 +7393,7 @@ QUERIES = {
     "q_frame_sample": q_frame_sample,
     "q_image_dhash": q_image_dhash,
     "q_image_dedup": q_image_dedup,
+    "q_image_dedup_keep": q_image_dedup_keep,
     "q_embed_quantize": q_embed_quantize,
     "q_dedup_keep": q_dedup_keep,
     "q_vocab_topk": q_vocab_topk,
@@ -7477,6 +7516,7 @@ ORACLES = {
     "q_frame_sample": SQL_FRAME_SAMPLE,
     "q_image_dhash": SQL_IMAGE_DHASH,
     "q_image_dedup": SQL_IMAGE_DEDUP,
+    "q_image_dedup_keep": SQL_IMAGE_DEDUP_KEEP,
     "q_embed_quantize": SQL_EMBED_QUANTIZE,
     "q_dedup_keep": SQL_DEDUP_KEEP,
     "q_vocab_topk": SQL_VOCAB_TOPK,

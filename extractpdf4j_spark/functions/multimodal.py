@@ -160,24 +160,30 @@ def image_dhash(resized: DataFrame, out_w: int = 9,
     bands :func:`dhash_pairs` buckets on) plus the concatenated hex
     digest. Pure codegen projection: ``3*w*h`` array gets + ``(w-1)*h``
     comparisons, no Python, no shuffle."""
+    byte_cols, hex_col = _dhash_exprs(out_w, out_h)
+    return resized.select(F.col("asset_id"), F.col("doc_id"),
+                          *byte_cols, hex_col)
+
+
+def _dhash_exprs(out_w: int, out_h: int):
+    """The dHash byte/hex column expressions (aliased ``b0..b{h-1}``
+    and ``dhash_hex``), reusable on any lineage carrying ``pixels``."""
     px = F.col("pixels")
 
     def gray(y: int, x: int):
         k = 3 * (out_w * y + x)
         return px.getItem(k) + px.getItem(k + 1) + px.getItem(k + 2)
 
-    cols = [F.col("asset_id"), F.col("doc_id")]
-    hex_parts = []
+    byte_cols, hex_parts = [], []
     for y in range(out_h):
         byte = F.lit(0).cast("long")
         for x in range(out_w - 1):
             byte = byte + F.when(gray(y, x + 1) > gray(y, x),
                                  F.lit(1 << x).cast("long")).otherwise(
                 F.lit(0).cast("long"))
-        cols.append(byte.alias(f"b{y}"))
+        byte_cols.append(byte.alias(f"b{y}"))
         hex_parts.append(F.format_string("%02x", byte.cast("int")))
-    out = resized.select(*cols, F.concat(*hex_parts).alias("dhash_hex"))
-    return out
+    return byte_cols, F.concat(*hex_parts).alias("dhash_hex")
 
 
 def dhash_pairs(hashes: DataFrame, max_hamming: int = 6,
@@ -236,6 +242,37 @@ def dhash_pairs(hashes: DataFrame, max_hamming: int = 6,
             .filter(F.col("hamming") <= max_hamming)
             .groupBy("asset_a", "asset_b")
             .agg(F.first("hamming").alias("hamming")))
+
+
+def image_near_dedup(resized: DataFrame, max_hamming: int = 6,
+                     n_bands: int = 8, max_bucket: int = 200,
+                     num_partitions: int | None = None,
+                     check_every: int = 1) -> DataFrame:
+    """Composed perceptual image dedup (the LAION-style removal pass):
+    dHash → banded Hamming pairs → connected components → keep the
+    minimum ``asset_id`` per cluster. Returns the SURVIVING rows of
+    ``resized`` with their ``dhash_hex`` attached — re-encoded /
+    brightness-shifted copies collapse to one representative.
+
+    Scale shape: everything upstream is the audited
+    :func:`image_dhash` / :func:`dhash_pairs` plans; clustering runs on
+    the PAIR graph only (orders of magnitude smaller than the corpus —
+    ``num_partitions`` sizes its per-round shuffles). The hash columns
+    are computed INLINE on the survivor lineage (dHash is a pure
+    projection), so the removal costs exactly one left-anti join
+    against the dropped-node set — no corpus-sized join back to a hash
+    table."""
+    from .dedup import duplicate_clusters
+    pairs = dhash_pairs(image_dhash(resized), max_hamming=max_hamming,
+                        n_bands=n_bands, max_bucket=max_bucket)
+    clusters = duplicate_clusters(pairs, "asset_a", "asset_b",
+                                  num_partitions=num_partitions,
+                                  check_every=check_every)
+    drop = (clusters.filter(F.col("node") != F.col("cluster"))
+            .select(F.col("node").alias("asset_id")))
+    _, hex_col = _dhash_exprs(9, 8)
+    return (resized.select("*", hex_col)
+            .join(drop, "asset_id", "left_anti"))
 
 
 RESIZED_SCHEMA = StructType([

@@ -194,6 +194,14 @@ def test_image_dhash_and_pairs(spark):
     assert got[("g", "g-near")] == 1 and got[("g-copy", "g-near")] == 1
     assert all("flat" not in k[0] and "flat" not in k[1] for k in got)
 
+    # composed removal: the {g, g-copy, g-near} cluster keeps its
+    # minimum member; the unpaired flat image survives untouched
+    from extractpdf4j_spark.functions.multimodal import image_near_dedup
+    kept = image_near_dedup(df).collect()
+    assert {r["asset_id"] for r in kept} == {"g", "flat"}
+    assert {r["dhash_hex"] for r in kept} == {"ff" * 8, "00" * 8}
+    assert all(len(r["pixels"]) == 216 for r in kept)   # payload rides
+
 
 def test_as_of_join_semantics(spark):
     """Inclusive match at equal ts, latest-prior wins, unmatched -> null."""
