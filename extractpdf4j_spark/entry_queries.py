@@ -1867,6 +1867,142 @@ ORDER BY asset_id, frame_ts_ms
 
 
 # ---------------------------------------------------------------------------
+# Video near-dup via frame-sampled dHash (multimodal ops:
+# video_frame_dhash + video_near_duplicates). Planted variants: every
+# video gets an identical '-re' twin (re-encode: jaccard 1.0) and, where
+# duration_ms >= 2000, a '-trim' twin cut 1000 ms shorter (prefix
+# overlap: jaccard = n_trim / n_base). Frames derive from
+# sha256(payload '@' ts) so the schedule → decode → resize → hash chain
+# is exactly replayable in SQL.
+# ---------------------------------------------------------------------------
+
+
+def _video_variants(spark: SparkSession, sf: str) -> DataFrame:
+    v = _media_assets(spark, sf).filter(F.col("kind") == "video")
+    re_twin = v.withColumn("asset_id", F.concat("asset_id", F.lit("-re")))
+    trim = (v.filter(F.col("duration_ms") >= 2000)
+            .withColumn("duration_ms", F.col("duration_ms") - 1000)
+            .withColumn("asset_id", F.concat("asset_id", F.lit("-trim"))))
+    return v.unionByName(re_twin).unionByName(trim)
+
+
+def q_video_dhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-frame perceptual hashes over the planted video variants:
+    frame schedule (every 500 ms), deterministic fake decode, 8x8→9x8
+    resize and the dHash bit arithmetic are all hash-gated via the hex
+    digest per (asset, frame)."""
+    from .functions.multimodal import video_frame_dhash
+    return (video_frame_dhash(_video_variants(spark, sf), every_ms=500,
+                              fake=True)
+            .select("asset_id", "frame_ts_ms", "dhash_hex")
+            .orderBy("asset_id", "frame_ts_ms"))
+
+
+def q_video_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Video-level near-duplicates from frame-hash set overlap: '-re'
+    twins must pair at jaccard 1.0 and '-trim' twins at the exact
+    prefix fraction; unrelated videos share no frame hash."""
+    from .functions.multimodal import video_frame_dhash, video_near_duplicates
+    fh = video_frame_dhash(_video_variants(spark, sf), every_ms=500,
+                           fake=True)
+    return (video_near_duplicates(fh, threshold=0.3)
+            .orderBy("asset_a", "asset_b"))
+
+
+# frame pixel val at flat index i (y=i//27, x=(i%27)//3, c=i%3) = byte
+# ((y*8 + (x*8)//9)*3 + c) % 32 of sha256(payload '@' ts) — the same
+# resize index map as _DHASH_PIXELS_SQL, one digest per sampled frame.
+_VIDEO_FRAME_HEX_SQL = """
+vids AS (
+    SELECT asset_id, duration_ms, payload_str
+    FROM assets WHERE kind = 'video'
+),
+variants AS (
+    SELECT asset_id, duration_ms, payload_str FROM vids
+    UNION ALL
+    SELECT asset_id || '-re', duration_ms, payload_str FROM vids
+    UNION ALL
+    SELECT asset_id || '-trim', duration_ms - 1000, payload_str
+    FROM vids WHERE duration_ms >= 2000
+),
+fh AS (
+    SELECT asset_id, ts,
+           sha256(payload_str || '@' || CAST(ts AS VARCHAR)) AS hx
+    FROM (SELECT asset_id, payload_str,
+                 unnest(generate_series(0, greatest(duration_ms - 1, 0),
+                                        500)) AS ts
+          FROM variants)
+),
+px AS (
+    SELECT asset_id, ts,
+           CAST(t.i // 27 AS BIGINT) AS y,
+           CAST((t.i % 27) // 3 AS BIGINT) AS x,
+           CAST('0x' || substr(hx,
+               2 * ((((t.i // 27) * 8 + (((t.i % 27) // 3) * 8) // 9) * 3
+                     + t.i % 3) % 32) + 1, 2) AS BIGINT) AS val
+    FROM fh CROSS JOIN range(0, 216) AS t(i)
+),
+gray AS (
+    SELECT asset_id, ts, y, x, sum(val) AS g
+    FROM px GROUP BY asset_id, ts, y, x
+),
+bits AS (
+    SELECT asset_id, ts, y, x, g,
+           lead(g) OVER (PARTITION BY asset_id, ts, y ORDER BY x) AS nx
+    FROM gray
+),
+rowbytes AS (
+    SELECT asset_id, ts, y,
+           CAST(sum(CASE WHEN x <= 7 AND nx > g
+                         THEN (1 << CAST(x AS INT)) ELSE 0 END)
+                AS BIGINT) AS byte
+    FROM bits GROUP BY asset_id, ts, y
+),
+fhex AS (
+    SELECT asset_id, ts,
+           string_agg(printf('%02x', byte), '' ORDER BY y) AS dhash_hex
+    FROM rowbytes GROUP BY asset_id, ts
+)
+"""
+
+SQL_VIDEO_DHASH = f"""
+WITH assets AS ({MEDIA_ASSETS_SQL}),
+{_VIDEO_FRAME_HEX_SQL}
+SELECT asset_id, CAST(ts AS BIGINT) AS frame_ts_ms, dhash_hex
+FROM fhex ORDER BY asset_id, frame_ts_ms
+"""
+
+SQL_VIDEO_NEARDUP = f"""
+WITH assets AS ({MEDIA_ASSETS_SQL}),
+{_VIDEO_FRAME_HEX_SQL},
+fsets AS (SELECT DISTINCT asset_id, dhash_hex FROM fhex),
+capped AS (
+    SELECT asset_id, dhash_hex
+    FROM (SELECT asset_id, dhash_hex,
+                 row_number() OVER (PARTITION BY dhash_hex
+                                    ORDER BY asset_id) AS rn
+          FROM fsets)
+    WHERE rn <= 200
+),
+sizes AS (SELECT asset_id, count(*) AS n FROM capped GROUP BY asset_id),
+shared AS (
+    SELECT x.asset_id AS asset_a, y.asset_id AS asset_b,
+           count(*) AS ns
+    FROM capped x JOIN capped y
+      ON x.dhash_hex = y.dhash_hex AND x.asset_id < y.asset_id
+    GROUP BY x.asset_id, y.asset_id
+)
+SELECT asset_a, asset_b, CAST(ns AS BIGINT) AS n_shared,
+       round(ns / (sa.n + sb.n - ns), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.asset_id = asset_a
+JOIN sizes sb ON sb.asset_id = asset_b
+WHERE ns / (sa.n + sb.n - ns) >= 0.3
+ORDER BY asset_a, asset_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Perceptual-hash image dedup (multimodal ops: image_dhash +
 # dhash_pairs). The pixel source is resize_images over the fake
 # sha256-derived decode (exactly reconstructible in SQL, as in
@@ -7391,6 +7527,8 @@ QUERIES = {
     "q_media_features": q_media_features,
     "q_media_resize": q_media_resize,
     "q_frame_sample": q_frame_sample,
+    "q_video_dhash": q_video_dhash,
+    "q_video_neardup": q_video_neardup,
     "q_image_dhash": q_image_dhash,
     "q_image_dedup": q_image_dedup,
     "q_image_dedup_keep": q_image_dedup_keep,
@@ -7514,6 +7652,8 @@ ORACLES = {
     "q_media_features": SQL_MEDIA_FEATURES,
     "q_media_resize": SQL_MEDIA_RESIZE,
     "q_frame_sample": SQL_FRAME_SAMPLE,
+    "q_video_dhash": SQL_VIDEO_DHASH,
+    "q_video_neardup": SQL_VIDEO_NEARDUP,
     "q_image_dhash": SQL_IMAGE_DHASH,
     "q_image_dedup": SQL_IMAGE_DEDUP,
     "q_image_dedup_keep": SQL_IMAGE_DEDUP_KEEP,

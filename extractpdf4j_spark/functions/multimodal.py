@@ -314,3 +314,98 @@ def resize_images(assets: DataFrame, out_w: int = 4, out_h: int = 4,
 
     imgs = assets.filter(F.col("kind") == "image")
     return imgs.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_PIXEL_SCHEMA = StructType([
+    StructField("asset_id", StringType()),
+    StructField("doc_id", StringType()),
+    StructField("frame_ts_ms", LongType()),
+    StructField("pixels", ArrayType(LongType())),
+])
+
+
+def video_frame_dhash(assets: DataFrame, every_ms: int = 500,
+                      out_w: int = 9, out_h: int = 8,
+                      fake: bool = False) -> DataFrame:
+    """Per-frame perceptual hashes for video assets: sample one frame
+    every ``every_ms`` (the :func:`frame_sample_plan` schedule), decode
+    + nearest-neighbor-resize each frame (Arrow-batched), and dHash the
+    pixels with the exact :func:`image_dhash` arithmetic. Returns
+    ``(asset_id, doc_id, frame_ts_ms, b0.., dhash_hex)``.
+
+    The real frame decode needs ffmpeg/cv2 (absent here) — STUB;
+    ``fake=True`` derives each frame from
+    ``sha256(payload + b'@' + str(ts))`` so the whole schedule → decode
+    → resize → hash chain is deterministic and oracle-checkable. The
+    per-(asset, frame) rows are the parallelism unit: a 3-hour video
+    fans out to thousands of independent frame rows, and only 16-char
+    hex signatures + 8 byte columns survive the projection."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                n = max(int(t.duration_ms) - 1, 0) // every_ms + 1
+                for k in range(n):
+                    ts = k * every_ms
+                    frame = decode_image(
+                        bytes(t.payload) + b"@" + str(ts).encode(),
+                        fake=fake)
+                    in_h, in_w = frame.shape[:2]
+                    ys = (np.arange(out_h) * in_h) // out_h
+                    xs = (np.arange(out_w) * in_w) // out_w
+                    small = frame[np.ix_(ys, xs)]
+                    rows.append((t.asset_id, t.doc_id, ts,
+                                 small.reshape(-1).astype(np.int64)
+                                 .tolist()))
+            yield pd.DataFrame(rows, columns=["asset_id", "doc_id",
+                                              "frame_ts_ms", "pixels"])
+
+    vids = assets.filter(F.col("kind") == "video")
+    frames = vids.mapInPandas(run, schema=FRAME_PIXEL_SCHEMA)
+    byte_cols, hex_col = _dhash_exprs(out_w, out_h)
+    return frames.select("asset_id", "doc_id", "frame_ts_ms",
+                         *byte_cols, hex_col)
+
+
+def video_near_duplicates(frame_hashes: DataFrame, threshold: float = 0.3,
+                          max_bucket: int = 200) -> DataFrame:
+    """Video-level near-duplicates via frame-hash set overlap — the
+    video analog of n-gram Jaccard: re-encoded copies share every frame
+    hash (jaccard 1.0), trimmed/extended cuts share a prefix (jaccard =
+    overlap fraction), unrelated videos share nothing.
+
+    One distinct per (video, frame hash), one equi-join on the hash
+    value (``max_bucket`` caps videos per hash — a black-frames hash
+    shared by half of YouTube cannot explode a task), one pair
+    aggregation, then a size join for the exact Jaccard. Set semantics
+    (not multiset) make the measure order- and rate-insensitive.
+    Returns ``(asset_a, asset_b, n_shared, jaccard)``."""
+    fr = (frame_hashes.select("asset_id", "dhash_hex").distinct())
+    if max_bucket:
+        from pyspark.sql import Window
+        w = Window.partitionBy("dhash_hex").orderBy("asset_id")
+        fr = (fr.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+    # the capped frame-hash set feeds THREE consumers (sizes + both
+    # self-join sides) — cache the seam or the frame-decode lineage
+    # upstream executes once per consumer (house rule for composed ops)
+    fr = fr.cache()
+    sizes = fr.groupBy("asset_id").agg(F.count("*").alias("n"))
+    shared = (fr.alias("x")
+              .join(fr.alias("y"),
+                    (F.col("x.dhash_hex") == F.col("y.dhash_hex"))
+                    & (F.col("x.asset_id") < F.col("y.asset_id")))
+              .groupBy(F.col("x.asset_id").alias("asset_a"),
+                       F.col("y.asset_id").alias("asset_b"))
+              .agg(F.count("*").cast("long").alias("n_shared")))
+    return (shared
+            .join(sizes.select(F.col("asset_id").alias("asset_a"),
+                               F.col("n").alias("_na")), "asset_a")
+            .join(sizes.select(F.col("asset_id").alias("asset_b"),
+                               F.col("n").alias("_nb")), "asset_b")
+            .withColumn("jaccard",
+                        F.col("n_shared")
+                        / (F.col("_na") + F.col("_nb") - F.col("n_shared")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("asset_a", "asset_b", "n_shared",
+                    F.round("jaccard", 6).alias("jaccard")))

@@ -203,6 +203,40 @@ def test_image_dhash_and_pairs(spark):
     assert all(len(r["pixels"]) == 216 for r in kept)   # payload rides
 
 
+def test_video_frame_dhash_and_neardup(spark):
+    """Frame schedule, hash determinism, and set-overlap semantics: a
+    re-encoded twin pairs at jaccard 1.0, a 1200ms trim of a 2200ms
+    video shares exactly its 3 frames (3/5 = 0.6), and an unrelated
+    video pairs with nothing."""
+    from extractpdf4j_spark.functions.multimodal import (
+        video_frame_dhash, video_near_duplicates)
+    rows = [("v1", "d1", "video", 2200, b"payload-one"),
+            ("v1-re", "d1", "video", 2200, b"payload-one"),
+            ("v1-trim", "d1", "video", 1200, b"payload-one"),
+            ("other", "d2", "video", 2200, b"payload-two"),
+            ("img", "d3", "image", -1, b"x")]
+    df = spark.createDataFrame(rows, "asset_id string, doc_id string, "
+                               "kind string, duration_ms long, "
+                               "payload binary")
+    fh = video_frame_dhash(df, every_ms=500, fake=True)
+    got = fh.collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["asset_id"], {})[r["frame_ts_ms"]] = r["dhash_hex"]
+    assert "img" not in per
+    assert sorted(per["v1"]) == [0, 500, 1000, 1500, 2000]
+    assert sorted(per["v1-trim"]) == [0, 500, 1000]
+    assert per["v1"] == per["v1-re"]                     # deterministic
+    assert all(per["v1"][t] == per["v1-trim"][t] for t in per["v1-trim"])
+    assert per["other"][0] != per["v1"][0]
+    pairs = {(r["asset_a"], r["asset_b"]): (r["n_shared"], r["jaccard"])
+             for r in video_near_duplicates(fh, threshold=0.3).collect()}
+    assert pairs[("v1", "v1-re")] == (5, 1.0)
+    assert pairs[("v1", "v1-trim")] == (3, 0.6)
+    assert pairs[("v1-re", "v1-trim")] == (3, 0.6)
+    assert all("other" not in k[0] and "other" not in k[1] for k in pairs)
+
+
 def test_as_of_join_semantics(spark):
     """Inclusive match at equal ts, latest-prior wins, unmatched -> null."""
     from extractpdf4j_spark.functions.joins import as_of_join
