@@ -127,6 +127,10 @@ HEAVY_QUERIES = [
     "q_dedup_ngrams",
     "q_bigram_lm",
     "q_curate", "q_media_features", "q_ann_scale",
+    # perceptual dedup in dependency order: dhash/pairs warm the
+    # resize+hash lineage that the composed keep-one pass re-executes
+    "q_image_dhash", "q_image_dedup", "q_image_dedup_keep",
+    "q_video_dhash", "q_video_neardup",
     "q_embed_neardup",
     "q_ivf_ann", "q_ivf_pq", "q_semantic_dedup", "q_simhash", "q_lsh_ann",
     "q_bpe_merges", "q_bpe_token_count", "q_char_entropy",

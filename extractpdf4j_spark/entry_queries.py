@@ -2003,6 +2003,121 @@ ORDER BY asset_a, asset_b
 
 
 # ---------------------------------------------------------------------------
+# Audio fingerprinting (multimodal ops: audio_fingerprint +
+# audio_near_duplicates). Chained window-hash shingles (Shazam-shaped:
+# order-sensitive landmarks); window w's hash = 60 bits of
+# sha256(payload '#' w), shingle = 60 bits of sha256 over the three
+# chained hash decimals — every step a pure expression of
+# (payload, index), replayed verbatim in SQL. Variants: '-re' identical
+# twins, '-cut' twins 1000 ms shorter where duration_ms >= 2000;
+# sub-3-window audios emit no shingles.
+# ---------------------------------------------------------------------------
+
+
+def _audio_variants(spark: SparkSession, sf: str) -> DataFrame:
+    a = _media_assets(spark, sf).filter(F.col("kind") == "audio")
+    re_twin = a.withColumn("asset_id", F.concat("asset_id", F.lit("-re")))
+    cut = (a.filter(F.col("duration_ms") >= 2000)
+           .withColumn("duration_ms", F.col("duration_ms") - 1000)
+           .withColumn("asset_id", F.concat("asset_id", F.lit("-cut"))))
+    return a.unionByName(re_twin).unionByName(cut)
+
+
+def q_audio_fp(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio fingerprint shingles over the planted variants: window
+    framing, per-window 60-bit hash and the chained shingle hash are
+    all pure codegen expressions — exact BIGINT equality end to end."""
+    from .functions.multimodal import audio_fingerprint
+    return (audio_fingerprint(_audio_variants(spark, sf), win_ms=250,
+                              shingle=3)
+            .select("asset_id", "shingle_idx", "fp_hash")
+            .orderBy("asset_id", "shingle_idx"))
+
+
+def q_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio near-duplicates from shingle-set overlap: '-re' twins at
+    jaccard 1.0, '-cut' twins at the exact prefix fraction."""
+    from .functions.multimodal import (audio_fingerprint,
+                                       audio_near_duplicates)
+    fp = audio_fingerprint(_audio_variants(spark, sf), win_ms=250,
+                           shingle=3)
+    return (audio_near_duplicates(fp, threshold=0.3)
+            .orderBy("asset_a", "asset_b"))
+
+
+_AUDIO_WH = ("CAST('0x' || substr(sha256(payload_str || '#' || "
+             "CAST(s + {o} AS VARCHAR)), 1, 15) AS BIGINT)")
+
+_AUDIO_FP_SQL = f"""
+auds AS (
+    SELECT asset_id, duration_ms, payload_str
+    FROM assets WHERE kind = 'audio'
+),
+avariants AS (
+    SELECT asset_id, duration_ms, payload_str FROM auds
+    UNION ALL
+    SELECT asset_id || '-re', duration_ms, payload_str FROM auds
+    UNION ALL
+    SELECT asset_id || '-cut', duration_ms - 1000, payload_str
+    FROM auds WHERE duration_ms >= 2000
+),
+sh AS (
+    SELECT asset_id, payload_str,
+           unnest(generate_series(0, n - 3)) AS s
+    FROM (SELECT asset_id, payload_str,
+                 greatest(duration_ms - 1, 0) // 250 + 1 AS n
+          FROM avariants)
+    WHERE n >= 3
+),
+fp AS (
+    SELECT asset_id, CAST(s AS BIGINT) AS shingle_idx,
+           CAST('0x' || substr(sha256(
+               CAST({_AUDIO_WH.format(o=0)} AS VARCHAR) || ':' ||
+               CAST({_AUDIO_WH.format(o=1)} AS VARCHAR) || ':' ||
+               CAST({_AUDIO_WH.format(o=2)} AS VARCHAR)), 1, 15)
+               AS BIGINT) AS fp_hash
+    FROM sh
+)
+"""
+
+SQL_AUDIO_FP = f"""
+WITH assets AS ({MEDIA_ASSETS_SQL}),
+{_AUDIO_FP_SQL}
+SELECT asset_id, shingle_idx, fp_hash FROM fp
+ORDER BY asset_id, shingle_idx
+"""
+
+SQL_AUDIO_NEARDUP = f"""
+WITH assets AS ({MEDIA_ASSETS_SQL}),
+{_AUDIO_FP_SQL},
+fsets AS (SELECT DISTINCT asset_id, fp_hash FROM fp),
+capped AS (
+    SELECT asset_id, fp_hash
+    FROM (SELECT asset_id, fp_hash,
+                 row_number() OVER (PARTITION BY fp_hash
+                                    ORDER BY asset_id) AS rn
+          FROM fsets)
+    WHERE rn <= 200
+),
+sizes AS (SELECT asset_id, count(*) AS n FROM capped GROUP BY asset_id),
+shared AS (
+    SELECT x.asset_id AS asset_a, y.asset_id AS asset_b,
+           count(*) AS ns
+    FROM capped x JOIN capped y
+      ON x.fp_hash = y.fp_hash AND x.asset_id < y.asset_id
+    GROUP BY x.asset_id, y.asset_id
+)
+SELECT asset_a, asset_b, CAST(ns AS BIGINT) AS n_shared,
+       round(ns / (sa.n + sb.n - ns), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.asset_id = asset_a
+JOIN sizes sb ON sb.asset_id = asset_b
+WHERE ns / (sa.n + sb.n - ns) >= 0.3
+ORDER BY asset_a, asset_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Perceptual-hash image dedup (multimodal ops: image_dhash +
 # dhash_pairs). The pixel source is resize_images over the fake
 # sha256-derived decode (exactly reconstructible in SQL, as in
@@ -7529,6 +7644,8 @@ QUERIES = {
     "q_frame_sample": q_frame_sample,
     "q_video_dhash": q_video_dhash,
     "q_video_neardup": q_video_neardup,
+    "q_audio_fp": q_audio_fp,
+    "q_audio_neardup": q_audio_neardup,
     "q_image_dhash": q_image_dhash,
     "q_image_dedup": q_image_dedup,
     "q_image_dedup_keep": q_image_dedup_keep,
@@ -7654,6 +7771,8 @@ ORACLES = {
     "q_frame_sample": SQL_FRAME_SAMPLE,
     "q_video_dhash": SQL_VIDEO_DHASH,
     "q_video_neardup": SQL_VIDEO_NEARDUP,
+    "q_audio_fp": SQL_AUDIO_FP,
+    "q_audio_neardup": SQL_AUDIO_NEARDUP,
     "q_image_dhash": SQL_IMAGE_DHASH,
     "q_image_dedup": SQL_IMAGE_DEDUP,
     "q_image_dedup_keep": SQL_IMAGE_DEDUP_KEEP,

@@ -380,20 +380,30 @@ def video_near_duplicates(frame_hashes: DataFrame, threshold: float = 0.3,
     aggregation, then a size join for the exact Jaccard. Set semantics
     (not multiset) make the measure order- and rate-insensitive.
     Returns ``(asset_a, asset_b, n_shared, jaccard)``."""
-    fr = (frame_hashes.select("asset_id", "dhash_hex").distinct())
+    return _set_overlap_pairs(frame_hashes, "dhash_hex", threshold,
+                              max_bucket)
+
+
+def _set_overlap_pairs(df: DataFrame, val_col: str, threshold: float,
+                       max_bucket: int) -> DataFrame:
+    """Shared signature-set Jaccard machinery (video frame hashes,
+    audio fingerprint shingles): distinct per (asset, value) →
+    ``max_bucket`` hot-key cap → equi-self-join on the value → pair
+    count → exact Jaccard via a size join. The capped set feeds three
+    consumers (sizes + both self-join sides), so it is cached at that
+    seam — otherwise the signature-extraction lineage upstream executes
+    once per consumer (house rule for composed ops)."""
+    fr = df.select("asset_id", val_col).distinct()
     if max_bucket:
         from pyspark.sql import Window
-        w = Window.partitionBy("dhash_hex").orderBy("asset_id")
+        w = Window.partitionBy(val_col).orderBy("asset_id")
         fr = (fr.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") <= max_bucket).drop("_rn"))
-    # the capped frame-hash set feeds THREE consumers (sizes + both
-    # self-join sides) — cache the seam or the frame-decode lineage
-    # upstream executes once per consumer (house rule for composed ops)
     fr = fr.cache()
     sizes = fr.groupBy("asset_id").agg(F.count("*").alias("n"))
     shared = (fr.alias("x")
               .join(fr.alias("y"),
-                    (F.col("x.dhash_hex") == F.col("y.dhash_hex"))
+                    (F.col(f"x.{val_col}") == F.col(f"y.{val_col}"))
                     & (F.col("x.asset_id") < F.col("y.asset_id")))
               .groupBy(F.col("x.asset_id").alias("asset_a"),
                        F.col("y.asset_id").alias("asset_b"))
@@ -409,3 +419,59 @@ def video_near_duplicates(frame_hashes: DataFrame, threshold: float = 0.3,
             .filter(F.col("jaccard") >= threshold)
             .select("asset_a", "asset_b", "n_shared",
                     F.round("jaccard", 6).alias("jaccard")))
+
+
+def audio_fingerprint(assets: DataFrame, win_ms: int = 250,
+                      shingle: int = 3) -> DataFrame:
+    """Audio fingerprinting as chained window-hash shingles — the
+    Shazam-shaped signature: the stream is framed into ``win_ms``
+    windows, each window gets a 60-bit hash, and the landmark unit is
+    the SHINGLE of ``shingle`` consecutive window hashes (order
+    matters: a re-encode shares every shingle, a trimmed cut shares the
+    prefix shingles, a shuffled remix shares almost none).
+
+    The per-window feature extraction is the codec-gated step; the
+    stand-in derives window ``w``'s hash from
+    ``sha2(payload || '#' || w)``. Because that makes each window hash
+    a PURE EXPRESSION of (payload, index), the shingle at position
+    ``s`` is computed inline from the hashes at ``s..s+shingle-1`` —
+    one posexplode over shingle positions, zero window functions, zero
+    shuffles, whole-stage codegen end to end. Assets shorter than
+    ``shingle`` windows emit no rows. Returns
+    ``(asset_id, doc_id, shingle_idx, fp_hash)``."""
+    aud = assets.filter(F.col("kind") == "audio")
+    n_win = (F.greatest(F.col("duration_ms") - 1, F.lit(0))
+             / win_ms).cast("long") + 1
+
+    def win_hash(idx):
+        raw = F.concat(F.col("payload"), F.encode(F.lit("#"), "utf-8"),
+                       F.encode(idx.cast("string"), "utf-8"))
+        return F.conv(F.substring(F.sha2(raw, 256), 1, 15), 16, 10) \
+                .cast("long")
+
+    pos = (aud.filter(n_win >= shingle)
+           .select("asset_id", "doc_id", "payload",
+                   F.posexplode(F.sequence(
+                       F.lit(0).cast("long"),
+                       (n_win - shingle).cast("long")))
+                   .alias("shingle_idx", "_s")))
+    parts = [win_hash(F.col("_s") + k).cast("string") for k in
+             range(shingle)]
+    joined = F.concat_ws(":", *parts)
+    fp = F.conv(F.substring(F.sha2(F.encode(joined, "utf-8"), 256), 1, 15),
+                16, 10).cast("long")
+    return pos.select("asset_id", "doc_id",
+                      F.col("shingle_idx").cast("long").alias("shingle_idx"),
+                      fp.alias("fp_hash"))
+
+
+def audio_near_duplicates(fingerprints: DataFrame, threshold: float = 0.3,
+                          max_bucket: int = 200) -> DataFrame:
+    """Audio near-duplicates via fingerprint-shingle set overlap —
+    same pair machinery as :func:`video_near_duplicates` (distinct →
+    hot-key cap → equi-self-join → exact Jaccard), keyed on the chained
+    window hashes so matches require consecutive-window agreement, not
+    just bag-of-windows overlap."""
+    return _set_overlap_pairs(
+        fingerprints.withColumnRenamed("fp_hash", "_v"), "_v",
+        threshold, max_bucket)

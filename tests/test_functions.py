@@ -237,6 +237,41 @@ def test_video_frame_dhash_and_neardup(spark):
     assert all("other" not in k[0] and "other" not in k[1] for k in pairs)
 
 
+def test_audio_fingerprint_and_neardup(spark):
+    """Window framing, shingle chaining and prefix-overlap semantics:
+    a 2000ms stream frames into 8 windows -> 6 shingles; a 1200ms cut
+    of the same payload shares exactly its 3 prefix shingles
+    (jaccard 3/(6+3-3) = 0.5); sub-3-window audios emit nothing."""
+    from extractpdf4j_spark.functions.multimodal import (
+        audio_fingerprint, audio_near_duplicates)
+    rows = [("a1", "d1", "audio", 2000, b"pay-one"),
+            ("a1-re", "d1", "audio", 2000, b"pay-one"),
+            ("a1-cut", "d1", "audio", 1200, b"pay-one"),
+            ("short", "d2", "audio", 400, b"pay-one"),
+            ("other", "d3", "audio", 2000, b"pay-two"),
+            ("vid", "d4", "video", 2000, b"pay-one")]
+    df = spark.createDataFrame(rows, "asset_id string, doc_id string, "
+                               "kind string, duration_ms long, "
+                               "payload binary")
+    fp = audio_fingerprint(df, win_ms=250, shingle=3)
+    per = {}
+    for r in fp.collect():
+        per.setdefault(r["asset_id"], []).append(
+            (r["shingle_idx"], r["fp_hash"]))
+    for k in per:
+        per[k].sort()
+    assert "short" not in per and "vid" not in per
+    assert len(per["a1"]) == 6 and per["a1"] == per["a1-re"]
+    assert per["a1-cut"] == per["a1"][:3]        # prefix shingles
+    assert {h for _, h in per["other"]}.isdisjoint(
+        h for _, h in per["a1"])
+    pairs = {(r["asset_a"], r["asset_b"]): (r["n_shared"], r["jaccard"])
+             for r in audio_near_duplicates(fp, threshold=0.3).collect()}
+    assert pairs[("a1", "a1-re")] == (6, 1.0)
+    assert pairs[("a1", "a1-cut")] == (3, 0.5)
+    assert all("other" not in k[0] and "other" not in k[1] for k in pairs)
+
+
 def test_as_of_join_semantics(spark):
     """Inclusive match at equal ts, latest-prior wins, unmatched -> null."""
     from extractpdf4j_spark.functions.joins import as_of_join
