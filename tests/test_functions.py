@@ -1149,3 +1149,36 @@ def test_dedup_keep_one_prefer_cols(spark):
     kept = {r["doc_id"] for r in dedup_keep_one(
         docs, prefer_cols=[F.col("quality").desc()]).collect()}
     assert kept == {2, 4}
+
+
+def test_audio_fingerprint_matches_scalar_reference(spark):
+    """The codegen shingle hashes must equal a literal hashlib
+    re-derivation on random payloads/durations — catches any drift in
+    the window framing or hash chaining arithmetic."""
+    import hashlib
+    import random
+    from extractpdf4j_spark.functions.multimodal import audio_fingerprint
+    rng = random.Random(7)
+    rows = [(f"a{i}", f"d{i}", "audio", rng.randint(1, 4000),
+             bytes(rng.randrange(256) for _ in range(rng.randint(0, 20))))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "asset_id string, doc_id string, "
+                               "kind string, duration_ms long, "
+                               "payload binary")
+    win_ms, shingle = 250, 3
+
+    def wh(payload, w):
+        hx = hashlib.sha256(payload + b"#" + str(w).encode()).hexdigest()
+        return int(hx[:15], 16)
+
+    want = {}
+    for aid, _, _, dur, payload in rows:
+        n = max(dur - 1, 0) // win_ms + 1
+        for s in range(n - shingle + 1):
+            parts = ":".join(str(wh(payload, s + k)) for k in range(shingle))
+            hx = hashlib.sha256(parts.encode()).hexdigest()
+            want[(aid, s)] = int(hx[:15], 16)
+    got = {(r["asset_id"], r["shingle_idx"]): r["fp_hash"]
+           for r in audio_fingerprint(df, win_ms=win_ms,
+                                      shingle=shingle).collect()}
+    assert got == want

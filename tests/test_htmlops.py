@@ -211,3 +211,41 @@ def test_html_table_stats_shape_and_raggedness(spark):
             t0["is_ragged"]) == (4, 2, 2, 1)
     assert (t1["n_rows"], t1["n_cols"], t1["n_header_cells"],
             t1["is_ragged"]) == (1, 1, 0, 0)
+
+
+def test_html_tables_randomized_roundtrip(spark):
+    """Generate 60 random grids (ragged widths, th/td mix, attribute
+    noise, mixed tag case), render them to HTML, and require the
+    parsed cell grid to equal the generator's ground truth exactly —
+    the property no planted fixture family happens to hit."""
+    import random
+    from extractpdf4j_spark.functions.htmlops import html_tables
+    rng = random.Random(42)
+    alpha = "abcXYZ019 .$,-"
+    rows, truth = [], {}
+    for doc in range(60):
+        n_tables = rng.randint(0, 3)
+        html_parts = [f"<p>doc {doc}</p>"]
+        for t in range(n_tables):
+            tag = rng.choice(["table", "TABLE", "Table"])
+            attrs = rng.choice(["", ' class="x"', ' border="1" id="t"'])
+            html_parts.append(f"<{tag}{attrs}>")
+            for r in range(rng.randint(1, 4)):
+                html_parts.append(rng.choice(["<tr>", "<TR>", '<tr align="l">']))
+                for c in range(rng.randint(1, 4)):
+                    hdr = rng.random() < 0.3
+                    txt = "".join(rng.choice(alpha)
+                                  for _ in range(rng.randint(0, 6))).strip()
+                    cell_tag = ("th" if hdr else "td")
+                    html_parts.append(
+                        f"<{cell_tag}>{txt}</{cell_tag}>")
+                    truth[(doc, t, r, c)] = (1 if hdr else 0,
+                                             " ".join(txt.split()))
+                html_parts.append("</tr>")
+            html_parts.append(f"</{tag.lower()}>")
+        rows.append((doc, "<html><body>" + "".join(html_parts)
+                     + "</body></html>"))
+    got = {(r["doc_id"], r["table_idx"], r["row_idx"], r["col_idx"]):
+           (r["is_header"], r["text"])
+           for r in html_tables(_df(spark, rows)).collect()}
+    assert got == truth
