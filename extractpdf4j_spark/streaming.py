@@ -396,6 +396,37 @@ def stream_exact_dedup(docs: DataFrame,
         timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def stream_image_dedup(assets: DataFrame, fake: bool = False) -> DataFrame:
+    """Cross-micro-batch image dedup at INGEST time: incoming image
+    assets are resized + dHashed (the batch operators run unchanged on
+    the streaming input — Arrow ``mapInPandas`` and the codegen hash
+    projection are both streamable) and keyed by the 64-bit perceptual
+    signature through the same first-arrival-wins state machine as
+    :func:`stream_exact_dedup` (state = one keeper id per distinct
+    signature — bounded by distinct content, not stream length).
+
+    Exact-signature semantics (Hamming 0): byte-identical and
+    decode-identical re-crawls flag at arrival; near-dups within a few
+    bits are the batch pass's job (``dhash_pairs`` needs a self-join no
+    streaming state machine should emulate). Returns
+    ``(dhash_hex, asset_id, is_duplicate, keeper_asset_id)``."""
+    from .functions.multimodal import image_dhash, resize_images
+    hashed = (image_dhash(resize_images(assets, out_w=9, out_h=8,
+                                        fake=fake))
+              .select(F.col("asset_id").alias("doc_id"),
+                      F.col("dhash_hex").alias("text_hash")))
+    out = (hashed.groupBy("text_hash").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+    return out.select(F.col("text_hash").alias("dhash_hex"),
+                      F.col("doc_id").alias("asset_id"),
+                      "is_duplicate",
+                      F.col("keeper_doc_id").alias("keeper_asset_id"))
+
+
 # ---------------------------------------------------------------------------
 # Gap-based sessionization (batch formulation of session windows)
 # ---------------------------------------------------------------------------

@@ -525,3 +525,42 @@ def test_windowed_qhist_sketch_stream_matches_batch(spark, tmp_path):
         exact = vs[math.ceil(0.5 * len(vs)) - 1]
         assert est[k] <= exact
         assert exact <= 32 or (exact - est[k]) / exact <= 0.032
+
+
+def test_stream_image_dedup_cross_batch(spark, tmp_path):
+    """Perceptual-signature dedup at ingest: a re-crawl of the same
+    image bytes in a LATER batch flags against the batch-1 keeper even
+    with a smaller asset_id; distinct images pass untouched."""
+    from extractpdf4j_spark.functions.multimodal import MEDIA_ASSET_SCHEMA
+    from extractpdf4j_spark.streaming import stream_image_dedup
+
+    src = str(tmp_path / "assets")
+
+    def asset(aid, payload):
+        return (aid, "d", "image", "image/png", 8, 8, -1, payload)
+
+    b1 = [asset("a2", b"same-bytes"), asset("a3", b"same-bytes"),
+          asset("a5", b"unique-one")]
+    b2 = [asset("a1", b"same-bytes"), asset("a6", b"unique-two")]
+    spark.createDataFrame(b1, MEDIA_ASSET_SCHEMA).coalesce(1) \
+        .write.parquet(src)
+    spark.createDataFrame(b2, MEDIA_ASSET_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(MEDIA_ASSET_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (stream_image_dedup(stream, fake=True)
+         .writeStream.format("memory").queryName("img_deduped")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r["asset_id"]: r for r in
+            spark.sql("select * from img_deduped").collect()}
+    assert len(rows) == 5
+    assert not rows["a2"]["is_duplicate"]
+    assert rows["a3"]["is_duplicate"]
+    assert rows["a3"]["keeper_asset_id"] == "a2"
+    assert rows["a1"]["is_duplicate"]
+    assert rows["a1"]["keeper_asset_id"] == "a2"     # keeper fixed batch 1
+    assert not rows["a5"]["is_duplicate"]
+    assert not rows["a6"]["is_duplicate"]
+    assert len(rows["a2"]["dhash_hex"]) == 16
