@@ -193,3 +193,34 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                                               WARC_SCHEMA.fields])
 
     return files.mapInPandas(parse, WARC_SCHEMA)
+
+
+def read_jsonl_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Read a crawl-dump JSONL directory into the engine's document
+    model — the other wire format (besides parquet/Iceberg and WARC)
+    corpora actually arrive in.
+
+    Scale shape: the schema is PINNED to the document model (no
+    inference pass over 100 TB of text), the scan is Spark's native
+    line-splittable JSON reader (per-split parallelism, predicate/
+    column pruning as usual), and malformed lines follow the
+    pipeline's no-process-death rule: PERMISSIVE mode routes them to a
+    ``parse_status='malformed_json'`` row carrying the raw line, so a
+    corrupt shard costs rows, not the job. Good rows return
+    ``parse_status='ok'`` and flow straight into ``extract``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from .pipeline import DOCUMENTS_SCHEMA
+
+    schema = StructType(list(DOCUMENTS_SCHEMA.fields)
+                        + [StructField("_corrupt_record", StringType())])
+    df = (spark.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(path))
+    return df.select(
+        "doc_id", "spans",
+        F.when(F.col("_corrupt_record").isNull(), F.lit("ok"))
+        .otherwise(F.lit("malformed_json")).alias("parse_status"),
+        F.col("_corrupt_record").alias("raw_line"))

@@ -272,3 +272,34 @@ def test_write_bucketed_rejects_paths():
     from extractpdf4j_spark.sources import write_bucketed
     with pytest.raises(ValueError, match="identifier"):
         write_bucketed(None, "/tmp/not-a-table", "doc_id")
+
+
+def test_read_jsonl_documents_routes_corrupt_lines(spark, tmp_path):
+    """JSONL ingest: good lines become documents that flow through
+    extract(); a malformed line becomes a parse_status row carrying
+    the raw text — never an exception."""
+    import json
+    from extractpdf4j_spark.config import ExtractConfig
+    from extractpdf4j_spark.pipeline import extract
+    from extractpdf4j_spark.sources import read_jsonl_documents
+
+    good1 = {"doc_id": "j1", "spans": [
+        {"kind": "text",
+         "text": "p=1\n10.0|700.0|20.0|8.0|hello\n40.0|700.0|20.0|8.0|world",
+         "media_ref": "", "offset": 0}]}
+    good2 = {"doc_id": "j2", "spans": []}
+    src = tmp_path / "dump"
+    src.mkdir()
+    (src / "part0.jsonl").write_text(
+        json.dumps(good1) + "\n{not valid json\n" + json.dumps(good2) + "\n")
+
+    out = read_jsonl_documents(spark, str(src))
+    rows = {r["parse_status"]: r for r in out.collect()}
+    assert out.count() == 3
+    bad = [r for r in out.collect() if r["parse_status"] == "malformed_json"]
+    assert len(bad) == 1 and bad[0]["raw_line"].startswith("{not valid")
+
+    docs = (out.filter("parse_status = 'ok'").select("doc_id", "spans"))
+    got = {r["doc_id"]: r["status"] for r in
+           extract(docs, None, ExtractConfig()).collect()}
+    assert got == {"j1": "ok", "j2": "no_tables"}
