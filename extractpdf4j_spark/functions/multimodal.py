@@ -187,25 +187,31 @@ def _dhash_exprs(out_w: int, out_h: int):
 
 
 def dhash_pairs(hashes: DataFrame, max_hamming: int = 6,
-                n_bands: int = 8, max_bucket: int = 200) -> DataFrame:
+                band_bytes: int = 1, max_bucket: int = 200) -> DataFrame:
     """Near-duplicate image pairs via banded Hamming join over
     :func:`image_dhash` output.
 
-    Each of the ``n_bands`` row bytes is an 8-bit LSH band: images
-    sharing ANY band byte become candidates (pigeonhole: every pair
-    within Hamming distance ``n_bands - 1`` is guaranteed a shared
-    band; beyond that recall decays gracefully, the standard LSH
-    trade). Candidates are verified with the exact distance
-    ``sum(bit_count(a.b_y XOR b.b_y))`` and filtered to
+    Consecutive groups of ``band_bytes`` row bytes form one LSH band
+    (``band_bytes=1`` → 8 bands of 8 bits; ``band_bytes=2`` → 4 bands
+    of 16 bits): images sharing ANY band value become candidates
+    (pigeonhole: every pair within Hamming distance ``n_bands - 1`` is
+    guaranteed a shared band; beyond that recall decays gracefully, the
+    standard LSH trade). Candidates are verified with the exact
+    distance ``sum(bit_count(a.b_y XOR b.b_y))`` and filtered to
     ``<= max_hamming``.
 
-    Scale: equi-join on (band_idx, band_value) — never all-pairs; at
-    web scale 8-bit bands produce hot buckets (65k distinct values per
-    band), so ``max_bucket`` caps candidates per bucket exactly like
-    ``lsh_candidate_pairs``' hot-key guard — flat-color thumbnails
-    (the all-zero hash) cannot quadratically explode a task.
+    Scale — pick ``band_bytes`` by corpus size: a 1-byte band has only
+    256 distinct values, so past ~50k images EVERY bucket exceeds any
+    sane ``max_bucket`` and the hot-key cap starts dropping true pairs
+    (measured: 200k images planted with 30k ≤4-bit pairs → 17,285
+    found at ``band_bytes=1, max_bucket=200``; 30,000/30,000 at
+    ``band_bytes=2`` — see BENCH/BASELINE.md). 2-byte bands give 65k
+    values/band (≈N/65k rows per bucket) while still guaranteeing
+    every pair within Hamming 3; the cap then only fires on genuinely
+    degenerate buckets (flat-color thumbnails, the all-zero hash),
+    which cannot quadratically explode a task.
 
-    Each band row CARRIES all ``n_bands`` byte columns (64 extra bytes
+    Each band row CARRIES all hash byte columns (64 extra bytes
     per row), so the verify distance is computed inline on the
     self-join output instead of joining the pair set back to the hash
     table twice: the self-join key equals the hot-key window's
@@ -217,9 +223,22 @@ def dhash_pairs(hashes: DataFrame, max_hamming: int = 6,
     distinct pairs."""
     byte_cols = [c for c in hashes.columns if c.startswith("b")
                  and c[1:].isdigit()]
+    byte_cols.sort(key=lambda c: int(c[1:]))
+    if len(byte_cols) % band_bytes:
+        raise ValueError(
+            f"band_bytes={band_bytes} must divide the "
+            f"{len(byte_cols)} hash bytes evenly")
+    band_vals = []
+    for i in range(0, len(byte_cols), band_bytes):
+        v = None
+        for k, c in enumerate(byte_cols[i:i + band_bytes]):
+            term = (F.col(c) if k == 0
+                    else F.shiftleft(F.col(c), 8 * k).cast("long"))
+            v = term if v is None else v + term
+        band_vals.append(v)
     bands = hashes.select(
         F.col("asset_id"), *byte_cols,
-        F.posexplode(F.array(*[F.col(c) for c in byte_cols]))
+        F.posexplode(F.array(*band_vals))
         .alias("band_idx", "band_val"))
     if max_bucket:
         from pyspark.sql import Window
@@ -245,7 +264,7 @@ def dhash_pairs(hashes: DataFrame, max_hamming: int = 6,
 
 
 def image_near_dedup(resized: DataFrame, max_hamming: int = 6,
-                     n_bands: int = 8, max_bucket: int = 200,
+                     band_bytes: int = 1, max_bucket: int = 200,
                      num_partitions: int | None = None,
                      check_every: int = 1) -> DataFrame:
     """Composed perceptual image dedup (the LAION-style removal pass):
@@ -264,7 +283,7 @@ def image_near_dedup(resized: DataFrame, max_hamming: int = 6,
     table."""
     from .dedup import duplicate_clusters
     pairs = dhash_pairs(image_dhash(resized), max_hamming=max_hamming,
-                        n_bands=n_bands, max_bucket=max_bucket)
+                        band_bytes=band_bytes, max_bucket=max_bucket)
     clusters = duplicate_clusters(pairs, "asset_a", "asset_b",
                                   num_partitions=num_partitions,
                                   check_every=check_every)

@@ -194,6 +194,17 @@ def test_image_dhash_and_pairs(spark):
     assert got[("g", "g-near")] == 1 and got[("g-copy", "g-near")] == 1
     assert all("flat" not in k[0] and "flat" not in k[1] for k in got)
 
+    # 16-bit banding (the web-scale configuration: 4 bands of 65k
+    # values instead of 8 bands of 256) must find the same pairs here —
+    # all planted distances are <= 3, inside the 4-band pigeonhole
+    got2 = {(r["asset_a"], r["asset_b"]): r["hamming"]
+            for r in dhash_pairs(hashes, max_hamming=6,
+                                 band_bytes=2).collect()}
+    assert got2 == got
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dhash_pairs(hashes, band_bytes=3)   # 3 does not divide 8 bytes
+
     # composed removal: the {g, g-copy, g-near} cluster keeps its
     # minimum member; the unpaired flat image survives untouched
     from extractpdf4j_spark.functions.multimodal import image_near_dedup
