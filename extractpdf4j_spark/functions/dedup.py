@@ -261,42 +261,57 @@ def simhash64(df: DataFrame, text_col: str = "text",
 
 def simhash_duplicates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
-                       max_hamming: int = 6) -> DataFrame:
+                       max_hamming: int = 6,
+                       max_bucket: int = 200) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance.
 
     Candidate generation bands the 64 bits into four 16-bit keys (any
-    pair within Hamming<=3-per-band distance shares at least one exact
-    band for max_hamming<=6 by pigeonhole when distributed); verification
-    uses bit_count(xor) on both halves.
-    """
-    sims = simhash64(df, text_col, id_col).cache()
+    pair within Hamming<=3 shares at least one exact band by
+    pigeonhole; recall decays gracefully up to ``max_hamming``);
+    verification uses bit_count(xor) on both halves.
+
+    Scale shape (same restructure as ``multimodal.dhash_pairs``): each
+    band row CARRIES the two signature halves (16 bytes), so the exact
+    distance is computed inline on the self-join output instead of
+    joining the pair set back to the signature table twice — ONE band
+    shuffle + ONE pair groupBy, and no ``.cache()`` (the signature
+    lineage has a single consumer). ``max_bucket`` caps rows per
+    (band, value) bucket: web corpora concentrate degenerate signatures
+    (the all-zero simhash of empty/boilerplate-only docs), and an
+    uncapped hot bucket is a quadratic task. 16-bit bands hold ~N/65k
+    rows per bucket, so the cap only fires on those degenerate keys
+    below ~13M docs; size it with the corpus (see the dhash_pairs
+    200k-image probe in BENCH/BASELINE.md for the measured failure mode
+    of letting buckets saturate a cap)."""
+    sims = simhash64(df, text_col, id_col)
     bands = [
-        (F.col("simhash_hi").bitwiseAND(F.lit(0xFFFF))).alias("b0"),
-        (F.shiftright("simhash_hi", 16).bitwiseAND(F.lit(0xFFFF))).alias("b1"),
-        (F.col("simhash_lo").bitwiseAND(F.lit(0xFFFF))).alias("b2"),
-        (F.shiftright("simhash_lo", 16).bitwiseAND(F.lit(0xFFFF))).alias("b3"),
+        F.col("simhash_hi").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright("simhash_hi", 16).bitwiseAND(F.lit(0xFFFF)),
+        F.col("simhash_lo").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright("simhash_lo", 16).bitwiseAND(F.lit(0xFFFF)),
     ]
-    banded = (sims.select(F.col(id_col), *bands)
-              .select(id_col, F.explode(F.array(
-                  *[F.struct(F.lit(i).alias("band_id"),
-                             F.col(f"b{i}").alias("band_val"))
-                    for i in range(4)])).alias("band"))
-              .select(id_col, "band.band_id", "band.band_val"))
-    a = banded.select("band_id", "band_val", F.col(id_col).alias("a"))
-    b = banded.select("band_id", "band_val", F.col(id_col).alias("b"))
-    pairs = (a.join(b, ["band_id", "band_val"])
-             .filter(F.col("a") < F.col("b")).select("a", "b").distinct())
-    sa = sims.select(F.col(id_col).alias("a"),
-                     F.col("simhash_hi").alias("a_hi"),
-                     F.col("simhash_lo").alias("a_lo"))
-    sb = sims.select(F.col(id_col).alias("b"),
-                     F.col("simhash_hi").alias("b_hi"),
-                     F.col("simhash_lo").alias("b_lo"))
-    j = pairs.join(sa, "a").join(sb, "b")
-    ham = (F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
-           + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo"))))
-    return (j.select("a", "b", ham.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+    banded = sims.select(
+        F.col(id_col), "simhash_hi", "simhash_lo",
+        F.posexplode(F.array(*bands)).alias("band_id", "band_val"))
+    if max_bucket:
+        w = Window.partitionBy("band_id", "band_val").orderBy(id_col)
+        banded = (banded.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= max_bucket).drop("_rn"))
+    j = (banded.alias("x")
+         .join(banded.alias("y"),
+               (F.col("x.band_id") == F.col("y.band_id"))
+               & (F.col("x.band_val") == F.col("y.band_val"))
+               & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))))
+    ham = (F.bit_count(F.col("x.simhash_hi")
+                       .bitwiseXOR(F.col("y.simhash_hi")))
+           + F.bit_count(F.col("x.simhash_lo")
+                         .bitwiseXOR(F.col("y.simhash_lo"))))
+    return (j.select(F.col(f"x.{id_col}").alias("a"),
+                     F.col(f"y.{id_col}").alias("b"),
+                     ham.cast("long").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .groupBy("a", "b")
+            .agg(F.first("hamming").alias("hamming")))
 
 
 # ---------------------------------------------------------------------------

@@ -230,7 +230,8 @@ def lsh_bucketize(embeddings: DataFrame, n_tables: int, n_planes: int,
 def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
                               n_tables: int = 2, n_planes: int = 8,
                               dim: int = 64, id_col: str = "vec_id",
-                              vec_col: str = "embedding") -> DataFrame:
+                              vec_col: str = "embedding",
+                              max_bucket: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates share a
     hyperplane bucket in ANY of ``n_tables`` independent hash tables
     (seeded deterministically), verified by exact cosine >= threshold.
@@ -238,12 +239,26 @@ def embedding_near_duplicates(embeddings: DataFrame, threshold: float = 0.95,
     Scale shape: candidate generation is an equi-join on (table_id,
     bucket) — never all-pairs; more tables buy recall linearly in
     shuffle volume. Verification is one Arrow-batched dot per pair.
-    Returns (a, b, cosine) with a < b, cosine rounded to 6dp."""
+    SIZE ``n_planes`` WITH THE CORPUS: ``2^n_planes`` buckets per
+    table means expected N/2^n_planes rows per bucket and a quadratic
+    candidate join inside each — the default 8 planes is right for the
+    ~10^4-row gate corpora, ~20+ planes for 10^8 vectors. ``max_bucket``
+    (default off, preserving exact-recall semantics for the oracle
+    gate) is the hot-bucket guard for degenerate distributions — e.g. a
+    zero-vector pile-up that lands in one bucket regardless of planes —
+    capping candidates per (table, bucket) at the cost of recall on the
+    capped keys only. Returns (a, b, cosine) with a < b, cosine rounded
+    to 6dp."""
     e = (embeddings
          .select(F.col(id_col), _as_double(F.col(vec_col)).alias("emb"))
          .withColumn("nrm", F.sqrt(_pd_dot(F.col("emb"), F.col("emb")))))
     banded = lsh_bucketize(e, n_tables, n_planes, dim,
                            id_col=id_col, vec_col="emb")
+    if max_bucket:
+        from pyspark.sql import Window
+        w = Window.partitionBy("table_id", "bucket").orderBy(id_col)
+        banded = (banded.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= max_bucket).drop("_rn"))
     a = banded.select("table_id", "bucket", F.col(id_col).alias("a"))
     b = banded.select("table_id", "bucket", F.col(id_col).alias("b"))
     pairs = (a.join(b, ["table_id", "bucket"])
