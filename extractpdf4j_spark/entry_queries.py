@@ -5910,6 +5910,95 @@ ORDER BY doc_id
 """
 
 
+def q_decontam_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Surgical decontamination (corpusops.scrub_contaminated): each
+    doc_id%41 document donates tokens 6-13 as a benchmark item; every
+    corpus document sharing an 8-gram with the benchmark has the
+    colliding window (+/-2 tokens) excised and splits into fragments,
+    keeping those >=3 tokens. Gate hashes the full fragment manifest:
+    excision ranges, island splitting, dense frag ids, pass-through of
+    clean docs."""
+    from .functions.corpusops import scrub_contaminated
+    from .functions.dedup import _tokens
+    d = _docs(spark, sf)
+    ev = (d.filter(F.col("doc_id") % 41 == 0)
+          .select("doc_id",
+                  F.concat_ws(" ", F.slice(_tokens(F.col("text")), 6, 8))
+                  .alias("text")))
+    return (scrub_contaminated(d, ev, n=8, window=2, min_fragment=3)
+            .orderBy("doc_id", "frag_id"))
+
+
+def _g8(lst: str) -> str:
+    terms = ", ".join(f"{lst}[i + {j}]" for j in range(1, 9))
+    return f"concat_ws(' ', {terms})"
+
+
+SQL_DECONTAM_SCRUB = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                        ' ') AS t
+    FROM documents
+),
+egrams AS (
+    SELECT DISTINCT ('0x' || substring(md5(g), 1, 15))::BIGINT AS shash
+    FROM (
+        SELECT {_g8('e')} AS g
+        FROM (SELECT t[6:13] AS e FROM toks WHERE doc_id % 41 = 0) s,
+             unnest(generate_series(0, greatest(len(e) - 8, 0))) AS u(i)
+    ) WHERE g <> ''
+),
+grams AS (
+    SELECT doc_id, i AS pos, len(t) AS ntok, {_g8('t')} AS g
+    FROM toks, unnest(generate_series(0, greatest(len(t) - 8, 0))) AS u(i)
+),
+hits AS (
+    SELECT g.doc_id, g.pos, g.ntok
+    FROM grams g JOIN egrams e
+      ON e.shash = ('0x' || substring(md5(g.g), 1, 15))::BIGINT
+    WHERE g.g <> ''
+),
+bad AS (
+    SELECT DISTINCT h.doc_id, u.tp
+    FROM hits h,
+         unnest(generate_series(greatest(h.pos - 2, 0),
+                                least(h.pos + 9, h.ntok - 1))) AS u(tp)
+),
+otoks AS (
+    SELECT s.doc_id, u.i - 1 AS tp, s.t[u.i] AS tok
+    FROM (SELECT doc_id,
+                 string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                              ' ') AS t
+          FROM documents) s,
+         unnest(generate_series(1, len(s.t))) AS u(i)
+),
+kept AS (
+    SELECT o.doc_id, o.tp, o.tok
+    FROM otoks o LEFT JOIN bad b ON b.doc_id = o.doc_id AND b.tp = o.tp
+    WHERE b.tp IS NULL
+),
+isl AS (
+    SELECT doc_id, tp, tok,
+           tp - row_number() OVER (PARTITION BY doc_id ORDER BY tp) AS grp
+    FROM kept
+),
+frags AS (
+    SELECT doc_id, grp, min(tp) AS start,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           string_agg(tok, ' ' ORDER BY tp) AS text
+    FROM isl GROUP BY doc_id, grp
+    HAVING count(*) >= 3
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1
+            AS BIGINT) AS frag_id,
+       text, n_tokens
+FROM frags
+ORDER BY doc_id, frag_id
+"""
+
+
 def q_curate(spark: SparkSession, sf: str) -> DataFrame:
     """The composed curation pipeline end-to-end: planted dups + planted
     boilerplate footers -> exact dedup keep-one -> boilerplate strip ->
@@ -7662,6 +7751,7 @@ QUERIES = {
     "q_repetition": q_repetition,
     "q_curate": q_curate,
     "q_decontaminate": q_decontaminate,
+    "q_decontam_scrub": q_decontam_scrub,
     "q_temperature_sample": q_temperature_sample,
     "q_dedup_paragraphs": q_dedup_paragraphs,
     "q_pack_sequences": q_pack_sequences,
@@ -7789,6 +7879,7 @@ ORACLES = {
     "q_repetition": SQL_REPETITION,
     "q_curate": SQL_CURATE,
     "q_decontaminate": SQL_DECONTAMINATE,
+    "q_decontam_scrub": SQL_DECONTAM_SCRUB,
     "q_temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "q_dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
     "q_pack_sequences": SQL_PACK_SEQUENCES,

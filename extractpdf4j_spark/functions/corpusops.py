@@ -624,6 +624,77 @@ def remove_contaminated(corpus: DataFrame, eval_df: DataFrame,
     return corpus.join(flagged.select(id_col), id_col, "left_anti")
 
 
+def scrub_contaminated(corpus: DataFrame, eval_df: DataFrame, n: int = 13,
+                       window: int = 20, min_fragment: int = 10,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       eval_text_col: str = "text") -> DataFrame:
+    """Surgical decontamination: remove contaminated WINDOWS, keep the
+    clean fragments (GPT-3 appendix C's second mode — instead of
+    dropping a whole document that collides with benchmark text, excise
+    ``window`` tokens on either side of every colliding ``n``-gram and
+    split the document at the gaps, discarding fragments shorter than
+    ``min_fragment`` tokens). Salvages the bulk of long documents that
+    merely QUOTE a benchmark item, where :func:`remove_contaminated`
+    would discard them outright.
+
+    Returns ``(id_col, frag_id, text_col, n_tokens)`` — one row per
+    surviving fragment, ``frag_id`` dense in document order; an
+    uncontaminated document passes through whole as fragment 0 (token
+    positions align with the family's shared lowercase/collapse
+    normalization, but the emitted text keeps the ORIGINAL casing, same
+    trick as ``dedup.remove_duplicate_ngrams``). A fully-contaminated
+    document yields no rows.
+
+    Scale shape: the eval gram-hash set is tiny and BROADCAST (the
+    corpus is never shuffled to find hits — gram rows are the
+    shuffle-free arrays_zip construction probing the broadcast set
+    map-side); excised token ranges explode from the hit rows only
+    (contamination is rare, so this side is small and the left-anti
+    token join broadcasts it); fragment assembly is the family's one
+    doc-keyed shuffle (island trick on surviving positions, per-doc
+    window functions)."""
+    from .dedup import _gram_rows, shingle_hash_rows
+
+    g = _gram_rows(corpus, text_col, id_col, n)
+    ev = (shingle_hash_rows(eval_df, text_col=eval_text_col,
+                            id_col=id_col, n=n)
+          .select("shash").distinct())
+    hits = (g.select(F.col(id_col), "_pos", "_ntok",
+                     _hash60(F.col("sh")).alias("shash"))
+            .join(F.broadcast(ev), "shash"))
+    bad = (hits.select(
+               F.col(id_col),
+               F.explode(F.sequence(
+                   F.greatest(F.col("_pos") - window, F.lit(0)),
+                   F.least(F.col("_pos") + n - 1 + window,
+                           F.col("_ntok") - 1))).alias("_tp"))
+           .distinct())
+    orig_toks = F.split(
+        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    toks = corpus.select(F.col(id_col),
+                         F.posexplode(orig_toks).alias("_tp", "_tok"))
+    kept = toks.join(bad, [id_col, "_tp"], "left_anti")
+    w_isl = Window.partitionBy(id_col).orderBy("_tp")
+    islands = kept.withColumn(
+        "_isl", F.col("_tp") - F.row_number().over(w_isl))
+    frags = (islands.groupBy(id_col, "_isl")
+             .agg(F.min("_tp").alias("_start"),
+                  F.count("*").cast("long").alias("n_tokens"),
+                  F.array_join(
+                      F.transform(
+                          F.array_sort(F.collect_list(
+                              F.struct(F.col("_tp").alias("p"),
+                                       F.col("_tok").alias("t")))),
+                          lambda s: s["t"]),
+                      " ").alias(text_col))
+             .filter(F.col("n_tokens") >= min_fragment))
+    w_frag = Window.partitionBy(id_col).orderBy("_start")
+    return (frags.withColumn(
+                "frag_id",
+                (F.row_number().over(w_frag) - 1).cast("long"))
+            .select(id_col, "frag_id", text_col, "n_tokens"))
+
+
 # ---------------------------------------------------------------------------
 # Composed curation pipeline
 # ---------------------------------------------------------------------------

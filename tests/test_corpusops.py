@@ -242,6 +242,38 @@ def test_decontaminate_counts_and_removal(spark):
     assert strict == ["c0"]
 
 
+def test_scrub_contaminated_fragments(spark):
+    from extractpdf4j_spark.functions.corpusops import scrub_contaminated
+    corpus = spark.createDataFrame([
+        # eval trigram embedded mid-doc (positions 5-7), uppercase to
+        # prove matching is normalized but output keeps original casing
+        ("s0", "t0 t1 t2 t3 t4 QA QB QC t5 t6 t7 t8"),
+        ("s1", "Hello World Foo Bar"),                  # clean
+        ("s2", "qa qb qc"),                             # fully contaminated
+    ], "doc_id string, text string")
+    evals = spark.createDataFrame([("e0", "qa qb qc")],
+                                  "doc_id string, text string")
+
+    out = scrub_contaminated(corpus, evals, n=3, window=1, min_fragment=2)
+    rows = {(r["doc_id"], r["frag_id"]): r for r in out.collect()}
+    # s0: hit at pos 5 -> excise tokens 4..8 -> prefix + suffix survive
+    assert set(rows) == {("s0", 0), ("s0", 1), ("s1", 0)}
+    assert rows[("s0", 0)]["text"] == "t0 t1 t2 t3"
+    assert rows[("s0", 0)]["n_tokens"] == 4
+    assert rows[("s0", 1)]["text"] == "t6 t7 t8"
+    assert rows[("s0", 1)]["n_tokens"] == 3
+    # clean doc passes through whole, original casing intact
+    assert rows[("s1", 0)]["text"] == "Hello World Foo Bar"
+    # fully-contaminated doc yields no rows (s2 absent above)
+
+    # min_fragment drops the short suffix; frag ids stay dense from 0
+    strict = {(r["doc_id"], r["frag_id"]): r["text"] for r in
+              scrub_contaminated(corpus, evals, n=3, window=1,
+                                 min_fragment=4).collect()}
+    assert strict == {("s0", 0): "t0 t1 t2 t3",
+                      ("s1", 0): "Hello World Foo Bar"}
+
+
 def test_temperature_sample_quotas(spark):
     from extractpdf4j_spark.functions.corpusops import temperature_sample
     import math
