@@ -5999,6 +5999,112 @@ ORDER BY doc_id, frag_id
 """
 
 
+def q_warc_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC ingest (warcops.parse_warc_text): documents are wrapped in
+    deterministic HTTP-response WARC records, concatenated into one
+    archive per doc_id%7 'file', and the codegen split/regex parser
+    recovers every field. Gate hashes the full record table: framing
+    indices, WARC headers, Content-Length, HTTP status, payload body
+    with separators trimmed."""
+    from .functions.warcops import parse_warc_text
+    d = _docs(spark, sf)
+    html = F.concat(F.lit("<html><body><p>"), F.col("text"),
+                    F.lit("</p></body></html>"))
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html)
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
+              "WARC-Target-URI: https://h"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/doc/"), F.col("doc_id").cast("string"),
+        F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
+        F.length(http).cast("string"),
+        F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"))
+    files = (d.select((F.col("doc_id") % 7).cast("string")
+                      .alias("file_id"),
+                      F.col("doc_id").alias("k"), rec.alias("r"))
+             .groupBy("file_id")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("k", "r"))),
+                     lambda s: s["r"]),
+                 "").alias("content")))
+    return parse_warc_text(files).orderBy("file_id", "record_idx")
+
+
+# Hoisted SQL fragments (f-strings reject backslashes inside {...}).
+_W_CRLF = "chr(13) || chr(10)"
+_W_C2 = "(chr(13) || chr(10) || chr(13) || chr(10))"
+_W_HDRRE = r"'WARC-Type: ([^\r\n]+)'"
+_W_URIRE = r"'WARC-Target-URI: ([^\r\n]+)'"
+_W_DATERE = r"'WARC-Date: ([^\r\n]+)'"
+_W_CLENRE = r"'Content-Length: ([0-9]+)'"
+_W_STATRE = r"'^HTTP/1\.[01] ([0-9]{3})'"
+_W_TAILRE = r"'(\r\n)+$'"
+
+SQL_WARC_PARSE = f"""
+WITH wrecs AS (
+    SELECT CAST(doc_id % 7 AS VARCHAR) AS file_id, doc_id,
+           'WARC/1.0' || {_W_CRLF} || 'WARC-Type: response' || {_W_CRLF}
+           || 'WARC-Target-URI: https://h' || CAST(doc_id % 7 AS VARCHAR)
+           || '.example/doc/' || CAST(doc_id AS VARCHAR) || {_W_CRLF}
+           || 'WARC-Date: 2024-01-01T00:00:00Z' || {_W_CRLF}
+           || 'Content-Length: ' || CAST(length(http) AS VARCHAR)
+           || {_W_C2} || http || {_W_C2} AS rec
+    FROM (SELECT doc_id,
+                 'HTTP/1.1 200 OK' || {_W_CRLF}
+                 || 'Content-Type: text/html' || {_W_C2}
+                 || '<html><body><p>' || text || '</p></body></html>'
+                 AS http
+          FROM documents)
+),
+files AS (
+    SELECT file_id, string_agg(rec, '' ORDER BY doc_id) AS content
+    FROM wrecs GROUP BY file_id
+),
+parts AS (
+    SELECT file_id,
+           string_split(content, 'WARC/1.0' || {_W_CRLF}) AS p
+    FROM files
+),
+split_recs AS (
+    SELECT file_id, u.i - 1 AS record_idx, p[u.i] AS rec
+    FROM parts, unnest(generate_series(1, len(p))) AS u(i)
+    WHERE trim(p[u.i]) <> ''
+),
+parsed AS (
+    SELECT file_id, record_idx,
+           split_part(rec, {_W_C2}, 1) AS whdr,
+           substr(rec, length(split_part(rec, {_W_C2}, 1)) + 5) AS block
+    FROM split_recs
+),
+fields AS (
+    SELECT file_id, record_idx,
+           regexp_extract(whdr, {_W_HDRRE}, 1) AS warc_type,
+           regexp_extract(whdr, {_W_URIRE}, 1) AS target_uri,
+           regexp_extract(whdr, {_W_DATERE}, 1) AS warc_date,
+           TRY_CAST(regexp_extract(whdr, {_W_CLENRE}, 1) AS BIGINT)
+               AS content_length,
+           block
+    FROM parsed
+)
+SELECT file_id, CAST(record_idx AS BIGINT) AS record_idx, warc_type,
+       target_uri, warc_date, content_length,
+       CASE WHEN warc_type = 'response'
+            THEN regexp_extract(split_part(block, {_W_C2}, 1),
+                                {_W_STATRE}, 1)
+            ELSE '' END AS http_status,
+       regexp_replace(
+           CASE WHEN warc_type = 'response'
+                THEN substr(block,
+                            length(split_part(block, {_W_C2}, 1)) + 5)
+                ELSE block END,
+           {_W_TAILRE}, '') AS payload
+FROM fields
+ORDER BY file_id, record_idx
+"""
+
+
 def q_curate(spark: SparkSession, sf: str) -> DataFrame:
     """The composed curation pipeline end-to-end: planted dups + planted
     boilerplate footers -> exact dedup keep-one -> boilerplate strip ->
@@ -7752,6 +7858,7 @@ QUERIES = {
     "q_curate": q_curate,
     "q_decontaminate": q_decontaminate,
     "q_decontam_scrub": q_decontam_scrub,
+    "q_warc_parse": q_warc_parse,
     "q_temperature_sample": q_temperature_sample,
     "q_dedup_paragraphs": q_dedup_paragraphs,
     "q_pack_sequences": q_pack_sequences,
@@ -7880,6 +7987,7 @@ ORACLES = {
     "q_curate": SQL_CURATE,
     "q_decontaminate": SQL_DECONTAMINATE,
     "q_decontam_scrub": SQL_DECONTAM_SCRUB,
+    "q_warc_parse": SQL_WARC_PARSE,
     "q_temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "q_dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
     "q_pack_sequences": SQL_PACK_SEQUENCES,
