@@ -6010,8 +6010,11 @@ def q_warc_parse(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     html = F.concat(F.lit("<html><body><p>"), F.col("text"),
                     F.lit("</p></body></html>"))
+    status_line = F.when(F.col("doc_id") % 13 == 0,
+                         F.lit("HTTP/1.1 404 NF")) \
+        .otherwise(F.lit("HTTP/1.1 200 OK"))
     http = F.concat(
-        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html)
+        status_line, F.lit("\r\nContent-Type: text/html\r\n\r\n"), html)
     rec = F.concat(
         F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
               "WARC-Target-URI: https://h"),
@@ -6042,8 +6045,8 @@ _W_CLENRE = r"'Content-Length: ([0-9]+)'"
 _W_STATRE = r"'^HTTP/1\.[01] ([0-9]{3})'"
 _W_TAILRE = r"'(\r\n)+$'"
 
-SQL_WARC_PARSE = f"""
-WITH wrecs AS (
+_WARC_CTES = f"""
+wrecs AS (
     SELECT CAST(doc_id % 7 AS VARCHAR) AS file_id, doc_id,
            'WARC/1.0' || {_W_CRLF} || 'WARC-Type: response' || {_W_CRLF}
            || 'WARC-Target-URI: https://h' || CAST(doc_id % 7 AS VARCHAR)
@@ -6052,7 +6055,8 @@ WITH wrecs AS (
            || 'Content-Length: ' || CAST(length(http) AS VARCHAR)
            || {_W_C2} || http || {_W_C2} AS rec
     FROM (SELECT doc_id,
-                 'HTTP/1.1 200 OK' || {_W_CRLF}
+                 (CASE WHEN doc_id % 13 = 0 THEN 'HTTP/1.1 404 NF'
+                       ELSE 'HTTP/1.1 200 OK' END) || {_W_CRLF}
                  || 'Content-Type: text/html' || {_W_C2}
                  || '<html><body><p>' || text || '</p></body></html>'
                  AS http
@@ -6087,21 +6091,47 @@ fields AS (
                AS content_length,
            block
     FROM parsed
-)
-SELECT file_id, CAST(record_idx AS BIGINT) AS record_idx, warc_type,
-       target_uri, warc_date, content_length,
-       CASE WHEN warc_type = 'response'
-            THEN regexp_extract(split_part(block, {_W_C2}, 1),
-                                {_W_STATRE}, 1)
-            ELSE '' END AS http_status,
-       regexp_replace(
+),
+wout AS (
+    SELECT file_id, CAST(record_idx AS BIGINT) AS record_idx, warc_type,
+           target_uri, warc_date, content_length,
            CASE WHEN warc_type = 'response'
-                THEN substr(block,
-                            length(split_part(block, {_W_C2}, 1)) + 5)
-                ELSE block END,
-           {_W_TAILRE}, '') AS payload
-FROM fields
-ORDER BY file_id, record_idx
+                THEN regexp_extract(split_part(block, {_W_C2}, 1),
+                                    {_W_STATRE}, 1)
+                ELSE '' END AS http_status,
+           regexp_replace(
+               CASE WHEN warc_type = 'response'
+                    THEN substr(block,
+                                length(split_part(block, {_W_C2}, 1)) + 5)
+                    ELSE block END,
+               {_W_TAILRE}, '') AS payload
+    FROM fields
+)"""
+
+SQL_WARC_PARSE = f"""
+WITH {_WARC_CTES}
+SELECT * FROM wout ORDER BY file_id, record_idx
+"""
+
+
+def q_warc_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The WARC→documents adapter (warcops.warc_to_documents) over the
+    same synthetic archives: 2xx responses only, doc_id =
+    file#record_idx, url/text carried through — the handoff row shape
+    the html/curation funnel consumes."""
+    from .functions.warcops import warc_to_documents
+    return (warc_to_documents(q_warc_parse(spark, sf))
+            .orderBy("doc_id"))
+
+
+SQL_WARC_DOCS = f"""
+WITH {_WARC_CTES}
+SELECT file_id || '#' || CAST(record_idx AS VARCHAR) AS doc_id,
+       target_uri AS url, payload AS text
+FROM wout
+WHERE warc_type = 'response'
+  AND TRY_CAST(http_status AS INT) BETWEEN 200 AND 299
+ORDER BY doc_id
 """
 
 
@@ -7859,6 +7889,7 @@ QUERIES = {
     "q_decontaminate": q_decontaminate,
     "q_decontam_scrub": q_decontam_scrub,
     "q_warc_parse": q_warc_parse,
+    "q_warc_docs": q_warc_docs,
     "q_temperature_sample": q_temperature_sample,
     "q_dedup_paragraphs": q_dedup_paragraphs,
     "q_pack_sequences": q_pack_sequences,
@@ -7988,6 +8019,7 @@ ORACLES = {
     "q_decontaminate": SQL_DECONTAMINATE,
     "q_decontam_scrub": SQL_DECONTAM_SCRUB,
     "q_warc_parse": SQL_WARC_PARSE,
+    "q_warc_docs": SQL_WARC_DOCS,
     "q_temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "q_dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
     "q_pack_sequences": SQL_PACK_SEQUENCES,
