@@ -314,6 +314,26 @@ def _plan_of(df):
     return buf.getvalue()
 
 
+def test_scrub_contaminated_plan_broadcasts_eval_grams(spark):
+    """The scrub's hit probe must stay a broadcast join of the eval
+    gram set (the corpus side is never exchanged to FIND hits), even
+    with auto-broadcast off — same 100 TB shape as decontaminate."""
+    from extractpdf4j_spark.functions.corpusops import scrub_contaminated
+    corpus = spark.range(0, 50).selectExpr(
+        "CAST(id AS STRING) AS doc_id",
+        "concat('w', CAST(id % 7 AS STRING), ' x y z q', "
+        "CAST(id AS STRING)) AS text")
+    evals = spark.createDataFrame([("e0", "w1 x y z")],
+                                  "doc_id string, text string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan_of(scrub_contaminated(corpus, evals, n=3))
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_decontaminate_plan_broadcasts_eval_grams(spark):
     """Plan evidence for the 100 TB shape: the corpus gram rows probe
     the eval gram set through a BROADCAST join (the corpus side is never

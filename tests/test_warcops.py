@@ -51,6 +51,19 @@ def test_parse_warc_text_fields(spark):
     assert r["warc_type"] == "metadata" and r["content_length"] is None
 
 
+def test_parse_warc_text_plan_is_pure_codegen(spark):
+    """Scale evidence: the text parser is chained projections — no
+    shuffle, no Python — so WARC files parse entirely inside their scan
+    partition."""
+    from extractpdf4j_spark.functions.warcops import parse_warc_text
+    df = spark.createDataFrame([("f1", _resp("<p>x</p>", "https://e/x"))],
+                               "file_id string, content string")
+    plan = (parse_warc_text(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_read_warc_corpus_strict_framing(spark, tmp_path):
     from extractpdf4j_spark.functions.warcops import read_warc_corpus
     # payload that CONTAINS the record magic — only the
