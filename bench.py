@@ -125,6 +125,9 @@ HEAVY_QUERIES = [
     "q_minhash_sig", "q_minhash_pairs", "q_ngram_jaccard",
     "q_dedup_clusters", "q_dedup_fuzzy", "q_dedup_fuzzy_incr",
     "q_dedup_ngrams",
+    # same gram-scan + keep-marked-reassembly weight class as
+    # q_dedup_ngrams; q_warc_parse regexes over per-file archive blobs
+    "q_decontam_scrub", "q_warc_parse",
     "q_bigram_lm",
     "q_curate", "q_media_features", "q_ann_scale",
     # perceptual dedup in dependency order: dhash/pairs warm the

@@ -35,7 +35,7 @@ shuffle until the consumer aggregates.
 from __future__ import annotations
 
 import gzip
-import io
+import re
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -150,7 +150,6 @@ def _iter_warc_records(data: bytes) -> Iterator[tuple[int, dict]]:
 
 
 def _parse_header_fields(headers: str) -> dict:
-    import re
     def one(pat):
         m = re.search(pat, headers)
         return m.group(1) if m else ""
@@ -202,7 +201,6 @@ def read_warc_corpus(spark: SparkSession, path: str,
                     if hdr["warc_type"] == "response":
                         sep = block.find(b"\r\n\r\n")
                         if sep != -1:
-                            import re
                             http_hdr = block[:sep].decode("utf-8",
                                                           "replace")
                             m = re.search(_STATUS_RE, http_hdr)
