@@ -266,7 +266,8 @@ def dhash_pairs(hashes: DataFrame, max_hamming: int = 6,
 def image_near_dedup(resized: DataFrame, max_hamming: int = 6,
                      band_bytes: int = 1, max_bucket: int = 200,
                      num_partitions: int | None = None,
-                     check_every: int = 1) -> DataFrame:
+                     check_every: int = 1,
+                     cache_input: bool = True) -> DataFrame:
     """Composed perceptual image dedup (the LAION-style removal pass):
     dHash → banded Hamming pairs → connected components → keep the
     minimum ``asset_id`` per cluster. Returns the SURVIVING rows of
@@ -280,18 +281,27 @@ def image_near_dedup(resized: DataFrame, max_hamming: int = 6,
     are computed INLINE on the survivor lineage (dHash is a pure
     projection), so the removal costs exactly one left-anti join
     against the dropped-node set — no corpus-sized join back to a hash
-    table."""
+    table.
+
+    ``resized`` has TWO consumers (the pair lineage and the survivor
+    select), so per the composed-op seam rule it is localCheckpointed
+    once with its hash attached (``cache_input=True``; measured
+    10.6 → 8.2 s steady / 21.8 → 9.8 s first-call at sf0.1 — the
+    resize mapInPandas ran twice uncached). Pass ``cache_input=False``
+    when the input is already a materialized table."""
     from .dedup import duplicate_clusters
-    pairs = dhash_pairs(image_dhash(resized), max_hamming=max_hamming,
+    _, hex_col = _dhash_exprs(9, 8)
+    hashed = resized.select("*", hex_col)
+    if cache_input:
+        hashed = hashed.localCheckpoint(eager=True)
+    pairs = dhash_pairs(image_dhash(hashed), max_hamming=max_hamming,
                         band_bytes=band_bytes, max_bucket=max_bucket)
     clusters = duplicate_clusters(pairs, "asset_a", "asset_b",
                                   num_partitions=num_partitions,
                                   check_every=check_every)
     drop = (clusters.filter(F.col("node") != F.col("cluster"))
             .select(F.col("node").alias("asset_id")))
-    _, hex_col = _dhash_exprs(9, 8)
-    return (resized.select("*", hex_col)
-            .join(drop, "asset_id", "left_anti"))
+    return hashed.join(drop, "asset_id", "left_anti")
 
 
 RESIZED_SCHEMA = StructType([
