@@ -12,13 +12,11 @@ HTTP message whose body is the page). Two parsers, two duties:
   It assumes record payloads do not themselves contain the
   ``WARC/1.0\\r\\n`` magic (true for text/html crawl data; binary
   payloads need the strict reader below).
-* :func:`read_warc_corpus` — the real front door: ``binaryFile`` scan
-  of ``*.warc`` / ``*.warc.gz`` (stdlib ``gzip`` handles both
-  whole-file and Common Crawl's per-record member compression — no
-  external libs), then a Content-Length-STRICT stdlib parser inside
-  ``mapInPandas``. Byte-exact on payloads that embed the magic;
-  corrupt framing yields ``warc_type='corrupt'`` rows, never an
-  exception (same malformed-input contract as the PDF pipeline).
+* the BINARY front door is :func:`extractpdf4j_spark.sources.read_warc`
+  (binaryFile scan, stdlib gzip for whole-file and Common Crawl's
+  member-per-record compression, Content-Length-STRICT walk that is
+  byte-exact on payloads embedding the magic and resyncs past corrupt
+  records) — this module deliberately does NOT duplicate it.
 
 * :func:`warc_to_documents` — adapter: response records become
   ``(doc_id, url, text)`` rows ready for ``htmlops.extract_main_content``
@@ -34,14 +32,10 @@ shuffle until the consumer aggregates.
 
 from __future__ import annotations
 
-import gzip
-import re
-from typing import Iterator
+from pyspark.sql import DataFrame, functions as F
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
-
-__all__ = ["parse_warc_text", "read_warc_corpus", "warc_to_documents",
-           "WARC_MAGIC", "WARC_RECORD_SCHEMA"]
+__all__ = ["parse_warc_text", "warc_to_documents", "WARC_MAGIC",
+           "WARC_RECORD_SCHEMA"]
 
 WARC_MAGIC = "WARC/1.0\r\n"
 # F.split takes a regex — escape the dot; \r\n are literal chars.
@@ -109,120 +103,6 @@ def parse_warc_text(df: DataFrame, content_col: str = "content",
             .select("file_id", F.col("record_idx").cast("long"),
                     "warc_type", "target_uri", "warc_date",
                     "content_length", "http_status", "payload"))
-
-
-def _iter_warc_records(data: bytes) -> Iterator[tuple[int, dict]]:
-    """Content-Length-strict record walk over raw WARC bytes.
-
-    Framing errors (missing blank line, bad/absent Content-Length)
-    emit a ``corrupt`` record and resync at the next magic — one bad
-    record never loses the rest of the file."""
-    magic = b"WARC/1.0\r\n"
-    pos = data.find(magic)
-    idx = 0
-    while pos != -1:
-        idx += 1
-        hdr_start = pos + len(magic)
-        hdr_end = data.find(b"\r\n\r\n", hdr_start)
-        nxt = data.find(magic, hdr_start)
-        if hdr_end == -1 or (nxt != -1 and nxt < hdr_end):
-            yield idx, {"warc_type": "corrupt", "headers": b"",
-                        "block": data[pos:nxt if nxt != -1 else len(data)]}
-            pos = nxt
-            continue
-        headers = data[hdr_start:hdr_end]
-        clen = None
-        for line in headers.split(b"\r\n"):
-            if line.lower().startswith(b"content-length:"):
-                try:
-                    clen = int(line.split(b":", 1)[1].strip())
-                except ValueError:
-                    clen = None
-        body_start = hdr_end + 4
-        if clen is None or body_start + clen > len(data):
-            yield idx, {"warc_type": "corrupt", "headers": headers,
-                        "block": b""}
-            pos = data.find(magic, body_start)
-            continue
-        block = data[body_start:body_start + clen]
-        yield idx, {"warc_type": None, "headers": headers, "block": block}
-        pos = data.find(magic, body_start + clen)
-
-
-def _parse_header_fields(headers: str) -> dict:
-    def one(pat):
-        m = re.search(pat, headers)
-        return m.group(1) if m else ""
-    return {"warc_type": one(_TYPE_RE), "target_uri": one(_URI_RE),
-            "warc_date": one(_DATE_RE), "content_length": one(_CLEN_RE)}
-
-
-def read_warc_corpus(spark: SparkSession, path: str,
-                     batch_rows: int = 2048) -> DataFrame:
-    """``binaryFile`` scan of ``path`` (``*.warc`` and ``*.warc.gz``)
-    parsed record-by-record with the strict Content-Length walk.
-
-    gzip is detected by magic bytes, not extension, and stdlib
-    ``gzip.decompress`` consumes multi-member streams — Common Crawl's
-    one-member-per-record layout decompresses in one call. Payload
-    bytes decode utf-8 with replacement (crawl data is dirty)."""
-    import pandas as pd
-
-    files = spark.read.format("binaryFile").load(path) \
-        .select("path", "content")
-
-    def gen(batches):
-        rows: list[dict] = []
-        for pdf in batches:
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                data = bytes(content)
-                if data[:2] == b"\x1f\x8b":
-                    try:
-                        data = gzip.decompress(data)
-                    except OSError:
-                        rows.append({"file_id": fpath, "record_idx": 0,
-                                     "warc_type": "corrupt",
-                                     "target_uri": "", "warc_date": "",
-                                     "content_length": None,
-                                     "http_status": "", "payload": ""})
-                        continue
-                for idx, rec in _iter_warc_records(data):
-                    if rec["warc_type"] == "corrupt":
-                        rows.append({"file_id": fpath, "record_idx": idx,
-                                     "warc_type": "corrupt",
-                                     "target_uri": "", "warc_date": "",
-                                     "content_length": None,
-                                     "http_status": "", "payload": ""})
-                        continue
-                    hdr = _parse_header_fields(
-                        rec["headers"].decode("utf-8", "replace"))
-                    block = rec["block"]
-                    status, payload = "", block
-                    if hdr["warc_type"] == "response":
-                        sep = block.find(b"\r\n\r\n")
-                        if sep != -1:
-                            http_hdr = block[:sep].decode("utf-8",
-                                                          "replace")
-                            m = re.search(_STATUS_RE, http_hdr)
-                            status = m.group(1) if m else ""
-                            payload = block[sep + 4:]
-                    rows.append({
-                        "file_id": fpath, "record_idx": idx,
-                        "warc_type": hdr["warc_type"],
-                        "target_uri": hdr["target_uri"],
-                        "warc_date": hdr["warc_date"],
-                        "content_length": (int(hdr["content_length"])
-                                           if hdr["content_length"]
-                                           else None),
-                        "http_status": status,
-                        "payload": payload.decode("utf-8", "replace")})
-                    if len(rows) >= batch_rows:
-                        yield pd.DataFrame(rows)
-                        rows = []
-        if rows:
-            yield pd.DataFrame(rows)
-
-    return files.mapInPandas(gen, WARC_RECORD_SCHEMA)
 
 
 def warc_to_documents(records: DataFrame,

@@ -108,8 +108,13 @@ WARC_SCHEMA = StructType([
 def _iter_warc_records(data: bytes):
     """Walk WARC records by Content-Length (the spec's framing — never
     by regex-splitting on the version line, which can occur inside
-    payloads). Yields (headers dict lowercase, block bytes). Records
-    missing Content-Length terminate the walk (truncated/corrupt tail)."""
+    payloads). Yields (headers dict lowercase, block bytes).
+
+    A record with a missing/garbage Content-Length or no header
+    terminator RESYNCS to the next ``WARC/`` magic instead of ending
+    the walk — one corrupt record in a 1 GB crawl archive must not
+    lose the rest of the file (same malformed-input contract as the
+    PDF pipeline). Only a truncated tail ends the walk early."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -126,11 +131,13 @@ def _iter_warc_records(data: bytes):
             if sep:
                 headers[k.strip().lower().decode("ascii", "replace")] = \
                     v.strip().decode("utf-8", "replace")
+        body_start = hend + 4
         try:
             clen = int(headers["content-length"])
         except (KeyError, ValueError):
-            break
-        body_start = hend + 4
+            pos = data.find(b"\r\nWARC/", body_start)
+            pos = n if pos < 0 else pos + 2
+            continue
         yield headers, data[body_start:body_start + clen]
         pos = body_start + clen
 

@@ -64,58 +64,50 @@ def test_parse_warc_text_plan_is_pure_codegen(spark):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
 
 
-def test_read_warc_corpus_strict_framing(spark, tmp_path):
-    from extractpdf4j_spark.functions.warcops import read_warc_corpus
+def test_read_warc_strict_framing_embedded_magic(spark, tmp_path):
+    from extractpdf4j_spark.sources import read_warc
     # payload that CONTAINS the record magic — only the
     # Content-Length-strict walk can frame this correctly
     trap_body = "HTTP/1.1 200 OK\r\n\r\nx WARC/1.0\r\n y"
     trap = _rec("response", trap_body, uri="https://t.example/")
     tail = _resp("<p>after</p>", "https://t.example/2")
     (tmp_path / "a.warc").write_bytes((trap + tail).encode())
-    rows = {r["record_idx"]: r
-            for r in read_warc_corpus(spark, str(tmp_path)).collect()}
+    rows = sorted(read_warc(spark, str(tmp_path)).collect(),
+                  key=lambda r: r["target_uri"])
     assert len(rows) == 2
-    assert rows[1]["payload"] == "x WARC/1.0\r\n y"
-    assert rows[2]["payload"] == "<p>after</p>"
+    assert rows[0]["payload_text"] == "x WARC/1.0\r\n y"
+    assert rows[1]["payload_text"] == "<p>after</p>"
 
 
-def test_read_warc_corpus_gzip_members_and_corrupt(spark, tmp_path):
-    from extractpdf4j_spark.functions.warcops import read_warc_corpus
+def test_read_warc_resyncs_past_corrupt_record(spark, tmp_path):
+    from extractpdf4j_spark.sources import read_warc
     r1 = _resp("<p>one</p>", "https://g.example/1")
     r2 = _resp("<p>two</p>", "https://g.example/2")
-    # Common Crawl layout: one gzip member per record
-    (tmp_path / "cc.warc.gz").write_bytes(
-        gzip.compress(r1.encode()) + gzip.compress(r2.encode()))
     # corrupt middle record (Content-Length: garbage) must not lose
-    # the record after it
+    # the record after it — the walk resyncs at the next magic
     bad = ("WARC/1.0\r\nWARC-Type: response\r\n"
            "Content-Length: nonsense\r\n\r\nbody\r\n\r\n")
     (tmp_path / "bad.warc").write_bytes((r1 + bad + r2).encode())
-    by_file = {}
-    for r in read_warc_corpus(spark, str(tmp_path)).collect():
-        by_file.setdefault(os.path.basename(r["file_id"]), []).append(r)
-    cc = sorted(by_file["cc.warc.gz"], key=lambda r: r["record_idx"])
-    assert [r["payload"] for r in cc] == ["<p>one</p>", "<p>two</p>"]
-    bad_rows = sorted(by_file["bad.warc"], key=lambda r: r["record_idx"])
-    assert [r["warc_type"] for r in bad_rows] == [
-        "response", "corrupt", "response"]
-    assert bad_rows[2]["payload"] == "<p>two</p>"
+    rows = sorted(read_warc(spark, str(tmp_path)).collect(),
+                  key=lambda r: r["target_uri"])
+    assert [r["payload_text"] for r in rows] == ["<p>one</p>",
+                                                 "<p>two</p>"]
 
 
-def test_warc_to_documents_feeds_html_front(spark, tmp_path):
-    from extractpdf4j_spark.functions.warcops import (read_warc_corpus,
+def test_warc_to_documents_feeds_html_front(spark):
+    from extractpdf4j_spark.functions.warcops import (parse_warc_text,
                                                       warc_to_documents)
     ok = _resp("<html><body><p>real page content here with many many "
                "words in one block so the strong threshold keeps "
                "it</p></body></html>", "https://d.example/keep")
     nf = _resp("<p>gone</p>", "https://d.example/404", status="404 NF")
     info = _rec("warcinfo", "software: test")
-    (tmp_path / "d.warc").write_bytes((info + ok + nf).encode())
-    docs = warc_to_documents(
-        read_warc_corpus(spark, str(tmp_path))).collect()
+    df = spark.createDataFrame([("f1", info + ok + nf)],
+                               "file_id string, content string")
+    docs = warc_to_documents(parse_warc_text(df)).collect()
     assert len(docs) == 1
     assert docs[0]["url"] == "https://d.example/keep"
-    assert docs[0]["doc_id"].endswith("d.warc#2")
+    assert docs[0]["doc_id"] == "f1#2"
     # flows into the HTML main-content extractor unchanged
     from extractpdf4j_spark.functions.htmlops import extract_main_content
     d = spark.createDataFrame(
