@@ -199,3 +199,88 @@ def write_debug_artifacts(docs: DataFrame, media: DataFrame | None, cfg,
     work = build_page_work(sampled, media, cfg)
     out = work.mapInPandas(_make_debug_pages(cfg), schema=DEBUG_SCHEMA)
     out.write.mode("overwrite").partitionBy("doc_id").parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Training-shard sink (the last mile of the curation pipeline)
+# ---------------------------------------------------------------------------
+
+def _shard_manifest(data: DataFrame, token_col: str,
+                    key_col: str) -> DataFrame:
+    """Per-(bucket, shard) doc/token counts + an order-insensitive
+    content fingerprint (bit_xor of the family's 60-bit key hash —
+    mergeable, so recomputing it over any re-partitioning of the same
+    rows gives the same value)."""
+    from .functions.dedup import _hash60
+    return (data
+            .withColumn("_kh", _hash60(F.col(key_col).cast("string")))
+            .groupBy(F.col("bucket").cast("long").alias("bucket"),
+                     F.col("shard").cast("long").alias("shard"))
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(token_col).cast("long").alias("n_tokens"),
+                 F.expr("bit_xor(_kh)").alias("fingerprint")))
+
+
+def write_training_shards(df: DataFrame, out_dir: str, token_col: str,
+                          budget: int, n_buckets: int = 4,
+                          key_col: str = "doc_id",
+                          mode: str = "error") -> DataFrame:
+    """Materialize the curated corpus as training shards: pack_shards'
+    token-budget assignment written as one parquet partition per
+    ``(bucket, shard)``, plus a ``_manifest`` table for integrity
+    checks and dataloader planning (per-shard doc count, token count,
+    content fingerprint).
+
+    Returns the manifest READ BACK from disk, computed over the rows
+    that were actually written — not over the in-memory plan — so what
+    the caller records is what a loader will see.
+
+    Scale shape: the pack window already clusters each bucket's rows in
+    shard order, so the partitioned write streams without an extra
+    sort-shuffle; the manifest is one map-side-combinable aggregation
+    over the written files. A shard never splits a document (pack
+    invariant), so a loader can treat each directory as an atomic unit.
+    """
+    from .functions.corpusops import pack_shards
+    packed = pack_shards(df, token_col=token_col, budget=budget,
+                         n_buckets=n_buckets, key_col=key_col)
+    (packed.write.partitionBy("bucket", "shard").mode(mode)
+     .parquet(f"{out_dir}/shards"))
+    spark = df.sparkSession
+    written = spark.read.parquet(f"{out_dir}/shards")
+    manifest = _shard_manifest(written, token_col, key_col)
+    manifest.write.mode(mode).parquet(f"{out_dir}/_manifest")
+    return spark.read.parquet(f"{out_dir}/_manifest")
+
+
+def validate_training_shards(spark, out_dir: str, token_col: str,
+                             key_col: str = "doc_id") -> DataFrame:
+    """Integrity check for a shard directory: recompute the manifest
+    from the shard data and full-outer-diff it against the stored one.
+    Returns the mismatch rows (empty = intact) with a ``problem``
+    column: ``missing_data`` (manifest row with no files),
+    ``unmanifested`` (files with no manifest row), or ``corrupt``
+    (counts/fingerprint drifted — partial rewrite, lost files, or
+    duplicated rows)."""
+    recomputed = _shard_manifest(
+        spark.read.parquet(f"{out_dir}/shards"), token_col, key_col)
+    stored = spark.read.parquet(f"{out_dir}/_manifest")
+    r = recomputed.select("bucket", "shard",
+                          F.col("n_docs").alias("r_docs"),
+                          F.col("n_tokens").alias("r_tokens"),
+                          F.col("fingerprint").alias("r_fp"))
+    s = stored.select("bucket", "shard",
+                      F.col("n_docs").alias("s_docs"),
+                      F.col("n_tokens").alias("s_tokens"),
+                      F.col("fingerprint").alias("s_fp"))
+    j = s.join(r, ["bucket", "shard"], "full_outer")
+    problem = (F.when(F.col("r_docs").isNull(), F.lit("missing_data"))
+               .when(F.col("s_docs").isNull(), F.lit("unmanifested"))
+               .when((F.col("r_docs") != F.col("s_docs"))
+                     | (F.col("r_tokens") != F.col("s_tokens"))
+                     | (F.col("r_fp") != F.col("s_fp")),
+                     F.lit("corrupt")))
+    return (j.withColumn("problem", problem)
+            .filter(F.col("problem").isNotNull())
+            .select("bucket", "shard", "problem",
+                    "s_docs", "r_docs", "s_tokens", "r_tokens"))

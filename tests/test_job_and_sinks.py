@@ -303,3 +303,69 @@ def test_read_jsonl_documents_routes_corrupt_lines(spark, tmp_path):
     got = {r["doc_id"]: r["status"] for r in
            extract(docs, None, ExtractConfig()).collect()}
     assert got == {"j1": "ok", "j2": "no_tables"}
+
+
+def test_write_training_shards_roundtrip_and_validate(spark, tmp_path):
+    """Writer invariants: every input row lands in exactly one
+    (bucket, shard) partition, per-shard tokens respect the greedy
+    budget bound (first doc may cross it, nothing after), the manifest
+    matches the data, and the validator is quiet on an intact
+    directory."""
+    import shutil
+    from extractpdf4j_spark.sinks import (validate_training_shards,
+                                          write_training_shards)
+    rows = [(f"d{i:03d}", f"text {i}", 10 + i % 7) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id string, text string, "
+                                     "n_tokens long")
+    out = str(tmp_path / "corpus")
+    manifest = write_training_shards(df, out, token_col="n_tokens",
+                                     budget=50, n_buckets=2)
+    m = manifest.collect()
+    assert sum(r["n_docs"] for r in m) == 60
+    assert sum(r["n_tokens"] for r in m) == sum(r[2] for r in rows)
+    data = spark.read.parquet(f"{out}/shards")
+    assert data.count() == 60
+    assert data.select("doc_id").distinct().count() == 60
+    # greedy budget: tokens BEFORE each shard's last doc stay under
+    # budget, so a shard holds < budget + max_doc tokens
+    per_shard = {(r["bucket"], r["shard"]): r["n_tokens"] for r in m}
+    assert all(v < 50 + 16 for v in per_shard.values())
+    assert validate_training_shards(spark, out,
+                                    token_col="n_tokens").count() == 0
+
+    # losing a shard directory is detected as missing_data
+    victim = min(per_shard)
+    shutil.rmtree(f"{out}/shards/bucket={victim[0]}/shard={victim[1]}")
+    probs = validate_training_shards(spark, out,
+                                     token_col="n_tokens").collect()
+    assert [(r["bucket"], r["shard"], r["problem"]) for r in probs] \
+        == [(victim[0], victim[1], "missing_data")]
+
+    # mode='error' refuses to clobber an existing corpus
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+    with _pytest.raises(AnalysisException):
+        write_training_shards(df, out, token_col="n_tokens", budget=50)
+
+
+def test_validate_training_shards_flags_corruption(spark, tmp_path):
+    """A partial rewrite (duplicated rows inside one shard) flips the
+    fingerprint/counts -> 'corrupt'; extra unmanifested partitions are
+    reported too."""
+    from extractpdf4j_spark.sinks import (validate_training_shards,
+                                          write_training_shards)
+    df = spark.createDataFrame(
+        [(f"d{i}", 10) for i in range(20)], "doc_id string, n_tokens long")
+    out = str(tmp_path / "c2")
+    manifest = write_training_shards(df, out, token_col="n_tokens",
+                                     budget=40, n_buckets=1)
+    b, s = [(r["bucket"], r["shard"]) for r in manifest.collect()][0]
+    shard_dir = f"{out}/shards/bucket={b}/shard={s}"
+    # materialize before overwriting the same path (lazy read would
+    # race the delete)
+    dup = spark.read.parquet(shard_dir).localCheckpoint(eager=True)
+    dup.union(dup).write.mode("overwrite").parquet(shard_dir)
+    probs = {(r["bucket"], r["shard"]): r["problem"]
+             for r in validate_training_shards(
+                 spark, out, token_col="n_tokens").collect()}
+    assert probs[(b, s)] == "corrupt"
