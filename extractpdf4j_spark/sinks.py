@@ -205,17 +205,18 @@ def write_debug_artifacts(docs: DataFrame, media: DataFrame | None, cfg,
 # Training-shard sink (the last mile of the curation pipeline)
 # ---------------------------------------------------------------------------
 
-def _shard_manifest(data: DataFrame, token_col: str,
-                    key_col: str) -> DataFrame:
-    """Per-(bucket, shard) doc/token counts + an order-insensitive
-    content fingerprint (bit_xor of the family's 60-bit key hash —
-    mergeable, so recomputing it over any re-partitioning of the same
-    rows gives the same value)."""
+def _shard_manifest(data: DataFrame, token_col: str, key_col: str,
+                    group_cols: tuple = ("bucket", "shard")) -> DataFrame:
+    """Per-shard doc/token counts + an order-insensitive content
+    fingerprint (bit_xor of the family's 60-bit key hash — mergeable,
+    so recomputing it over any re-partitioning of the same rows gives
+    the same value). ``group_cols`` gains an ``epoch`` level for the
+    streaming sink's batch-scoped shards."""
     from .functions.dedup import _hash60
     return (data
             .withColumn("_kh", _hash60(F.col(key_col).cast("string")))
-            .groupBy(F.col("bucket").cast("long").alias("bucket"),
-                     F.col("shard").cast("long").alias("shard"))
+            .groupBy(*[F.col(c).cast("long").alias(c)
+                       for c in group_cols])
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum(token_col).cast("long").alias("n_tokens"),
                  F.expr("bit_xor(_kh)").alias("fingerprint")))
@@ -261,19 +262,26 @@ def validate_training_shards(spark, out_dir: str, token_col: str,
     column: ``missing_data`` (manifest row with no files),
     ``unmanifested`` (files with no manifest row), or ``corrupt``
     (counts/fingerprint drifted — partial rewrite, lost files, or
-    duplicated rows)."""
-    recomputed = _shard_manifest(
-        spark.read.parquet(f"{out_dir}/shards"), token_col, key_col)
+    duplicated rows). Epoch-scoped directories (the streaming sink's
+    layout) validate per (epoch, bucket, shard) automatically."""
+    data = spark.read.parquet(f"{out_dir}/shards")
     stored = spark.read.parquet(f"{out_dir}/_manifest")
-    r = recomputed.select("bucket", "shard",
+    keys = (("epoch", "bucket", "shard") if "epoch" in data.columns
+            else ("bucket", "shard"))
+    recomputed = _shard_manifest(data, token_col, key_col,
+                                 group_cols=keys)
+    stored = stored.select(*[F.col(c).cast("long").alias(c)
+                             for c in keys],
+                           "n_docs", "n_tokens", "fingerprint")
+    r = recomputed.select(*keys,
                           F.col("n_docs").alias("r_docs"),
                           F.col("n_tokens").alias("r_tokens"),
                           F.col("fingerprint").alias("r_fp"))
-    s = stored.select("bucket", "shard",
+    s = stored.select(*keys,
                       F.col("n_docs").alias("s_docs"),
                       F.col("n_tokens").alias("s_tokens"),
                       F.col("fingerprint").alias("s_fp"))
-    j = s.join(r, ["bucket", "shard"], "full_outer")
+    j = s.join(r, list(keys), "full_outer")
     problem = (F.when(F.col("r_docs").isNull(), F.lit("missing_data"))
                .when(F.col("s_docs").isNull(), F.lit("unmanifested"))
                .when((F.col("r_docs") != F.col("s_docs"))
@@ -282,5 +290,5 @@ def validate_training_shards(spark, out_dir: str, token_col: str,
                      F.lit("corrupt")))
     return (j.withColumn("problem", problem)
             .filter(F.col("problem").isNotNull())
-            .select("bucket", "shard", "problem",
+            .select(*keys, "problem",
                     "s_docs", "r_docs", "s_tokens", "r_tokens"))

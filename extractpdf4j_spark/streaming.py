@@ -583,3 +583,63 @@ def stream_event_join(left: DataFrame, right: DataFrame,
     return (l.join(r, cond)
             .select(F.col("_k").alias(key_col),
                     "l_event_id", "r_event_id", delay))
+
+
+# ---------------------------------------------------------------------------
+# Streaming training-shard sink
+# ---------------------------------------------------------------------------
+
+def stream_write_training_shards(stream_docs: DataFrame, out_dir: str,
+                                 checkpoint_dir: str, token_col: str,
+                                 budget: int, n_buckets: int = 4,
+                                 key_col: str = "doc_id",
+                                 trigger_once: bool = True):
+    """Continuous corpus building: pack each micro-batch into
+    EPOCH-scoped training shards (``epoch = batch_id``) and append the
+    mergeable per-shard manifest. Returns the StreamingQuery.
+
+    Idempotent under batch replay (the foreachBatch at-least-once
+    contract): shard data lands via DYNAMIC partition overwrite of
+    ``epoch=<batch_id>/...`` and the manifest is rewritten at
+    ``_manifest/epoch=<batch_id>``, so a replayed batch overwrites its
+    own partitions instead of double-appending — effectively
+    exactly-once on disk. The bit_xor fingerprint is mergeable, so a
+    whole-corpus manifest is one further groupBy over the epoch rows.
+    ``sinks.validate_training_shards`` picks up the epoch level
+    automatically. Shard numbering restarts per epoch by design: a
+    loader consumes (epoch, bucket, shard) directories as atomic units
+    in arrival order."""
+    from .functions.corpusops import pack_shards
+    from .sinks import _shard_manifest
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        try:
+            packed = (pack_shards(batch_df, token_col=token_col,
+                                  budget=budget, n_buckets=n_buckets,
+                                  key_col=key_col)
+                      .withColumn("epoch",
+                                  F.lit(batch_id).cast("long")))
+            (packed.write.partitionBy("epoch", "bucket", "shard")
+             .mode("overwrite").parquet(f"{out_dir}/shards"))
+            # manifest over the rows actually written (read-back), the
+            # same contract as the batch sink
+            written = spark.read.parquet(
+                f"{out_dir}/shards/epoch={batch_id}")
+            manifest = _shard_manifest(written, token_col, key_col,
+                                       group_cols=("bucket", "shard"))
+            (manifest.write.mode("overwrite")
+             .parquet(f"{out_dir}/_manifest/epoch={batch_id}"))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           prev)
+
+    writer = (stream_docs.writeStream
+              .option("checkpointLocation", checkpoint_dir)
+              .foreachBatch(process_batch))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -564,3 +564,49 @@ def test_stream_image_dedup_cross_batch(spark, tmp_path):
     assert not rows["a5"]["is_duplicate"]
     assert not rows["a6"]["is_duplicate"]
     assert len(rows["a2"]["dhash_hex"]) == 16
+
+
+def test_stream_write_training_shards_epochs_and_idempotency(spark,
+                                                             tmp_path):
+    """Each micro-batch lands as epoch-scoped shards plus a mergeable
+    manifest; the validator understands the epoch layout; re-running
+    the stream from a fresh checkpoint OVERWRITES its epoch partitions
+    instead of double-appending (the replay-idempotency contract)."""
+    from extractpdf4j_spark.sinks import validate_training_shards
+    from extractpdf4j_spark.streaming import stream_write_training_shards
+
+    src = str(tmp_path / "docs")
+    schema = "doc_id string, n_tokens long"
+    b1 = [(f"a{i}", 10) for i in range(12)]
+    b2 = [(f"b{i}", 15) for i in range(8)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    out = str(tmp_path / "corpus")
+
+    def run(ckpt):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = stream_write_training_shards(
+            stream, out, checkpoint_dir=str(tmp_path / ckpt),
+            token_col="n_tokens", budget=40, n_buckets=1)
+        q.awaitTermination(120)
+
+    run("ck1")
+    data = spark.read.parquet(f"{out}/shards")
+    assert data.count() == 20
+    assert sorted(r["epoch"] for r in
+                  data.select("epoch").distinct().collect()) == [0, 1]
+    manifest = spark.read.parquet(f"{out}/_manifest")
+    assert sum(r["n_docs"] for r in manifest.collect()) == 20
+    assert sum(r["n_tokens"] for r in manifest.collect()) \
+        == 12 * 10 + 8 * 15
+    assert validate_training_shards(spark, out,
+                                    token_col="n_tokens").count() == 0
+
+    # replay from a fresh checkpoint: same batches rewrite their epoch
+    # partitions — totals unchanged, directory still validates
+    run("ck2")
+    assert spark.read.parquet(f"{out}/shards").count() == 20
+    assert validate_training_shards(spark, out,
+                                    token_col="n_tokens").count() == 0
