@@ -41,7 +41,6 @@ import json
 import time
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 
 from pyspark import TaskContext
