@@ -2810,6 +2810,32 @@ ORDER BY doc_id
 """
 
 
+def q_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """The training-shard integrity manifest (sinks._shard_manifest
+    over the same pack as q_pack_shards): per-shard doc/token counts +
+    the order-insensitive bit_xor key-hash fingerprint — gated
+    cross-engine so a manifest written by this engine can be re-checked
+    by any system reproducing the 60-bit hash."""
+    from .functions.corpusops import pack_shards
+    from .sinks import _shard_manifest
+    packed = pack_shards(_docs(spark, sf), token_col="n_chars",
+                         budget=5000, n_buckets=4)
+    return (_shard_manifest(packed, "n_chars", "doc_id")
+            .orderBy("bucket", "shard"))
+
+
+SQL_SHARD_MANIFEST = f"""
+WITH packed AS ({SQL_PACK_SHARDS.replace("ORDER BY doc_id", "")})
+SELECT bucket, shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+       bit_xor({_H60_DOCID_SQL}) AS fingerprint
+FROM packed
+GROUP BY bucket, shard
+ORDER BY bucket, shard
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     """PII scrubbing: plant an email, an IPv4 and a 16-digit number on
     every 4th doc, then redact with typed placeholders and count each
@@ -7881,6 +7907,7 @@ QUERIES = {
     "q_hash_sample": q_hash_sample,
     "q_quota_sample": q_quota_sample,
     "q_pack_shards": q_pack_shards,
+    "q_shard_manifest": q_shard_manifest,
     "q_pii_scrub": q_pii_scrub,
     "q_doc_logprob": q_doc_logprob,
     "q_chunk_docs": q_chunk_docs,
@@ -8011,6 +8038,7 @@ ORACLES = {
     "q_hash_sample": SQL_HASH_SAMPLE,
     "q_quota_sample": SQL_QUOTA_SAMPLE,
     "q_pack_shards": SQL_PACK_SHARDS,
+    "q_shard_manifest": SQL_SHARD_MANIFEST,
     "q_pii_scrub": SQL_PII_SCRUB,
     "q_doc_logprob": SQL_DOC_LOGPROB,
     "q_chunk_docs": SQL_CHUNK_DOCS,
