@@ -627,7 +627,8 @@ def remove_contaminated(corpus: DataFrame, eval_df: DataFrame,
 def scrub_contaminated(corpus: DataFrame, eval_df: DataFrame, n: int = 13,
                        window: int = 20, min_fragment: int = 10,
                        text_col: str = "text", id_col: str = "doc_id",
-                       eval_text_col: str = "text") -> DataFrame:
+                       eval_text_col: str = "text",
+                       checkpoint_hits: bool = True) -> DataFrame:
     """Surgical decontamination: remove contaminated WINDOWS, keep the
     clean fragments (GPT-3 appendix C's second mode — instead of
     dropping a whole document that collides with benchmark text, excise
@@ -648,20 +649,41 @@ def scrub_contaminated(corpus: DataFrame, eval_df: DataFrame, n: int = 13,
     Scale shape: the eval gram-hash set is tiny and BROADCAST (the
     corpus is never shuffled to find hits — gram rows are the
     shuffle-free arrays_zip construction probing the broadcast set
-    map-side); excised token ranges explode from the hit rows only
-    (contamination is rare, so this side is small and the left-anti
-    token join broadcasts it); fragment assembly is the family's one
-    doc-keyed shuffle (island trick on surviving positions, per-doc
-    window functions)."""
+    map-side), and the token-explode/island/reassembly machinery runs
+    on the CONTAMINATED documents only: contamination is rare, so the
+    expensive path is bounded by the hit count while every clean
+    document passes through as a pure whitespace-collapse projection
+    (measured at 500k docs / 2% contamination: best-of-2 88 → 14 s,
+    6.2x — scripts/decontam_scale_probe.py; the host throttle makes
+    single samples noisy). The hit rows are localCheckpointed at their
+    three-consumer seam (clean/contaminated split + excision ranges),
+    so the corpus-wide gram probe executes exactly once per call
+    (``checkpoint_hits=False`` keeps the lazy lineage for callers that
+    checkpoint a larger composition themselves)."""
     from .dedup import _gram_rows, shingle_hash_rows
 
     g = _gram_rows(corpus, text_col, id_col, n)
     ev = (shingle_hash_rows(eval_df, text_col=eval_text_col,
                             id_col=id_col, n=n)
           .select("shash").distinct())
+    # checkpoint the HIT ROWS (bounded by contaminated gram count):
+    # they feed three consumers (the clean/contaminated split and the
+    # excision ranges), and without this the corpus-wide gram probe
+    # would re-execute per consumer
     hits = (g.select(F.col(id_col), "_pos", "_ntok",
                      _hash60(F.col("sh")).alias("shash"))
             .join(F.broadcast(ev), "shash"))
+    if checkpoint_hits:
+        hits = hits.localCheckpoint(eager=True)
+    hit_ids = hits.select(id_col).distinct()
+    collapsed = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    orig_toks = F.split(collapsed, " ")
+    # clean docs: one fragment, no explode, no shuffle
+    clean = (corpus.join(hit_ids, id_col, "left_anti")
+             .select(F.col(id_col), F.lit(0).cast("long").alias("frag_id"),
+                     collapsed.alias(text_col),
+                     F.size(orig_toks).cast("long").alias("n_tokens"))
+             .filter(F.col("n_tokens") >= min_fragment))
     bad = (hits.select(
                F.col(id_col),
                F.explode(F.sequence(
@@ -669,10 +691,9 @@ def scrub_contaminated(corpus: DataFrame, eval_df: DataFrame, n: int = 13,
                    F.least(F.col("_pos") + n - 1 + window,
                            F.col("_ntok") - 1))).alias("_tp"))
            .distinct())
-    orig_toks = F.split(
-        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
-    toks = corpus.select(F.col(id_col),
-                         F.posexplode(orig_toks).alias("_tp", "_tok"))
+    toks = (corpus.join(hit_ids, id_col, "left_semi")
+            .select(F.col(id_col),
+                    F.posexplode(orig_toks).alias("_tp", "_tok")))
     kept = toks.join(bad, [id_col, "_tp"], "left_anti")
     w_isl = Window.partitionBy(id_col).orderBy("_tp")
     islands = kept.withColumn(
@@ -689,10 +710,11 @@ def scrub_contaminated(corpus: DataFrame, eval_df: DataFrame, n: int = 13,
                       " ").alias(text_col))
              .filter(F.col("n_tokens") >= min_fragment))
     w_frag = Window.partitionBy(id_col).orderBy("_start")
-    return (frags.withColumn(
-                "frag_id",
-                (F.row_number().over(w_frag) - 1).cast("long"))
-            .select(id_col, "frag_id", text_col, "n_tokens"))
+    contam = (frags.withColumn(
+                  "frag_id",
+                  (F.row_number().over(w_frag) - 1).cast("long"))
+              .select(id_col, "frag_id", text_col, "n_tokens"))
+    return clean.unionByName(contam)
 
 
 # ---------------------------------------------------------------------------

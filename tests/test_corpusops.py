@@ -328,7 +328,11 @@ def test_scrub_contaminated_plan_broadcasts_eval_grams(spark):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        plan = _plan_of(scrub_contaminated(corpus, evals, n=3))
+        # checkpoint_hits=False keeps the probe lineage visible in the
+        # returned plan (the default eagerly checkpoints the hit rows,
+        # which hides the already-executed broadcast from explain)
+        plan = _plan_of(scrub_contaminated(corpus, evals, n=3,
+                                           checkpoint_hits=False))
         assert "BroadcastHashJoin" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
