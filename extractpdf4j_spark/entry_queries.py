@@ -5179,6 +5179,47 @@ ORDER BY a.vec_id
 SQL_SEMANTIC_DEDUP = _semantic_dedup_oracle_sql()
 
 
+def q_kcenter(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy k-center data selection (similarity.kcenter_select): the
+    oracle replays the sequential greedy argmax in a recursive CTE
+    carrying the selected set as list columns — 6dp-rounded distances
+    + min-id ties make the fold engine-exact (the same sequential-fold
+    technique as the OCR header claim)."""
+    from .functions.similarity import kcenter_select
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return kcenter_select(e, k=6).orderBy("sel_rank")
+
+
+SQL_KCENTER = """
+WITH RECURSIVE base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+sel AS (
+    SELECT CAST(1 AS BIGINT) AS sel_rank, b.vec_id,
+           CAST(NULL AS DOUBLE) AS dist,
+           [b.vec_id] AS ids, [b.emb] AS vecs
+    FROM base b WHERE b.vec_id = (SELECT min(vec_id) FROM base)
+    UNION ALL
+    SELECT sel.sel_rank + 1, nxt.vec_id, nxt.d,
+           list_append(sel.ids, nxt.vec_id),
+           list_append(sel.vecs, nxt.emb)
+    FROM sel, LATERAL (
+        SELECT b.vec_id, b.emb,
+               round(1 - list_aggregate(
+                   list_transform(sel.vecs,
+                                  v -> list_cosine_similarity(b.emb, v)),
+                   'max'), 6) AS d
+        FROM base b
+        WHERE NOT list_contains(sel.ids, b.vec_id)
+        ORDER BY d DESC, b.vec_id ASC
+        LIMIT 1
+    ) nxt
+    WHERE sel.sel_rank < 6
+)
+SELECT sel_rank, vec_id, dist FROM sel ORDER BY sel_rank
+"""
+
+
 def q_dsir(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance weights (corpusops.dsir_weights): target LM =
     the English documents, raw LM = the whole pool; every doc scored
@@ -7956,6 +7997,7 @@ QUERIES = {
     "q_leakage_split": q_leakage_split,
     "q_ivf_pq": q_ivf_pq,
     "q_semantic_dedup": q_semantic_dedup,
+    "q_kcenter": q_kcenter,
     "q_pagerank": q_pagerank,
     "q_dsir": q_dsir,
     "q_url_normalize": q_url_normalize,
@@ -8087,6 +8129,7 @@ ORACLES = {
     "q_leakage_split": SQL_LEAKAGE_SPLIT,
     "q_ivf_pq": SQL_IVF_PQ,
     "q_semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "q_kcenter": SQL_KCENTER,
     "q_pagerank": SQL_PAGERANK,
     "q_dsir": SQL_DSIR,
     "q_url_normalize": SQL_URL_NORMALIZE,

@@ -783,3 +783,70 @@ def semantic_dedup(embeddings: DataFrame, tau: float = 0.2,
 
     return assigned.groupBy("cluster").applyInPandas(
         dedup_group, schema=f"{id_col} long, cluster long, keep long")
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center selection (diversity-based data selection)
+# ---------------------------------------------------------------------------
+
+def kcenter_select(embeddings: DataFrame, k: int,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Greedy k-center selection (Gonzalez's 2-approximation) — the
+    DIVERSITY-based data-selection pass, complementing ``dsir``'s
+    importance weighting: seed with the minimum id, then ``k-1`` times
+    add the point whose cosine distance (rounded 6dp) to the NEAREST
+    already-selected point is largest, ties broken by minimum id.
+
+    Returns ``(sel_rank, id_col, dist)`` — ``dist`` is the pick-time
+    distance to the selected set (NULL for the seed). Deterministic
+    cross-engine: distances are rounded to 6dp BEFORE the argmax and
+    ties resolved by id, so the DuckDB oracle's sequential-sum floats
+    and numpy's BLAS sums cannot flip a pick (the knife-edge would need
+    two candidates within 1e-6 AND a tie-break disagreement).
+
+    Scale shape: the selected set is BOUNDED (k x dim, shipped with the
+    tasks like a query matrix); each round is one mapInPandas BLAS pass
+    over the corpus + one max aggregation carrying (dist, -id, vector)
+    through a single struct — k rounds, one single-row driver action
+    each. Use small k directly (prompt/eval-probe selection); for
+    corpus-scale selection run it over cluster representatives
+    (``ivf_train_centroids`` / ``semantic_dedup`` assignments), not raw
+    rows. Assumes non-zero vectors (cosine is undefined otherwise)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (embeddings
+         .select(F.col(id_col), _as_double(F.col(vec_col)).alias("emb"))
+         .cache())
+    seed = e.orderBy(id_col).limit(1).collect()[0]
+    picks = [(1, int(seed[id_col]), None)]
+    sel_ids = [int(seed[id_col])]
+    sel = [np.asarray(seed["emb"], dtype=np.float64)]
+    for r in range(2, k + 1):
+        Q = np.vstack(sel)
+        Qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+        out_schema = f"{id_col} long, dist double, emb array<double>"
+
+        def gen(batches, Q=Q, Qn=Qn):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = _mat(pdf["emb"])
+                Xn = np.sqrt(np.einsum("ij,ij->i", X, X))
+                d = np.round(
+                    1.0 - (X @ Q.T / np.outer(Xn, Qn)).max(axis=1), 6)
+                yield pd.DataFrame({
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "dist": d, "emb": pdf["emb"]})
+
+        top = (e.filter(~F.col(id_col).isin(sel_ids))
+               .mapInPandas(gen, schema=out_schema)
+               .withColumn("_neg", -F.col(id_col))
+               .agg(F.max(F.struct("dist", "_neg", "emb")).alias("m"))
+               .collect()[0]["m"])
+        pid = -int(top["_neg"])
+        picks.append((r, pid, float(top["dist"])))
+        sel_ids.append(pid)
+        sel.append(np.asarray(top["emb"], dtype=np.float64))
+    return embeddings.sparkSession.createDataFrame(
+        picks, f"sel_rank long, {id_col} long, dist double")

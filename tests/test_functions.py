@@ -1193,3 +1193,24 @@ def test_audio_fingerprint_matches_scalar_reference(spark):
            for r in audio_fingerprint(df, win_ms=win_ms,
                                       shingle=shingle).collect()}
     assert got == want
+
+
+def test_kcenter_select_planted_geometry(spark):
+    """Hand-checkable greedy picks: seed = min id; each round adds the
+    farthest-from-selected point (6dp cosine distance, min-id ties)."""
+    import pytest as _pytest
+    from extractpdf4j_spark.functions.similarity import kcenter_select
+    z = [0.0] * 62
+    rows = [(0, [1.0, 0.0] + z),       # seed
+            (1, [0.99, 0.1] + z),      # near-clone of 0 -> picked last
+            (2, [0.0, 1.0] + z),       # orthogonal: dist 1.0
+            (3, [-1.0, 0.0] + z)]      # antipodal: dist 2.0
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kcenter_select(e, k=4).orderBy("sel_rank").collect()
+    assert [r["vec_id"] for r in out] == [0, 3, 2, 1]
+    assert out[0]["dist"] is None
+    assert abs(out[1]["dist"] - 2.0) < 1e-9      # 1 - cos(0,3) = 2
+    assert abs(out[2]["dist"] - 1.0) < 1e-9      # orthogonal to both
+    assert out[3]["dist"] < 0.01                 # the near-clone
+    with _pytest.raises(ValueError):
+        kcenter_select(e, k=0)
