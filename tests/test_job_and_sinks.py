@@ -369,3 +369,43 @@ def test_validate_training_shards_flags_corruption(spark, tmp_path):
              for r in validate_training_shards(
                  spark, out, token_col="n_tokens").collect()}
     assert probs[(b, s)] == "corrupt"
+
+
+def test_curate_job_cli_end_to_end(spark, tmp_path, capsys):
+    """The curation CLI: documents parquet -> scrub decontamination ->
+    curate -> shards + manifest -> validation, one JSON summary line.
+    The planted benchmark sentence must vanish from every shard."""
+    import json
+    from extractpdf4j_spark.curate_job import main
+
+    bench = "qq0 qq1 qq2"     # disjoint vocab -> exact planting
+    rows = []
+    for i in range(40):
+        body = " ".join(f"w{i}x{j}" for j in range(30))
+        if i % 8 == 0:        # embed the benchmark mid-doc
+            toks = body.split()
+            body = " ".join(toks[:15] + bench.split() + toks[15:])
+        rows.append((i, body, "en" if i % 3 else "de"))
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(docs)
+    ev = str(tmp_path / "eval")
+    spark.createDataFrame([("e0", bench)], "doc_id string, text string") \
+        .write.parquet(ev)
+
+    out = str(tmp_path / "curated")
+    rc = main(["--documents", docs, "--out", out,
+               "--eval", ev, "--decontam-mode", "scrub",
+               "--gram-n", "3", "--scrub-window", "1",
+               "--min-fragment", "3", "--min-tokens", "5",
+               "--lang-cap", "100", "--shard-budget", "200",
+               "--n-buckets", "2", "--validate"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs_in"] == 40
+    assert summary["validation_problems"] == 0
+    assert summary["docs_out"] > 40  # scrubbed docs split into fragments
+    data = spark.read.parquet(f"{out}/shards")
+    assert data.filter(data.text.contains("qq1")).count() == 0
+    # clean docs survive whole as fragment 0
+    assert data.filter(data.doc_id == "1#0").count() == 1
