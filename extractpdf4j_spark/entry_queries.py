@@ -3849,6 +3849,41 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_nfc_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode NFC composition (corpusops.nfc_normalize_text): every
+    6th doc gets decomposed sequences planted (e + combining acute,
+    n + combining tilde) plus an fi-ligature that NFC must NOT touch;
+    the composed text and changed flags are hash-gated. Python
+    unicodedata vs DuckDB utf8proc — both UAX #15."""
+    from .functions.corpusops import nfc_normalize_text
+    d = _docs(spark, sf).select("doc_id", "text")
+    # DECOMPOSED escapes (e + U+0301, n + U+0303) match the oracle's
+    # chr() construction exactly; composed literals would flip `changed`
+    planted = F.when(
+        F.col("doc_id") % 6 == 0,
+        F.concat(F.lit("cafe\u0301 man\u0303ana \ufb01n "),
+                 F.col("text"))).otherwise(F.col("text"))
+    return (nfc_normalize_text(d.select("doc_id",
+                                        planted.alias("text")))
+            .orderBy("doc_id"))
+
+
+SQL_NFC_NORMALIZE = """
+WITH pdocs AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 6 = 0
+                THEN 'cafe' || chr(769) || ' man' || chr(771)
+                     || 'ana ' || chr(64257) || 'n ' || text
+                ELSE text END AS text
+    FROM documents
+)
+SELECT doc_id, nfc_normalize(text) AS text,
+       CAST(CASE WHEN nfc_normalize(text) IS NOT DISTINCT FROM text
+                 THEN 0 ELSE 1 END AS BIGINT) AS changed
+FROM pdocs ORDER BY doc_id
+"""
+
+
 def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Per-doc TF-IDF keywords (textstats.tfidf_topk): top-5 tokens by
     tf * ln(N/df), scores 6dp-rounded before the (score desc, token)
@@ -7971,6 +8006,7 @@ QUERIES = {
     "q_bigram_lm": q_bigram_lm,
     "q_event_join": q_event_join,
     "q_text_clean": q_text_clean,
+    "q_nfc_normalize": q_nfc_normalize,
     "q_char_entropy": q_char_entropy,
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_token_count": q_bpe_token_count,
@@ -8103,6 +8139,7 @@ ORACLES = {
     "q_bigram_lm": SQL_BIGRAM_LM,
     "q_event_join": SQL_EVENT_JOIN,
     "q_text_clean": SQL_TEXT_CLEAN,
+    "q_nfc_normalize": SQL_NFC_NORMALIZE,
     "q_char_entropy": SQL_CHAR_ENTROPY,
     "q_bpe_merges": SQL_BPE_MERGES,
     "q_bpe_token_count": SQL_BPE_TOKEN_COUNT,

@@ -18,6 +18,8 @@ Scale design shared by all ops:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import _hash60
@@ -1214,6 +1216,43 @@ def clean_text(df: DataFrame, text_col: str = "text",
         F.col(id_col), cleaned.alias(text_col),
         before.alias("n_chars_before"),
         F.length(cleaned).cast("long").alias("n_chars_after"))
+
+
+def nfc_normalize_text(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Unicode NFC canonical composition (UAX #15) — the normalization
+    :func:`clean_text` deliberately does NOT attempt (it only strips
+    and collapses): decomposed sequences (``e`` + U+0301 combining
+    acute) and singleton variants compose to their canonical
+    codepoints, so visually-identical text from different encoders
+    hashes identically. Run BEFORE ``normalized_text_hash`` on crawl
+    corpora; NFC (not NFKC) by design — compatibility characters like
+    the U+FB01 fi-ligature are CONTENT and pass through unchanged.
+
+    Returns ``(id, text, changed)`` (``changed`` long 0/1). NFC needs
+    the Unicode composition tables, which no codegen expression
+    carries, so this is the family's sanctioned slow path: one
+    Arrow-batched ``pandas_udf`` over the text column (still a pure
+    projection — no shuffle, composes with scan pruning). The DuckDB
+    oracle uses utf8proc's ``nfc_normalize``; both implement UAX #15
+    canonical composition and agree byte-for-byte on the gate's
+    planted sequences."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    # built lazily: pandas_udf parses its DDL type against the ACTIVE
+    # session (CLAUDE.md), so no module-import-time construction
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: unicodedata.normalize("NFC", x)
+                     if x is not None else None)
+
+    out = _nfc(F.col(text_col))
+    return df.select(
+        F.col(id_col), out.alias(text_col),
+        F.when(out.eqNullSafe(F.col(text_col)), F.lit(0))
+        .otherwise(F.lit(1)).cast("long").alias("changed"))
 
 
 # ---------------------------------------------------------------------------

@@ -748,3 +748,18 @@ def test_pack_multimodal_partition_invariant_and_validation(spark):
                         default_media_cost=9)
     with _pytest.raises(ValueError):
         pack_multimodal(d, 16, default_media_cost=0)
+
+
+def test_nfc_normalize_text_composition_and_nulls(spark):
+    """Decomposed sequences compose; already-composed text is a no-op;
+    NFC (not NFKC) leaves compatibility ligatures alone; NULL text
+    passes through with changed=0."""
+    from extractpdf4j_spark.functions.corpusops import nfc_normalize_text
+    rows = [(1, "cafe\u0301"), (2, "caf\u00e9"),
+            (3, "\ufb01sh"), (4, None)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in nfc_normalize_text(d).collect()}
+    assert out[1]["text"] == out[2]["text"] == "café"
+    assert (out[1]["changed"], out[2]["changed"]) == (1, 0)
+    assert out[3]["text"] == "ﬁsh" and out[3]["changed"] == 0
+    assert out[4]["text"] is None and out[4]["changed"] == 0
