@@ -848,5 +848,7 @@ def kcenter_select(embeddings: DataFrame, k: int,
         picks.append((r, pid, float(top["dist"])))
         sel_ids.append(pid)
         sel.append(np.asarray(top["emb"], dtype=np.float64))
+    # the result is already driver-side; don't leave k corpora cached
+    e.unpersist()
     return embeddings.sparkSession.createDataFrame(
         picks, f"sel_rank long, {id_col} long, dist double")
