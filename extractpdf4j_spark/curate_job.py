@@ -29,8 +29,17 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="extractpdf4j-spark-curate",
         description="Curate a document corpus into training shards.")
-    p.add_argument("--documents", required=True,
-                   help="input parquet with (doc_id, text, lang)")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--documents",
+                     help="input parquet with (doc_id, text, lang)")
+    src.add_argument("--warc-input",
+                     help="directory of *.warc / *.warc.gz crawl "
+                          "archives: 2xx responses -> main-content "
+                          "extraction -> heuristic language-ID feed "
+                          "the same curation pipeline")
+    p.add_argument("--min-main-words", type=int, default=10,
+                   help="warc path: drop pages whose extracted main "
+                        "content has fewer words")
     p.add_argument("--out", required=True, help="output directory")
     p.add_argument("--eval", default=None,
                    help="optional parquet of benchmark docs "
@@ -68,9 +77,29 @@ def main(argv: list[str] | None = None) -> int:
              .config("spark.sql.adaptive.enabled", "true")
              .getOrCreate())
 
-    docs = (spark.read.parquet(args.documents)
-            .select(F.col("doc_id").cast("string").alias("doc_id"),
-                    "text", "lang"))
+    if args.warc_input:
+        # crawl archive in, curated shards out: WARC records -> 2xx
+        # responses -> readability main content -> heuristic lang-ID
+        from .functions.htmlops import extract_main_content
+        from .functions.textstats import language_id
+        from .sources import read_warc
+
+        pages = (read_warc(spark, args.warc_input)
+                 .filter("warc_type = 'response' AND http_status = 200")
+                 .selectExpr(
+                     "coalesce(record_id, target_uri) AS doc_id",
+                     "payload_text AS html"))
+        main = (extract_main_content(pages, html_col="html")
+                .filter(F.size(F.split(F.trim("main_text"), r"\s+"))
+                        >= args.min_main_words)
+                .select("doc_id", F.col("main_text").alias("text")))
+        docs = (language_id(main)
+                .select("doc_id", "text",
+                        F.col("pred_lang").alias("lang")))
+    else:
+        docs = (spark.read.parquet(args.documents)
+                .select(F.col("doc_id").cast("string").alias("doc_id"),
+                        "text", "lang"))
     n_in = docs.count()
 
     if args.eval:

@@ -409,3 +409,51 @@ def test_curate_job_cli_end_to_end(spark, tmp_path, capsys):
     assert data.filter(data.text.contains("qq1")).count() == 0
     # clean docs survive whole as fragment 0
     assert data.filter(data.doc_id == "1#0").count() == 1
+
+
+def test_curate_job_warc_input_end_to_end(spark, tmp_path, capsys):
+    """Crawl archive in, training shards out: 2xx pages pass through
+    main-content extraction + language-ID into the curation pipeline;
+    404s and thin pages never reach the shards."""
+    import json
+    from extractpdf4j_spark.curate_job import main
+
+    def rec(body, uri, status="200 OK"):
+        http = (f"HTTP/1.1 {status}\r\nContent-Type: text/html\r\n\r\n"
+                + body)
+        return ("WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Record-ID: <urn:uuid:{uri.rsplit('/', 1)[-1]}>\r\n"
+                f"WARC-Target-URI: {uri}\r\n"
+                f"Content-Length: {len(http.encode())}\r\n\r\n"
+                + http + "\r\n\r\n")
+
+    pages = []
+    for i in range(12):
+        words = " ".join(
+            f"the page body word w{i}x{j} and more of it"
+            for j in range(6))
+        pages.append(rec(
+            f"<html><body><nav><a href='/'>home</a></nav>"
+            f"<div><p>{words}</p></div>"
+            f"<footer>all rights reserved</footer></body></html>",
+            f"https://ex.com/p{i}"))
+    pages.append(rec("<p>gone</p>", "https://ex.com/missing",
+                     status="404 NF"))
+    pages.append(rec("<html><body><p>thin</p></body></html>",
+                     "https://ex.com/thin"))
+    (tmp_path / "crawl").mkdir()
+    (tmp_path / "crawl" / "a.warc").write_bytes("".join(pages).encode())
+
+    out = str(tmp_path / "warc_curated")
+    rc = main(["--warc-input", str(tmp_path / "crawl"), "--out", out,
+               "--min-tokens", "5", "--min-line-docs", "100",
+               "--lang-cap", "100", "--shard-budget", "400",
+               "--n-buckets", "2", "--validate"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["docs_in"] == 12          # 404 + thin page dropped
+    assert summary["validation_problems"] == 0
+    data = spark.read.parquet(f"{out}/shards")
+    ids = {r["doc_id"] for r in data.select("doc_id").collect()}
+    assert "<urn:uuid:p0>" in ids
+    assert not any("missing" in i or "thin" in i for i in ids)
