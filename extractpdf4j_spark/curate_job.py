@@ -130,8 +130,12 @@ def main(argv: list[str] | None = None) -> int:
         lang_cap=args.lang_cap, shard_budget=args.shard_budget,
         n_buckets=args.n_buckets)
     data = manifest_rows.join(docs.select("doc_id", "text"), "doc_id")
-    (data.write.partitionBy("bucket", "shard")
-     .mode("error").parquet(f"{args.out}/shards"))
+    if data.isEmpty():
+        # schema-only write: zero-row partitionBy leaves no readable files
+        data.write.mode("error").parquet(f"{args.out}/shards")
+    else:
+        (data.write.partitionBy("bucket", "shard")
+         .mode("error").parquet(f"{args.out}/shards"))
     written = spark.read.parquet(f"{args.out}/shards")
     manifest = _shard_manifest(written, "n_tokens", "doc_id")
     manifest.write.mode("error").parquet(f"{args.out}/_manifest")

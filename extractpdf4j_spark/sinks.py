@@ -245,8 +245,14 @@ def write_training_shards(df: DataFrame, out_dir: str, token_col: str,
     from .functions.corpusops import pack_shards
     packed = pack_shards(df, token_col=token_col, budget=budget,
                          n_buckets=n_buckets, key_col=key_col)
-    (packed.write.partitionBy("bucket", "shard").mode(mode)
-     .parquet(f"{out_dir}/shards"))
+    if packed.isEmpty():
+        # a zero-row partitionBy write leaves NO files and the
+        # read-back cannot infer a schema — write schema-only parquet
+        # so an empty corpus yields an empty-but-readable directory
+        packed.write.mode(mode).parquet(f"{out_dir}/shards")
+    else:
+        (packed.write.partitionBy("bucket", "shard").mode(mode)
+         .parquet(f"{out_dir}/shards"))
     spark = df.sparkSession
     written = spark.read.parquet(f"{out_dir}/shards")
     manifest = _shard_manifest(written, token_col, key_col)

@@ -613,6 +613,11 @@ def stream_write_training_shards(stream_docs: DataFrame, out_dir: str,
     from .sinks import _shard_manifest
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            # a zero-row partitionBy write creates nothing under
+            # epoch=<id> and the manifest read-back would crash the
+            # stream; an empty batch simply has no epoch
+            return
         spark = batch_df.sparkSession
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode",

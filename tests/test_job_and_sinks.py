@@ -457,3 +457,47 @@ def test_curate_job_warc_input_end_to_end(spark, tmp_path, capsys):
     ids = {r["doc_id"] for r in data.select("doc_id").collect()}
     assert "<urn:uuid:p0>" in ids
     assert not any("missing" in i or "thin" in i for i in ids)
+
+
+def test_curate_job_empty_corpus_and_drop_mode(spark, tmp_path, capsys):
+    """An empty corpus yields an empty-but-readable shard directory,
+    a zero summary and rc 0 (not a schema-inference crash); drop-mode
+    decontamination removes contaminated docs entirely — no fragments."""
+    import json
+    from extractpdf4j_spark.curate_job import main
+
+    empty = str(tmp_path / "empty")
+    spark.createDataFrame([], "doc_id long, text string, lang string") \
+        .write.parquet(empty)
+    rc = main(["--documents", empty, "--out", str(tmp_path / "out0"),
+               "--validate"])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (s["docs_in"], s["docs_out"], s["shards"],
+            s["validation_problems"]) == (0, 0, 0, 0)
+
+    bench = "qq0 qq1 qq2"
+    rows = [(i, ("x" + str(i) + " ") * 3
+             + (bench if i % 4 == 0 else "clean body")
+             + " " + " ".join(f"w{i}y{j}" for j in range(10)), "en")
+            for i in range(16)]
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(docs)
+    ev = str(tmp_path / "ev")
+    spark.createDataFrame([("e0", bench)], "doc_id string, text string") \
+        .write.parquet(ev)
+    rc = main(["--documents", docs, "--out", str(tmp_path / "out1"),
+               "--eval", ev, "--decontam-mode", "drop", "--gram-n", "3",
+               "--min-tokens", "3", "--min-line-docs", "100",
+               "--lang-cap", "100", "--shard-budget", "100",
+               "--n-buckets", "1", "--validate"])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["docs_in"] == 16
+    assert s["docs_out"] == 12              # the 4 contaminated dropped
+    data = spark.read.parquet(str(tmp_path / "out1") + "/shards")
+    assert data.filter(data.text.contains("qq1")).count() == 0
+    # whole docs dropped, no fragment ids
+    assert not any("#" in r["doc_id"]
+                   for r in data.select("doc_id").collect())
