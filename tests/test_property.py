@@ -95,3 +95,93 @@ def test_column_normalization_matches_oracle(grid):
     normalize_numeric_like_columns(g1)
     oracle._normalize_columns(g2)
     assert g1 == g2
+
+
+# ---------------------------------------------------------------------------
+# Spark-level properties (few examples — each drives a Spark job)
+# ---------------------------------------------------------------------------
+
+def _ref_scrub(docs, evals, n, window, min_frag):
+    """Literal scalar replay of corpusops.scrub_contaminated."""
+    egrams = set()
+    for _, t in evals:
+        toks = " ".join(t.lower().split()).split(" ")
+        for i in range(0, max(len(toks) - n, 0) + 1):
+            g = " ".join(toks[i:i + n])
+            if g:
+                egrams.add(g)
+    out = []
+    for did, text in docs:
+        orig = " ".join(text.split()).split(" ")
+        low = [t.lower() for t in orig]
+        bad = set()
+        for i in range(0, max(len(low) - n, 0) + 1):
+            if " ".join(low[i:i + n]) in egrams:
+                for p in range(max(i - window, 0),
+                               min(i + n - 1 + window, len(low) - 1) + 1):
+                    bad.add(p)
+        kept = [p for p in range(len(orig)) if p not in bad]
+        frags, cur = [], []
+        for p in kept:
+            if cur and p != cur[-1] + 1:
+                frags.append(cur)
+                cur = []
+            cur.append(p)
+        if cur:
+            frags.append(cur)
+        fid = 0
+        for fr in frags:
+            if len(fr) >= min_frag:
+                out.append((did, fid, " ".join(orig[p] for p in fr),
+                            len(fr)))
+                fid += 1
+    return sorted(out)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.lists(st.sampled_from("Aa Bb cc dd ee ff gg hh".split()),
+                         min_size=4, max_size=18),
+                min_size=3, max_size=7),
+       st.integers(0, 2))
+def test_scrub_contaminated_matches_scalar_reference(spark, docs_toks,
+                                                     window):
+    from extractpdf4j_spark.functions.corpusops import scrub_contaminated
+    docs = [(f"d{i}", " ".join(toks)) for i, toks in enumerate(docs_toks)]
+    # the benchmark quotes the middle of doc 0 — guaranteed collisions
+    evals = [("e0", " ".join(docs_toks[0][1:4]))]
+    got = sorted((r["doc_id"], r["frag_id"], r["text"], r["n_tokens"])
+                 for r in scrub_contaminated(
+                     spark.createDataFrame(docs,
+                                           "doc_id string, text string"),
+                     spark.createDataFrame(evals,
+                                           "doc_id string, text string"),
+                     n=3, window=window, min_fragment=2).collect())
+    assert got == _ref_scrub(docs, evals, 3, window, 2)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.text(alphabet="abc <>/=\"'&#;\n\t", min_size=0,
+                        max_size=60),
+                min_size=1, max_size=5))
+def test_parse_warc_text_round_trips_random_payloads(spark, bodies):
+    """Any payload free of the record magic round-trips byte-exactly
+    through the codegen framing parser."""
+    from extractpdf4j_spark.functions.warcops import parse_warc_text
+    recs = []
+    for i, body in enumerate(bodies):
+        http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + body)
+        recs.append("WARC/1.0\r\nWARC-Type: response\r\n"
+                    f"WARC-Target-URI: https://p/{i}\r\n"
+                    f"Content-Length: {len(http.encode())}\r\n\r\n"
+                    + http + "\r\n\r\n")
+    df = spark.createDataFrame([("f", "".join(recs))],
+                               "file_id string, content string")
+    rows = sorted(parse_warc_text(df).collect(),
+                  key=lambda r: r["record_idx"])
+    assert len(rows) == len(bodies)
+    for i, (r, body) in enumerate(zip(rows, bodies)):
+        assert r["target_uri"] == f"https://p/{i}"
+        # the parser trims the trailing record separator CRLFs only
+        import re as _re
+        assert r["payload"] == _re.sub(r"(\r\n)+$", "", body)
