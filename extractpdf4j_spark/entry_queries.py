@@ -2396,6 +2396,105 @@ LIMIT 40
 
 
 # ---------------------------------------------------------------------------
+# Corpus distribution drift (training-pipeline monitoring op;
+# functions/textstats.py:token_drift / distribution_divergence — KL and
+# Jensen-Shannon between two snapshots' unigram distributions, add-1
+# smoothed over the union vocabulary; per-token terms are integer nano
+# units so every downstream sum is exact cross-engine)
+# ---------------------------------------------------------------------------
+
+def _drift_snapshots(spark: SparkSession, sf: str):
+    """The gate's two snapshots: the even/odd doc_id halves of
+    documents. Disjoint doc sets give each side tokens the other never
+    saw, exercising the add-1 smoothing on both zero-count paths."""
+    d = _docs(spark, sf).select("doc_id", "text")
+    return (d.filter(F.col("doc_id") % 2 == 0),
+            d.filter(F.col("doc_id") % 2 == 1))
+
+
+def q_token_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-40 drift movers by JS contribution (integer nano terms, so
+    the ordering and the limit boundary carry no float knife-edge)."""
+    from .functions.textstats import token_drift
+    old, new = _drift_snapshots(spark, sf)
+    return (token_drift(old, new)
+            .select("token", "cnt_a", "cnt_b", "js_nano")
+            .orderBy(F.col("js_nano").desc(), "token")
+            .limit(40))
+
+
+def q_corpus_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row KL/JS summary between the two snapshot halves."""
+    from .functions.textstats import distribution_divergence
+    old, new = _drift_snapshots(spark, sf)
+    return distribution_divergence(old, new)
+
+
+_DRIFT_CTES = r"""
+WITH a AS (
+    SELECT token, count(*)::BIGINT AS cnt_a
+    FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+              AS token
+          FROM documents WHERE doc_id % 2 = 0)
+    WHERE token <> '' GROUP BY token
+),
+b AS (
+    SELECT token, count(*)::BIGINT AS cnt_b
+    FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+              AS token
+          FROM documents WHERE doc_id % 2 = 1)
+    WHERE token <> '' GROUP BY token
+),
+j AS (
+    SELECT coalesce(a.token, b.token) AS token,
+           coalesce(cnt_a, 0)::BIGINT AS cnt_a,
+           coalesce(cnt_b, 0)::BIGINT AS cnt_b
+    FROM a FULL OUTER JOIN b ON a.token = b.token
+),
+s AS (
+    SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+           CAST(sum(cnt_b) AS BIGINT) AS tot_b,
+           count(*)::BIGINT AS vocab
+    FROM j
+),
+t AS (
+    SELECT token, cnt_a, cnt_b,
+           CAST(cnt_a + 1 AS DOUBLE) / CAST(tot_a + vocab AS DOUBLE) AS p_a,
+           CAST(cnt_b + 1 AS DOUBLE) / CAST(tot_b + vocab AS DOUBLE) AS p_b
+    FROM j, s
+)
+"""
+
+SQL_TOKEN_DRIFT = _DRIFT_CTES + r"""
+SELECT token, cnt_a, cnt_b,
+       CAST(round((0.5 * (p_a * ln(p_a / ((p_a + p_b) / 2.0))
+                          + p_b * ln(p_b / ((p_a + p_b) / 2.0))))
+                  * 1000000000.0) AS BIGINT) AS js_nano
+FROM t
+ORDER BY js_nano DESC, token
+LIMIT 40
+"""
+
+SQL_CORPUS_DIVERGENCE = _DRIFT_CTES + r"""
+, terms AS (
+    SELECT
+        CAST(round((p_a * ln(p_a / p_b)) * 1000000000.0) AS BIGINT) AS ka,
+        CAST(round((p_b * ln(p_b / p_a)) * 1000000000.0) AS BIGINT) AS kb,
+        CAST(round((0.5 * (p_a * ln(p_a / ((p_a + p_b) / 2.0))
+                           + p_b * ln(p_b / ((p_a + p_b) / 2.0))))
+                   * 1000000000.0) AS BIGINT) AS js
+    FROM t
+)
+SELECT s.vocab, s.tot_a, s.tot_b,
+       round(CAST(sum(ka) AS BIGINT) / 1000000000.0, 6) AS kl_ab,
+       round(CAST(sum(kb) AS BIGINT) / 1000000000.0, 6) AS kl_ba,
+       round(CAST(sum(js) AS BIGINT) / 1000000000.0, 6) AS js
+FROM terms, s
+GROUP BY s.vocab, s.tot_a, s.tot_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # int8 embedding quantization (training-pipeline scale op;
 # functions/similarity.py:quantize_embeddings). The quantizer is defined
 # as floor(x/scale + 0.5) so one IEEE expression gates both engines —
@@ -7979,6 +8078,8 @@ QUERIES = {
     "q_embed_quantize": q_embed_quantize,
     "q_dedup_keep": q_dedup_keep,
     "q_vocab_topk": q_vocab_topk,
+    "q_token_drift": q_token_drift,
+    "q_corpus_divergence": q_corpus_divergence,
     "q_boilerplate": q_boilerplate,
     "q_hash_sample": q_hash_sample,
     "q_quota_sample": q_quota_sample,
@@ -8112,6 +8213,8 @@ ORACLES = {
     "q_embed_quantize": SQL_EMBED_QUANTIZE,
     "q_dedup_keep": SQL_DEDUP_KEEP,
     "q_vocab_topk": SQL_VOCAB_TOPK,
+    "q_token_drift": SQL_TOKEN_DRIFT,
+    "q_corpus_divergence": SQL_CORPUS_DIVERGENCE,
     "q_boilerplate": SQL_BOILERPLATE,
     "q_hash_sample": SQL_HASH_SAMPLE,
     "q_quota_sample": SQL_QUOTA_SAMPLE,

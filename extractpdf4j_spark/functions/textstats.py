@@ -469,3 +469,96 @@ def bpe_token_counts(df: DataFrame, n_merges: int = 10,
                     .alias("n_words"),
                     F.coalesce("n_bpe_tokens", F.lit(0)).cast("long")
                     .alias("n_bpe_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# Corpus distribution drift (KL / Jensen-Shannon between two snapshots)
+# ---------------------------------------------------------------------------
+
+DRIFT_NANO = 1_000_000_000.0  # per-token term micro-scale (integer-exact sums)
+
+
+def token_drift(old: DataFrame, new: DataFrame,
+                text_col: str = "text") -> DataFrame:
+    """Per-token unigram-distribution drift between two corpus
+    snapshots — the monitoring primitive behind "did the recrawl /
+    filter stage shift my training mix?". Tokens are lowercase
+    whitespace splits (the :func:`vocab_topk` tokenizer); each side's
+    counts are add-1 smoothed over the UNION vocabulary so both
+    distributions are strictly positive and comparable::
+
+        p_a(t) = (cnt_a + 1) / (tot_a + V)      V = |vocab(a) U vocab(b)|
+
+    Returns one row per union-vocabulary token: ``(token, cnt_a,
+    cnt_b, tot_a, tot_b, vocab, kl_ab_nano, kl_ba_nano, js_nano)`` —
+    the KL(a||b), KL(b||a) and Jensen-Shannon divergence contributions
+    of the token, scaled by 1e9 and rounded to integers (the BM25
+    micro-score convention: per-term doubles are each ONE fixed-order
+    expression of exact integer counts, and everything summed
+    downstream is summed as longs, so totals are bit-identical across
+    engines and aggregation orders).
+
+    Scale shape: one token-keyed map-side-combined count per side, a
+    full-outer join of the two Zipf-small vocabulary tables (never the
+    corpora), and a broadcast single-row totals join. At 100 TB the
+    token tables are MBs against TBs of text; nothing corpus-sized
+    ever shuffles twice.
+    """
+    def counts(df, alias):
+        toks = (df.select(F.explode(F.split(F.trim(F.lower(
+            F.col(text_col))), r"\s+")).alias("token"))
+            .filter(F.col("token") != ""))
+        return toks.groupBy("token").agg(
+            F.count("*").cast("long").alias(alias))
+
+    joined = (counts(old, "cnt_a").join(counts(new, "cnt_b"),
+                                        "token", "full_outer")
+              .select("token",
+                      F.coalesce("cnt_a", F.lit(0)).cast("long")
+                      .alias("cnt_a"),
+                      F.coalesce("cnt_b", F.lit(0)).cast("long")
+                      .alias("cnt_b")))
+    stats = joined.agg(
+        F.sum("cnt_a").cast("long").alias("tot_a"),
+        F.sum("cnt_b").cast("long").alias("tot_b"),
+        F.count("*").cast("long").alias("vocab"))
+    j = joined.crossJoin(F.broadcast(stats))
+    p_a = ((F.col("cnt_a") + F.lit(1)).cast("double")
+           / (F.col("tot_a") + F.col("vocab")).cast("double"))
+    p_b = ((F.col("cnt_b") + F.lit(1)).cast("double")
+           / (F.col("tot_b") + F.col("vocab")).cast("double"))
+    m = (p_a + p_b) / F.lit(2.0)
+    nano = F.lit(DRIFT_NANO)
+    return j.select(
+        "token", "cnt_a", "cnt_b", "tot_a", "tot_b", "vocab",
+        F.round((p_a * F.log(p_a / p_b)) * nano).cast("long")
+        .alias("kl_ab_nano"),
+        F.round((p_b * F.log(p_b / p_a)) * nano).cast("long")
+        .alias("kl_ba_nano"),
+        F.round((F.lit(0.5) * (p_a * F.log(p_a / m)
+                               + p_b * F.log(p_b / m))) * nano)
+        .cast("long").alias("js_nano"))
+
+
+def distribution_divergence(old: DataFrame, new: DataFrame,
+                            text_col: str = "text") -> DataFrame:
+    """One-row corpus-drift summary from :func:`token_drift`:
+    ``(vocab, tot_a, tot_b, kl_ab, kl_ba, js)`` — the divergences in
+    nats, 6dp. Sums are exact long sums of the per-token nano terms
+    (order-free), divided back by 1e9 only at the end; ``js`` is
+    bounded by ln(2) and is the number to alert on between crawl
+    snapshots or before/after a filter stage."""
+    d = token_drift(old, new, text_col)
+    return (d.agg(F.max("vocab").alias("vocab"),
+                  F.max("tot_a").alias("tot_a"),
+                  F.max("tot_b").alias("tot_b"),
+                  F.sum("kl_ab_nano").alias("_ka"),
+                  F.sum("kl_ba_nano").alias("_kb"),
+                  F.sum("js_nano").alias("_js"))
+            .select("vocab", "tot_a", "tot_b",
+                    F.round(F.col("_ka") / F.lit(DRIFT_NANO), 6)
+                    .alias("kl_ab"),
+                    F.round(F.col("_kb") / F.lit(DRIFT_NANO), 6)
+                    .alias("kl_ba"),
+                    F.round(F.col("_js") / F.lit(DRIFT_NANO), 6)
+                    .alias("js")))

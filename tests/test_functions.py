@@ -1214,3 +1214,61 @@ def test_kcenter_select_planted_geometry(spark):
     assert out[3]["dist"] < 0.01                 # the near-clone
     with _pytest.raises(ValueError):
         kcenter_select(e, k=0)
+
+
+def test_token_drift_hand_computed(spark):
+    import math
+    from collections import Counter
+    from extractpdf4j_spark.functions.textstats import (
+        distribution_divergence, token_drift)
+    old_rows = [(1, "the cat sat on the mat"),
+                (2, "the dog ate the bone")]
+    new_rows = [(3, "the cat sat on the rug"),
+                (4, "a bird sang a song")]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    def toks(rows):
+        c = Counter()
+        for _, t in rows:
+            c.update(w for w in t.lower().strip().split() if w)
+        return c
+
+    ca, cb = toks(old_rows), toks(new_rows)
+    vocab = sorted(set(ca) | set(cb))
+    v, ta, tb = len(vocab), sum(ca.values()), sum(cb.values())
+    exp, ka_sum, kb_sum, js_sum = {}, 0, 0, 0
+    for t in vocab:
+        pa = (ca.get(t, 0) + 1) / (ta + v)
+        pb = (cb.get(t, 0) + 1) / (tb + v)
+        m = (pa + pb) / 2.0
+        ka = round(pa * math.log(pa / pb) * 1e9)
+        kb = round(pb * math.log(pb / pa) * 1e9)
+        js = round(0.5 * (pa * math.log(pa / m)
+                          + pb * math.log(pb / m)) * 1e9)
+        exp[t] = (ca.get(t, 0), cb.get(t, 0), ka, kb, js)
+        ka_sum += ka
+        kb_sum += kb
+        js_sum += js
+
+    out = {r["token"]: r for r in token_drift(old, new).collect()}
+    assert set(out) == set(vocab)
+    for t in vocab:
+        r = out[t]
+        assert (r["cnt_a"], r["cnt_b"], r["kl_ab_nano"],
+                r["kl_ba_nano"], r["js_nano"]) == exp[t], t
+        assert (r["tot_a"], r["tot_b"], r["vocab"]) == (ta, tb, v)
+
+    summ = distribution_divergence(old, new).collect()[0]
+    assert (summ["vocab"], summ["tot_a"], summ["tot_b"]) == (v, ta, tb)
+    assert summ["kl_ab"] == round(ka_sum / 1e9, 6)
+    assert summ["kl_ba"] == round(kb_sum / 1e9, 6)
+    assert summ["js"] == round(js_sum / 1e9, 6)
+    # divergence invariants: total KL >= 0, JS symmetric and <= ln 2
+    assert summ["kl_ab"] >= 0 and summ["kl_ba"] >= 0
+    assert 0 <= summ["js"] <= math.log(2) + 1e-9
+    rev = distribution_divergence(new, old).collect()[0]
+    assert rev["js"] == summ["js"]
+    # identical snapshots -> zero drift everywhere
+    zero = distribution_divergence(old, old).collect()[0]
+    assert (zero["kl_ab"], zero["kl_ba"], zero["js"]) == (0.0, 0.0, 0.0)
