@@ -479,7 +479,7 @@ DRIFT_NANO = 1_000_000_000.0  # per-token term micro-scale (integer-exact sums)
 
 
 def token_drift(old: DataFrame, new: DataFrame,
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text", key_cols=()) -> DataFrame:
     """Per-token unigram-distribution drift between two corpus
     snapshots — the monitoring primitive behind "did the recrawl /
     filter stage shift my training mix?". Tokens are lowercase
@@ -489,40 +489,54 @@ def token_drift(old: DataFrame, new: DataFrame,
 
         p_a(t) = (cnt_a + 1) / (tot_a + V)      V = |vocab(a) U vocab(b)|
 
-    Returns one row per union-vocabulary token: ``(token, cnt_a,
-    cnt_b, tot_a, tot_b, vocab, kl_ab_nano, kl_ba_nano, js_nano)`` —
-    the KL(a||b), KL(b||a) and Jensen-Shannon divergence contributions
-    of the token, scaled by 1e9 and rounded to integers (the BM25
-    micro-score convention: per-term doubles are each ONE fixed-order
-    expression of exact integer counts, and everything summed
-    downstream is summed as longs, so totals are bit-identical across
-    engines and aggregation orders).
+    Returns one row per union-vocabulary token: ``(keys..., token,
+    cnt_a, cnt_b, tot_a, tot_b, vocab, kl_ab_nano, kl_ba_nano,
+    js_nano)`` — the KL(a||b), KL(b||a) and Jensen-Shannon divergence
+    contributions of the token, scaled by 1e9 and rounded to integers
+    (the BM25 micro-score convention: per-term doubles are each ONE
+    fixed-order expression of exact integer counts, and everything
+    summed downstream is summed as longs, so totals are bit-identical
+    across engines and aggregation orders).
+
+    ``key_cols`` computes drift independently per key group (union
+    vocab, totals and smoothing all per key) — "WHICH domains
+    drifted?", the HLL/CMS keyed-sketch convention. A key present in
+    only one snapshot still gets well-defined drift: the other side is
+    all-zero counts and smoothing keeps it a proper distribution.
 
     Scale shape: one token-keyed map-side-combined count per side, a
     full-outer join of the two Zipf-small vocabulary tables (never the
-    corpora), and a broadcast single-row totals join. At 100 TB the
-    token tables are MBs against TBs of text; nothing corpus-sized
+    corpora), and a broadcast totals join (one row per key). At 100 TB
+    the token tables are MBs against TBs of text; nothing corpus-sized
     ever shuffles twice.
     """
+    keys = list(key_cols)
+
     def counts(df, alias):
-        toks = (df.select(F.explode(F.split(F.trim(F.lower(
-            F.col(text_col))), r"\s+")).alias("token"))
-            .filter(F.col("token") != ""))
-        return toks.groupBy("token").agg(
+        toks = (df.select(*[F.col(k) for k in keys],
+                          F.explode(F.split(F.trim(F.lower(
+                              F.col(text_col))), r"\s+")).alias("token"))
+                .filter(F.col("token") != ""))
+        return toks.groupBy(*keys, "token").agg(
             F.count("*").cast("long").alias(alias))
 
+    # seam cache: the vocab table feeds the totals agg AND the per-token
+    # projection — uncached, the tokenize+count of BOTH corpora executes
+    # twice (the unigram_logprob seam rule)
     joined = (counts(old, "cnt_a").join(counts(new, "cnt_b"),
-                                        "token", "full_outer")
-              .select("token",
+                                        [*keys, "token"], "full_outer")
+              .select(*keys, "token",
                       F.coalesce("cnt_a", F.lit(0)).cast("long")
                       .alias("cnt_a"),
                       F.coalesce("cnt_b", F.lit(0)).cast("long")
-                      .alias("cnt_b")))
-    stats = joined.agg(
+                      .alias("cnt_b"))
+              .cache())
+    stats = joined.groupBy(*keys).agg(
         F.sum("cnt_a").cast("long").alias("tot_a"),
         F.sum("cnt_b").cast("long").alias("tot_b"),
         F.count("*").cast("long").alias("vocab"))
-    j = joined.crossJoin(F.broadcast(stats))
+    j = (joined.join(F.broadcast(stats), keys) if keys
+         else joined.crossJoin(F.broadcast(stats)))
     p_a = ((F.col("cnt_a") + F.lit(1)).cast("double")
            / (F.col("tot_a") + F.col("vocab")).cast("double"))
     p_b = ((F.col("cnt_b") + F.lit(1)).cast("double")
@@ -530,7 +544,7 @@ def token_drift(old: DataFrame, new: DataFrame,
     m = (p_a + p_b) / F.lit(2.0)
     nano = F.lit(DRIFT_NANO)
     return j.select(
-        "token", "cnt_a", "cnt_b", "tot_a", "tot_b", "vocab",
+        *keys, "token", "cnt_a", "cnt_b", "tot_a", "tot_b", "vocab",
         F.round((p_a * F.log(p_a / p_b)) * nano).cast("long")
         .alias("kl_ab_nano"),
         F.round((p_b * F.log(p_b / p_a)) * nano).cast("long")
@@ -541,21 +555,25 @@ def token_drift(old: DataFrame, new: DataFrame,
 
 
 def distribution_divergence(old: DataFrame, new: DataFrame,
-                            text_col: str = "text") -> DataFrame:
-    """One-row corpus-drift summary from :func:`token_drift`:
-    ``(vocab, tot_a, tot_b, kl_ab, kl_ba, js)`` — the divergences in
-    nats, 6dp. Sums are exact long sums of the per-token nano terms
-    (order-free), divided back by 1e9 only at the end; ``js`` is
-    bounded by ln(2) and is the number to alert on between crawl
-    snapshots or before/after a filter stage."""
-    d = token_drift(old, new, text_col)
-    return (d.agg(F.max("vocab").alias("vocab"),
-                  F.max("tot_a").alias("tot_a"),
-                  F.max("tot_b").alias("tot_b"),
-                  F.sum("kl_ab_nano").alias("_ka"),
-                  F.sum("kl_ba_nano").alias("_kb"),
-                  F.sum("js_nano").alias("_js"))
-            .select("vocab", "tot_a", "tot_b",
+                            text_col: str = "text",
+                            key_cols=()) -> DataFrame:
+    """Corpus-drift summary from :func:`token_drift` — one row per key
+    group (one row total without ``key_cols``): ``(keys..., vocab,
+    tot_a, tot_b, kl_ab, kl_ba, js)`` — the divergences in nats, 6dp.
+    Sums are exact long sums of the per-token nano terms (order-free),
+    divided back by 1e9 only at the end; ``js`` is bounded by ln(2)
+    and is the number to alert on between crawl snapshots or
+    before/after a filter stage."""
+    keys = list(key_cols)
+    d = token_drift(old, new, text_col, key_cols)
+    return (d.groupBy(*keys)
+            .agg(F.max("vocab").alias("vocab"),
+                 F.max("tot_a").alias("tot_a"),
+                 F.max("tot_b").alias("tot_b"),
+                 F.sum("kl_ab_nano").alias("_ka"),
+                 F.sum("kl_ba_nano").alias("_kb"),
+                 F.sum("js_nano").alias("_js"))
+            .select(*keys, "vocab", "tot_a", "tot_b",
                     F.round(F.col("_ka") / F.lit(DRIFT_NANO), 6)
                     .alias("kl_ab"),
                     F.round(F.col("_kb") / F.lit(DRIFT_NANO), 6)

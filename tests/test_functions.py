@@ -1272,3 +1272,51 @@ def test_token_drift_hand_computed(spark):
     # identical snapshots -> zero drift everywhere
     zero = distribution_divergence(old, old).collect()[0]
     assert (zero["kl_ab"], zero["kl_ba"], zero["js"]) == (0.0, 0.0, 0.0)
+
+
+def test_token_drift_grouped_matches_per_key(spark):
+    from extractpdf4j_spark.functions.textstats import (
+        distribution_divergence, token_drift)
+    old = spark.createDataFrame(
+        [(1, "x", "alpha beta beta gamma"),
+         (2, "x", "alpha delta"),
+         (3, "y", "one two three"),
+         # key absent from `new`; repeated token keeps the smoothed
+         # distribution non-uniform (all-singleton counts smooth to
+         # EXACTLY uniform == the smoothed empty side, a zero-JS tie)
+         (4, "z", "only only only in old corpus")],
+        "doc_id long, src string, text string")
+    new = spark.createDataFrame(
+        [(5, "x", "alpha beta epsilon"),
+         (6, "y", "one two two four")],
+        "doc_id long, src string, text string")
+
+    grouped = token_drift(old, new, key_cols=["src"]).collect()
+    assert {r["src"] for r in grouped} == {"x", "y", "z"}
+    for src in ("x", "y", "z"):
+        solo = {r["token"]: r for r in token_drift(
+            old.filter(old.src == src), new.filter(new.src == src))
+            .collect()}
+        sub = {r["token"]: r for r in grouped if r["src"] == src}
+        assert set(sub) == set(solo), src
+        for t, r in sub.items():
+            s = solo[t]
+            assert tuple(r[c] for c in
+                         ("cnt_a", "cnt_b", "tot_a", "tot_b", "vocab",
+                          "kl_ab_nano", "kl_ba_nano", "js_nano")) \
+                == tuple(s[c] for c in
+                         ("cnt_a", "cnt_b", "tot_a", "tot_b", "vocab",
+                          "kl_ab_nano", "kl_ba_nano", "js_nano")), (src, t)
+
+    summ = {r["src"]: r for r in
+            distribution_divergence(old, new, key_cols=["src"]).collect()}
+    assert set(summ) == {"x", "y", "z"}
+    for src in ("x", "y", "z"):
+        solo = distribution_divergence(old.filter(old.src == src),
+                                       new.filter(new.src == src)
+                                       ).collect()[0]
+        r = summ[src]
+        assert (r["kl_ab"], r["kl_ba"], r["js"]) == \
+            (solo["kl_ab"], solo["kl_ba"], solo["js"]), src
+    # the old-only key still yields a well-defined, positive drift
+    assert summ["z"]["tot_b"] == 0 and summ["z"]["js"] > 0
