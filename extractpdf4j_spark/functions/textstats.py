@@ -520,11 +520,34 @@ def token_drift(old: DataFrame, new: DataFrame,
         return toks.groupBy(*keys, "token").agg(
             F.count("*").cast("long").alias(alias))
 
+    return _drift_terms(counts(old, "cnt_a"), counts(new, "cnt_b"), keys)
+
+
+def counts_drift(a_counts: DataFrame, b_counts: DataFrame,
+                 key_cols=()) -> DataFrame:
+    """:func:`token_drift` starting from two PRE-AGGREGATED count
+    tables ``(keys..., token, cnt)`` — the artifact workflow: persist
+    each snapshot's Zipf-small vocabulary counts once (they are MBs
+    against TBs of text, and fold across shards by summing ``cnt``),
+    then compute drift between any two snapshots later WITHOUT
+    re-tokenizing the corpora. Identical output columns and identical
+    values to :func:`token_drift` over the original text."""
+    keys = list(key_cols)
+    a = a_counts.select(*keys, "token",
+                        F.col("cnt").cast("long").alias("cnt_a"))
+    b = b_counts.select(*keys, "token",
+                        F.col("cnt").cast("long").alias("cnt_b"))
+    return _drift_terms(a, b, keys)
+
+
+def _drift_terms(a: DataFrame, b: DataFrame, keys: list) -> DataFrame:
+    """Shared drift core over two count tables carrying ``cnt_a`` /
+    ``cnt_b``: union-vocab full-outer join, per-key totals, smoothed
+    per-token nano terms (see :func:`token_drift` for the math)."""
     # seam cache: the vocab table feeds the totals agg AND the per-token
     # projection — uncached, the tokenize+count of BOTH corpora executes
     # twice (the unigram_logprob seam rule)
-    joined = (counts(old, "cnt_a").join(counts(new, "cnt_b"),
-                                        [*keys, "token"], "full_outer")
+    joined = (a.join(b, [*keys, "token"], "full_outer")
               .select(*keys, "token",
                       F.coalesce("cnt_a", F.lit(0)).cast("long")
                       .alias("cnt_a"),
@@ -564,8 +587,22 @@ def distribution_divergence(old: DataFrame, new: DataFrame,
     divided back by 1e9 only at the end; ``js`` is bounded by ln(2)
     and is the number to alert on between crawl snapshots or
     before/after a filter stage."""
-    keys = list(key_cols)
-    d = token_drift(old, new, text_col, key_cols)
+    return _divergence_summary(
+        token_drift(old, new, text_col, key_cols), list(key_cols))
+
+
+def counts_divergence(a_counts: DataFrame, b_counts: DataFrame,
+                      key_cols=()) -> DataFrame:
+    """:func:`distribution_divergence` starting from two
+    pre-aggregated ``(keys..., token, cnt)`` tables (see
+    :func:`counts_drift`): the persisted-artifact / streaming-window
+    path to the same per-key ``(vocab, tot_a, tot_b, kl_ab, kl_ba,
+    js)`` summary."""
+    return _divergence_summary(
+        counts_drift(a_counts, b_counts, key_cols), list(key_cols))
+
+
+def _divergence_summary(d: DataFrame, keys: list) -> DataFrame:
     return (d.groupBy(*keys)
             .agg(F.max("vocab").alias("vocab"),
                  F.max("tot_a").alias("tot_a"),

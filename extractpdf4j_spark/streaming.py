@@ -236,6 +236,75 @@ def windowed_cms_sketch(events: DataFrame, value_col: str = "user_id",
                     "event_type", "row", "col", "cnt"))
 
 
+def windowed_token_counts(docs: DataFrame, text_col: str = "text",
+                          ts_col: str = "ts",
+                          watermark: str = "10 minutes",
+                          window: str = "1 hour") -> DataFrame:
+    """Unigram token counts per tumbling event-time window:
+    ``(window_start, token, cnt)`` — the streaming DISTRIBUTION
+    artifact completing the sketch triad (HLL = how many distinct,
+    CMS = how often each key, this = what the text looks like).
+    Tokens are the :func:`~.functions.textstats.vocab_topk` lowercase
+    whitespace splits, so the emitted table is directly comparable to
+    any batch-built vocabulary count table.
+
+    Same design stance as the HLL/CMS windows: emit the MERGEABLE
+    artifact, not the answer. State is one watermark-bounded
+    aggregation over (window, token) — Zipf-bounded per window
+    regardless of stream rate (the token explode before it is
+    stateless, so append mode holds with its single-aggregation
+    budget). Fold shards/windows by summing ``cnt``; feed
+    :func:`~.functions.textstats.counts_drift` /
+    :func:`counts_divergence` against a reference snapshot's counts —
+    :func:`window_drift_vs_reference` composes exactly that, the live
+    "is this crawl batch drifting?" monitor.
+
+    On a batch frame the identical expression computes the exact batch
+    counts — the streaming parity test pins the two paths identical."""
+    e = docs
+    if e.isStreaming:
+        # same NTZ->LTZ pinning as windowed_event_metrics
+        e = (e.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+             .withWatermark(ts_col, watermark))
+    toks = (e.select(F.window(ts_col, window).alias("w"),
+                     F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                       r"\s+")).alias("token"))
+            .filter(F.col("token") != ""))
+    return (toks.groupBy("w", "token")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"), "token", "cnt"))
+
+
+def window_drift_vs_reference(window_counts: DataFrame,
+                              reference_counts: DataFrame) -> DataFrame:
+    """Per-window distribution drift against a static reference:
+    ``(window_start, vocab, tot_a, tot_b, kl_ab, kl_ba, js)`` with
+    side ``a`` the window and side ``b`` the reference — the alerting
+    stage over :func:`windowed_token_counts` output (batch job over
+    the emitted table, or inside foreachBatch). ``reference_counts``
+    is any ``(token, cnt)`` table: a curated snapshot's vocabulary, a
+    trusted crawl week, the training mix itself.
+
+    The reference (Zipf-small) is broadcast and expanded per observed
+    window so each window's union vocabulary/smoothing matches exactly
+    what :func:`~.functions.textstats.distribution_divergence` would
+    compute over the window's raw documents — the parity the streaming
+    test pins."""
+    from .functions.textstats import counts_divergence
+    # rename-through mints fresh attribute ids: the expanded reference
+    # must not share window_counts' own window_start attribute or the
+    # downstream self-join fails analysis with a conflict
+    windows = (window_counts.select(F.col("window_start").alias("_w"))
+               .distinct())
+    ref = (windows.crossJoin(F.broadcast(
+        reference_counts.select("token", F.col("cnt").cast("long")
+                                .alias("cnt"))))
+        .select(F.col("_w").alias("window_start"), "token", "cnt"))
+    return counts_divergence(window_counts, ref,
+                             key_cols=["window_start"])
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: cross-batch document assembly
 # ---------------------------------------------------------------------------

@@ -1320,3 +1320,39 @@ def test_token_drift_grouped_matches_per_key(spark):
             (solo["kl_ab"], solo["kl_ba"], solo["js"]), src
     # the old-only key still yields a well-defined, positive drift
     assert summ["z"]["tot_b"] == 0 and summ["z"]["js"] > 0
+
+
+def test_counts_drift_matches_text_path(spark):
+    """counts_drift/counts_divergence over pre-aggregated vocabulary
+    tables must equal token_drift/distribution_divergence over the raw
+    text — the persisted-artifact workflow contract."""
+    from collections import Counter
+    from extractpdf4j_spark.functions.textstats import (
+        counts_divergence, counts_drift, distribution_divergence,
+        token_drift)
+    old_rows = [(1, "the cat sat on the mat"),
+                (2, "the dog ate the bone")]
+    new_rows = [(3, "the cat sat on the rug"),
+                (4, "a bird sang a song")]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    def cdf(rows):
+        c = Counter()
+        for _, t in rows:
+            c.update(w for w in t.lower().strip().split() if w)
+        return spark.createDataFrame(sorted(c.items()),
+                                     "token string, cnt long")
+
+    cols = ("cnt_a", "cnt_b", "tot_a", "tot_b", "vocab",
+            "kl_ab_nano", "kl_ba_nano", "js_nano")
+    via_counts = {r["token"]: tuple(r[c] for c in cols)
+                  for r in counts_drift(cdf(old_rows),
+                                        cdf(new_rows)).collect()}
+    via_text = {r["token"]: tuple(r[c] for c in cols)
+                for r in token_drift(old, new).collect()}
+    assert via_counts == via_text and len(via_text) > 0
+
+    cs = counts_divergence(cdf(old_rows), cdf(new_rows)).collect()[0]
+    ds = distribution_divergence(old, new).collect()[0]
+    assert cs.asDict() == ds.asDict()

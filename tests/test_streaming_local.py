@@ -610,3 +610,79 @@ def test_stream_write_training_shards_epochs_and_idempotency(spark,
     assert spark.read.parquet(f"{out}/shards").count() == 20
     assert validate_training_shards(spark, out,
                                     token_col="n_tokens").count() == 0
+
+
+def test_windowed_token_counts_stream_matches_batch(spark, tmp_path):
+    """The streaming (watermarked, append-mode) windowed token counts
+    must equal the batch counts over the same drained input, and the
+    per-window drift vs a static reference must equal the batch
+    distribution_divergence over each window's raw documents."""
+    import datetime
+    import time as _time
+    from pyspark.sql import functions as F
+    from extractpdf4j_spark.streaming import (
+        window_drift_vs_reference, windowed_token_counts)
+    from extractpdf4j_spark.functions.textstats import (
+        distribution_divergence)
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    texts = ["the cat sat", "the dog ran far", "alpha beta beta",
+             "the cat ate", "gamma gamma delta the"]
+    rows = [(i, base + datetime.timedelta(minutes=25 * i),
+             texts[i % len(texts)]) for i in range(20)]
+    schema = "doc_id long, ts timestamp, text string"
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "docs")
+    # one data file: the file source orders same-batch part files by
+    # mtime (concurrent writers -> effectively random), and an
+    # out-of-order file advances the watermark past earlier windows,
+    # legitimately dropping them as late — a flake, not a bug
+    df.coalesce(1).write.parquet(src)
+    _time.sleep(1.1)
+    sentinel = [(9999, base + datetime.timedelta(days=2), "zzsentinel")]
+    spark.createDataFrame(sentinel, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (windowed_token_counts(stream)
+         .writeStream.format("memory").queryName("tokcounts")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.table("tokcounts").filter(F.col("token") != "zzsentinel")
+
+    batch = windowed_token_counts(
+        spark.read.parquet(src).filter(F.col("text") != "zzsentinel"))
+    s_cells = {(r["window_start"], r["token"]): r["cnt"]
+               for r in got.collect()}
+    b_cells = {(r["window_start"], r["token"]): r["cnt"]
+               for r in batch.collect()}
+    assert s_cells == b_cells and len(s_cells) > 0
+    assert len({w for w, _ in s_cells}) >= 2     # multi-window coverage
+
+    # drift vs reference == batch divergence over each window's docs
+    ref_docs = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "alpha beta epsilon")],
+        "doc_id long, text string")
+    ref_counts = (ref_docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token").agg(F.count("*").cast("long").alias("cnt")))
+    streamed_drift = {r["window_start"]: r for r in
+                      window_drift_vs_reference(got, ref_counts)
+                      .collect()}
+    raw = spark.read.parquet(src).filter(F.col("text") != "zzsentinel") \
+        .withColumn("window_start",
+                    F.date_format(F.window("ts", "1 hour").start,
+                                  "yyyy-MM-dd HH:mm:ss"))
+    for w in streamed_drift:
+        expected = distribution_divergence(
+            raw.filter(F.col("window_start") == w), ref_docs
+        ).collect()[0]
+        r = streamed_drift[w]
+        assert (r["vocab"], r["tot_a"], r["tot_b"],
+                r["kl_ab"], r["kl_ba"], r["js"]) == \
+            (expected["vocab"], expected["tot_a"], expected["tot_b"],
+             expected["kl_ab"], expected["kl_ba"], expected["js"]), w
+    assert set(streamed_drift) == {w for w, _ in s_cells}
