@@ -2494,6 +2494,91 @@ GROUP BY s.vocab, s.tot_a, s.tot_b
 """
 
 
+def q_window_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed drift monitor, batch path (streaming.
+    windowed_token_counts + window_drift_vs_reference): documents get
+    a deterministic event time (doc_id %% 300 minutes past a fixed
+    epoch — five 1-hour windows at every sf), the reference is the
+    doc_id %% 5 == 0 subset's vocabulary, and the gate hashes the
+    per-window KL/JS summary. The tumbling-window labeling reuses the
+    q_event_windows window<->date_trunc('hour') equivalence."""
+    from .streaming import window_drift_vs_reference, windowed_token_counts
+    d = _docs(spark, sf).select("doc_id", "text")
+    timed = d.withColumn("ts", F.expr(
+        "timestamp'2024-01-01 00:00:00'"
+        " + make_interval(0, 0, 0, 0, 0, cast(doc_id % 300 as int), 0)"))
+    ref = (d.filter(F.col("doc_id") % 5 == 0)
+           .select(F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                     r"\s+")).alias("token"))
+           .filter(F.col("token") != "")
+           .groupBy("token").agg(F.count("*").cast("long").alias("cnt")))
+    return (window_drift_vs_reference(windowed_token_counts(timed), ref)
+            .orderBy("window_start"))
+
+
+SQL_WINDOW_DRIFT = r"""
+WITH wc AS (
+    SELECT strftime(date_trunc('hour', TIMESTAMP '2024-01-01 00:00:00'
+               + to_minutes(CAST(doc_id % 300 AS BIGINT))),
+               '%Y-%m-%d %H:%M:%S') AS window_start,
+           token, count(*)::BIGINT AS cnt_a
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                     AS token
+          FROM documents)
+    WHERE token <> ''
+    GROUP BY 1, 2
+),
+rc AS (
+    SELECT token, count(*)::BIGINT AS cnt
+    FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+              AS token
+          FROM documents WHERE doc_id % 5 = 0)
+    WHERE token <> ''
+    GROUP BY token
+),
+wins AS (SELECT DISTINCT window_start FROM wc),
+rx AS (SELECT w.window_start, r.token, r.cnt AS cnt_b FROM wins w, rc r),
+j AS (
+    SELECT coalesce(a.window_start, b.window_start) AS window_start,
+           coalesce(a.token, b.token) AS token,
+           coalesce(a.cnt_a, 0)::BIGINT AS cnt_a,
+           coalesce(b.cnt_b, 0)::BIGINT AS cnt_b
+    FROM wc a FULL OUTER JOIN rx b
+      ON a.window_start = b.window_start AND a.token = b.token
+),
+s AS (
+    SELECT window_start,
+           CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+           CAST(sum(cnt_b) AS BIGINT) AS tot_b,
+           count(*)::BIGINT AS vocab
+    FROM j GROUP BY window_start
+),
+t AS (
+    SELECT j.window_start, tot_a, tot_b, vocab,
+           CAST(cnt_a + 1 AS DOUBLE) / CAST(tot_a + vocab AS DOUBLE) AS p_a,
+           CAST(cnt_b + 1 AS DOUBLE) / CAST(tot_b + vocab AS DOUBLE) AS p_b
+    FROM j JOIN s ON j.window_start = s.window_start
+),
+terms AS (
+    SELECT window_start, tot_a, tot_b, vocab,
+        CAST(round((p_a * ln(p_a / p_b)) * 1000000000.0) AS BIGINT) AS ka,
+        CAST(round((p_b * ln(p_b / p_a)) * 1000000000.0) AS BIGINT) AS kb,
+        CAST(round((0.5 * (p_a * ln(p_a / ((p_a + p_b) / 2.0))
+                           + p_b * ln(p_b / ((p_a + p_b) / 2.0))))
+                   * 1000000000.0) AS BIGINT) AS js
+    FROM t
+)
+SELECT window_start, vocab, tot_a, tot_b,
+       round(CAST(sum(ka) AS BIGINT) / 1000000000.0, 6) AS kl_ab,
+       round(CAST(sum(kb) AS BIGINT) / 1000000000.0, 6) AS kl_ba,
+       round(CAST(sum(js) AS BIGINT) / 1000000000.0, 6) AS js
+FROM terms
+GROUP BY window_start, vocab, tot_a, tot_b
+ORDER BY window_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # int8 embedding quantization (training-pipeline scale op;
 # functions/similarity.py:quantize_embeddings). The quantizer is defined
@@ -8080,6 +8165,7 @@ QUERIES = {
     "q_vocab_topk": q_vocab_topk,
     "q_token_drift": q_token_drift,
     "q_corpus_divergence": q_corpus_divergence,
+    "q_window_drift": q_window_drift,
     "q_boilerplate": q_boilerplate,
     "q_hash_sample": q_hash_sample,
     "q_quota_sample": q_quota_sample,
@@ -8215,6 +8301,7 @@ ORACLES = {
     "q_vocab_topk": SQL_VOCAB_TOPK,
     "q_token_drift": SQL_TOKEN_DRIFT,
     "q_corpus_divergence": SQL_CORPUS_DIVERGENCE,
+    "q_window_drift": SQL_WINDOW_DRIFT,
     "q_boilerplate": SQL_BOILERPLATE,
     "q_hash_sample": SQL_HASH_SAMPLE,
     "q_quota_sample": SQL_QUOTA_SAMPLE,
