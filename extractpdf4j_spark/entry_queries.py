@@ -8109,6 +8109,72 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Z-order data layout (functions/layout.py)
+# ---------------------------------------------------------------------------
+
+def q_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) file layout (functions/layout.zorder_files):
+    two independent integer dimensions derived from events are min-max
+    quantized to 8 bits with EXACT integer div, bit-interleaved into a
+    16-bit Morton code, and ntile'd into 16 files (explicit event_id
+    tie-break — the verified cross-engine ntile semantics). Emits
+    per-file row counts and min/max of both quantized dims + the code
+    itself: tight per-file ranges in BOTH dims are the scan-pruning
+    payoff the operator exists for. All-integer end to end."""
+    from .functions.layout import zorder_files
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    base = ev.select("event_id",
+                     (F.col("event_id") % 503).alias("x"),
+                     (F.floor(F.col("value") * 100).cast("long") % 509)
+                     .alias("y"))
+    z = zorder_files(base, ["x", "y"], n_files=16, id_col="event_id",
+                     bits=8)
+    return (z.groupBy("file_id")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.min("x_q").alias("min_xq"), F.max("x_q").alias("max_xq"),
+                 F.min("y_q").alias("min_yq"), F.max("y_q").alias("max_yq"),
+                 F.min("zval").alias("min_z"), F.max("zval").alias("max_z"))
+            .orderBy("file_id"))
+
+
+_ZTERMS = " | ".join(
+    f"(((xq >> {b}) & 1) << {2 * b}) | (((yq >> {b}) & 1) << {2 * b + 1})"
+    for b in range(8))
+
+SQL_ZORDER = f"""
+WITH base AS (
+  SELECT event_id,
+         event_id % 503 AS x,
+         CAST(floor(value * 100) AS BIGINT) % 509 AS y
+  FROM events
+),
+st AS (
+  SELECT min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
+  FROM base
+),
+q AS (
+  SELECT event_id,
+         ((x - mnx) * 256) // (mxx - mnx + 1) AS xq,
+         ((y - mny) * 256) // (mxy - mny + 1) AS yq
+  FROM base CROSS JOIN st
+),
+z AS (
+  SELECT event_id, xq, yq, ({_ZTERMS}) AS zval FROM q
+),
+f AS (
+  SELECT *, CAST(ntile(16) OVER (ORDER BY zval, event_id) AS BIGINT)
+                AS file_id
+  FROM z
+)
+SELECT file_id, CAST(count(*) AS BIGINT) AS n,
+       min(xq) AS min_xq, max(xq) AS max_xq,
+       min(yq) AS min_yq, max(yq) AS max_yq,
+       min(zval) AS min_z, max(zval) AS max_z
+FROM f GROUP BY file_id ORDER BY file_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -8166,6 +8232,7 @@ QUERIES = {
     "q_token_drift": q_token_drift,
     "q_corpus_divergence": q_corpus_divergence,
     "q_window_drift": q_window_drift,
+    "q_zorder": q_zorder,
     "q_boilerplate": q_boilerplate,
     "q_hash_sample": q_hash_sample,
     "q_quota_sample": q_quota_sample,
@@ -8302,6 +8369,7 @@ ORACLES = {
     "q_token_drift": SQL_TOKEN_DRIFT,
     "q_corpus_divergence": SQL_CORPUS_DIVERGENCE,
     "q_window_drift": SQL_WINDOW_DRIFT,
+    "q_zorder": SQL_ZORDER,
     "q_boilerplate": SQL_BOILERPLATE,
     "q_hash_sample": SQL_HASH_SAMPLE,
     "q_quota_sample": SQL_QUOTA_SAMPLE,
