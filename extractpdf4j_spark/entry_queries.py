@@ -8175,6 +8175,58 @@ FROM f GROUP BY file_id ORDER BY file_id
 
 
 # ---------------------------------------------------------------------------
+# Random-projection dimensionality reduction (similarity.rp_project)
+# ---------------------------------------------------------------------------
+
+def q_rp_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 projection 64 -> 8 dims
+    (similarity.rp_project): signs from md5 parity (same construction
+    both engines), inputs quantized to integer micro-units so every
+    component is an int64 sum — engine-exact, order-free. comp_micro
+    is gated as the exact integer; comp re-derives the float view with
+    the identical division sequence on both sides."""
+    import math
+    from .functions.similarity import rp_project
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    rp = rp_project(emb, out_dim=8, dim=64)
+    ex = rp.select("vec_id", F.posexplode("rp_micro")
+                   .alias("comp_idx", "comp_micro"))
+    return (ex.select("vec_id",
+                      F.col("comp_idx").cast("long").alias("comp_idx"),
+                      "comp_micro",
+                      F.round(F.col("comp_micro").cast("double")
+                              / F.lit(1000000.0)
+                              / F.lit(math.sqrt(8.0)), 6).alias("comp"))
+            .orderBy("vec_id", "comp_idx"))
+
+
+SQL_RP_PROJECT = r"""
+WITH sgn AS (
+  SELECT j.j, k.k,
+         CASE WHEN substr(md5('rp:42:' || j.j || ':' || k.k), 1, 1)
+              IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(generate_series(0, 63)) AS j) j,
+       (SELECT unnest(generate_series(0, 7)) AS k) k
+),
+comp AS (
+  SELECT vec_id, i - 1 AS j,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+             AS xm
+  FROM (SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+)
+SELECT c.vec_id, CAST(s.k AS BIGINT) AS comp_idx,
+       CAST(sum(c.xm * s.s) AS BIGINT) AS comp_micro,
+       round(CAST(sum(c.xm * s.s) AS BIGINT) / 1000000.0 / sqrt(8), 6)
+           AS comp
+FROM comp c JOIN sgn s ON c.j = s.j
+GROUP BY c.vec_id, s.k
+ORDER BY c.vec_id, comp_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -8233,6 +8285,7 @@ QUERIES = {
     "q_corpus_divergence": q_corpus_divergence,
     "q_window_drift": q_window_drift,
     "q_zorder": q_zorder,
+    "q_rp_project": q_rp_project,
     "q_boilerplate": q_boilerplate,
     "q_hash_sample": q_hash_sample,
     "q_quota_sample": q_quota_sample,
@@ -8370,6 +8423,7 @@ ORACLES = {
     "q_corpus_divergence": SQL_CORPUS_DIVERGENCE,
     "q_window_drift": SQL_WINDOW_DRIFT,
     "q_zorder": SQL_ZORDER,
+    "q_rp_project": SQL_RP_PROJECT,
     "q_boilerplate": SQL_BOILERPLATE,
     "q_hash_sample": SQL_HASH_SAMPLE,
     "q_quota_sample": SQL_QUOTA_SAMPLE,

@@ -852,3 +852,66 @@ def kcenter_select(embeddings: DataFrame, k: int,
     e.unpersist()
     return embeddings.sparkSession.createDataFrame(
         picks, f"sel_rank long, {id_col} long, dist double")
+
+
+# ---------------------------------------------------------------------------
+# Random-projection dimensionality reduction (Johnson-Lindenstrauss)
+# ---------------------------------------------------------------------------
+
+def _rp_signs(dim: int, out_dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic ±1 projection matrix (dim x out_dim): the sign of
+    cell (j, k) is the parity of the first hex digit of
+    md5('rp:<seed>:<j>:<k>') — reproducible verbatim in SQL (DuckDB
+    md5 of the same string), like the LSH hyperplane construction."""
+    S = np.empty((dim, out_dim), dtype=np.int64)
+    for j in range(dim):
+        for k in range(out_dim):
+            h = hashlib.md5(f"rp:{seed}:{j}:{k}".encode()).hexdigest()
+            S[j, k] = 1 if int(h[0], 16) % 2 == 0 else -1
+    return S
+
+
+def rp_project(embeddings: DataFrame, out_dim: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               seed: int = 42, dim: int | None = None) -> DataFrame:
+    """Johnson-Lindenstrauss reduction: project each vector onto
+    ``out_dim`` deterministic ±1 directions, scaled by
+    ``1/sqrt(out_dim)`` (Achlioptas' database-friendly construction —
+    pairwise dots/distances are preserved in expectation with variance
+    O(1/out_dim), so a 64->16 reduction is a sound ANN prefilter and a
+    4x scan/shuffle bandwidth cut BEFORE any index is built).
+
+    Exactness contract: inputs are quantized to integer micro-units
+    (floor(x * 1e6) — float->double widening and the double multiply
+    are identical IEEE ops in Spark and DuckDB), and each component is
+    an int64 sum of signed micro-units, so ``rp_micro`` is
+    engine-exact and aggregation-order-free; ``rp`` is the float view
+    (micro / 1e6 / sqrt(out_dim)). One mapInPandas pass, no shuffle:
+    the sign matrix ships in the closure (dim x out_dim ints).
+
+    Returns ``(id_col, rp_micro array<long>, rp array<double>)``.
+    """
+    if dim is None:
+        head = embeddings.select(vec_col).first()
+        if head is None:
+            return embeddings.sparkSession.createDataFrame(
+                [], f"{id_col} long, rp_micro array<long>, rp array<double>")
+        dim = len(head[0])
+    S = _rp_signs(dim, out_dim, seed)
+    scale = 1e-6 / math.sqrt(out_dim)
+    out_schema = f"{id_col} long, rp_micro array<long>, rp array<double>"
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _mat(pdf[vec_col])
+            Xi = np.floor(X * 1e6).astype(np.int64)
+            Y = Xi @ S                       # exact int64 matmul
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                "rp_micro": list(Y),
+                "rp": list(np.round(Y * scale, 12))})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        gen, schema=out_schema)

@@ -1356,3 +1356,50 @@ def test_counts_drift_matches_text_path(spark):
     cs = counts_divergence(cdf(old_rows), cdf(new_rows)).collect()[0]
     ds = distribution_divergence(old, new).collect()[0]
     assert cs.asDict() == ds.asDict()
+
+
+def test_rp_project_matches_scalar_reference(spark):
+    import numpy as np
+    from extractpdf4j_spark.functions.similarity import _rp_signs, rp_project
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(40, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(40)],
+        "vec_id: long, embedding: array<float>")
+    got = {r["vec_id"]: list(r["rp_micro"])
+           for r in rp_project(df, out_dim=4, dim=16).collect()}
+    S = _rp_signs(16, 4)
+    Xi = np.floor(X.astype(np.float64) * 1e6).astype(np.int64)
+    want = Xi @ S
+    for i in range(40):
+        assert got[i] == list(want[i]), i
+
+
+def test_rp_project_preserves_cosine(spark):
+    import numpy as np
+    from extractpdf4j_spark.functions.similarity import rp_project
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(30, 64)).astype(np.float32)
+    X[1] = X[0] + 0.05 * X[1]            # a planted near-duplicate pair
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(30)],
+        "vec_id: long, embedding: array<float>")
+    got = {r["vec_id"]: np.asarray(r["rp"])
+           for r in rp_project(df, out_dim=16, dim=64).collect()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    errs = []
+    for i in range(0, 30, 3):
+        for j in range(1, 30, 7):
+            if i == j:
+                continue
+            true = cos(X[i].astype(np.float64), X[j].astype(np.float64))
+            proj = cos(got[i], got[j])
+            errs.append(abs(true - proj))
+    # JL with out_dim=16: individual error bounded, mean much tighter
+    assert max(errs) < 0.55, max(errs)
+    assert sum(errs) / len(errs) < 0.2, sum(errs) / len(errs)
+    # the planted near-dup pair stays near-dup in projected space
+    assert cos(got[0], got[1]) > 0.9
