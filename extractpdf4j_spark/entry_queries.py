@@ -8226,6 +8226,61 @@ ORDER BY c.vec_id, comp_idx
 """
 
 
+def q_embed_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding corpus QA (similarity.embedding_audit): per-vector
+    zero/NaN/Inf counts + exact integer sum-of-squares norm. Defects
+    are PLANTED from vec_id identically in both engines (%41 -> zero
+    vector, %37 -> NaN at component 3, %43 -> +Inf at component 5) so
+    the audit genuinely has something to find; sumsq_micro is an
+    order-free int64 sum over finite components only."""
+    from .functions.similarity import embedding_audit
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    planted = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 41 == 0,
+               F.array_repeat(F.lit(0.0), 64))
+        .otherwise(F.transform(
+            "embedding",
+            lambda x, i: F.when((F.col("vec_id") % 37 == 0) & (i == 3),
+                                F.lit(float("nan")))
+            .when((F.col("vec_id") % 43 == 0) & (i == 5),
+                  F.lit(float("inf")))
+            .otherwise(x.cast("double")))).alias("embedding"))
+    return embedding_audit(planted).orderBy("vec_id")
+
+
+SQL_EMBED_AUDIT = r"""
+WITH c AS (
+  SELECT vec_id, i - 1 AS j,
+         CASE WHEN vec_id % 41 = 0 THEN 0.0
+              WHEN vec_id % 37 = 0 AND i - 1 = 3 THEN 'NaN'::DOUBLE
+              WHEN vec_id % 43 = 0 AND i - 1 = 5 THEN 'Infinity'::DOUBLE
+              ELSE CAST(embedding[i] AS DOUBLE) END AS x
+  FROM (SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+),
+a AS (
+  SELECT vec_id,
+         CAST(count(*) AS BIGINT) AS n_dims,
+         CAST(sum(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero,
+         CAST(sum(CASE WHEN isnan(x) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nan,
+         CAST(sum(CASE WHEN NOT isnan(x) AND isinf(x) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_inf,
+         CAST(sum(CASE WHEN isnan(x) OR isinf(x) THEN 0
+                  ELSE CAST(floor(x * 1000000) AS BIGINT)
+                       * CAST(floor(x * 1000000) AS BIGINT) END)
+              AS BIGINT) AS sumsq_micro
+  FROM c GROUP BY vec_id
+)
+SELECT vec_id, n_dims, n_zero, n_nan, n_inf, sumsq_micro,
+       round(sqrt(CAST(sumsq_micro AS DOUBLE)) / 1000000.0, 6) AS norm
+FROM a ORDER BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8286,6 +8341,7 @@ QUERIES = {
     "q_window_drift": q_window_drift,
     "q_zorder": q_zorder,
     "q_rp_project": q_rp_project,
+    "q_embed_audit": q_embed_audit,
     "q_boilerplate": q_boilerplate,
     "q_hash_sample": q_hash_sample,
     "q_quota_sample": q_quota_sample,
@@ -8424,6 +8480,7 @@ ORACLES = {
     "q_window_drift": SQL_WINDOW_DRIFT,
     "q_zorder": SQL_ZORDER,
     "q_rp_project": SQL_RP_PROJECT,
+    "q_embed_audit": SQL_EMBED_AUDIT,
     "q_boilerplate": SQL_BOILERPLATE,
     "q_hash_sample": SQL_HASH_SAMPLE,
     "q_quota_sample": SQL_QUOTA_SAMPLE,

@@ -915,3 +915,43 @@ def rp_project(embeddings: DataFrame, out_dim: int = 16,
 
     return embeddings.select(id_col, vec_col).mapInPandas(
         gen, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Embedding corpus audit (data-quality gate before any index/training)
+# ---------------------------------------------------------------------------
+
+def embedding_audit(embeddings: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    dim: int = 64) -> DataFrame:
+    """Per-vector data-quality audit — the cheap full-scan QA pass a
+    100 TB embedding corpus gets BEFORE building any index or training
+    on it: zero vectors poison cosine (0/0), a single NaN/Inf component
+    silently propagates through every BLAS matmul downstream, and
+    dimension drift between producer versions breaks fixed-dim kernels.
+
+    Returns ``(id_col, n_dims, n_zero, n_nan, n_inf, sumsq_micro,
+    norm)`` where ``sumsq_micro`` sums ``floor(x*1e6)^2`` over FINITE
+    components only (an exact int64, aggregation-order-free and
+    engine-exact) and ``norm = round(sqrt(sumsq_micro)/1e6, 6)`` is its
+    float view. Pure codegen column projection — ~256 arithmetic terms
+    total, well under the measured ~512-term janino ceiling; the op is
+    arithmetic-light so the JVM projection beats an Arrow round-trip
+    (same trade as int8 quantization, BENCH/BASELINE.md)."""
+    inf = float("inf")
+    xs = [F.get(F.col(vec_col), j).cast("double") for j in range(dim)]
+    one = lambda c: c.cast("long")  # noqa: E731
+    n_zero = sum(one(x == 0.0) for x in xs)
+    n_nan = sum(one(F.isnan(x)) for x in xs)
+    n_inf = sum(one(~F.isnan(x) & (F.abs(x) == inf)) for x in xs)
+    sq = sum(
+        F.when(F.isnan(x) | (F.abs(x) == inf), F.lit(0).cast("long"))
+        .otherwise((F.floor(x * 1e6).cast("long")
+                    * F.floor(x * 1e6).cast("long")))
+        for x in xs)
+    return embeddings.select(
+        F.col(id_col),
+        F.size(vec_col).cast("long").alias("n_dims"),
+        n_zero.alias("n_zero"), n_nan.alias("n_nan"),
+        n_inf.alias("n_inf"), sq.alias("sumsq_micro"),
+        F.round(F.sqrt(sq.cast("double")) / F.lit(1e6), 6).alias("norm"))

@@ -1403,3 +1403,26 @@ def test_rp_project_preserves_cosine(spark):
     assert sum(errs) / len(errs) < 0.2, sum(errs) / len(errs)
     # the planted near-dup pair stays near-dup in projected space
     assert cos(got[0], got[1]) > 0.9
+
+
+def test_embedding_audit_hand_computed(spark):
+    import math
+    from extractpdf4j_spark.functions.similarity import embedding_audit
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (1, [0.5, -0.25, 0.0, 1.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),               # zero vector
+        (3, [1.0, nan, inf, -inf]),              # poisoned
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    got = {r["vec_id"]: r.asDict()
+           for r in embedding_audit(df, dim=4).collect()}
+    assert got[1]["n_zero"] == 1 and got[1]["n_nan"] == 0
+    assert got[1]["sumsq_micro"] == (500000**2 + 250000**2 + 0
+                                     + 1000000**2)
+    assert got[1]["norm"] == round(
+        math.sqrt(500000**2 + 250000**2 + 1000000**2) / 1e6, 6)
+    assert got[2]["n_zero"] == 4 and got[2]["sumsq_micro"] == 0
+    assert got[2]["norm"] == 0.0
+    assert got[3]["n_nan"] == 1 and got[3]["n_inf"] == 2
+    assert got[3]["sumsq_micro"] == 1000000**2   # finite comps only
