@@ -8282,6 +8282,102 @@ FROM a ORDER BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# BPE encode (textstats.bpe_encode): the tokenizer-apply step
+# ---------------------------------------------------------------------------
+
+def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered subword streams under the corpus-trained BPE
+    (textstats.bpe_encode): trains 8 merges on the FULL corpus, then
+    emits every 17th document's (wpos, spos, token) stream — the
+    tokens a training run would consume; concatenating tokens over
+    spos reconstructs each word. The oracle replays the whole
+    train-then-encode lineage (the same recursive merge CTEs as
+    q_bpe_token_count, plus a positional word unnest joined to the
+    final symbol table)."""
+    from .functions.textstats import bpe_encode
+    d = _docs(spark, sf).select("doc_id", "text")
+    return (bpe_encode(d, n_merges=8,
+                       doc_filter=(F.col("doc_id") % 17 == 0))
+            .orderBy("doc_id", "wpos", "spos"))
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 8, mod: int = 17) -> str:
+    d1, d2 = "chr(31)", "chr(30)"
+    parts = [f"""
+wtok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text),
+             '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents
+),
+wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM wtok
+  WHERE word <> '' AND position({d1} IN word) = 0
+    AND position({d2} IN word) = 0
+  GROUP BY word
+),
+syms0 AS (
+  SELECT word,
+         regexp_replace(word, '(.)', {d1} || '\\1' || {d2}, 'g') AS s,
+         cnt
+  FROM wc
+)"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""
+arr{r} AS (
+  SELECT word,
+         string_split(substr(s, 2, length(s) - 2), {d2} || {d1}) AS a,
+         cnt
+  FROM syms{r - 1}
+),
+pairs{r} AS (
+  SELECT a[i] AS l_sym, a[i + 1] AS r_sym,
+         CAST(sum(cnt) AS BIGINT) AS pair_count
+  FROM arr{r}, unnest(generate_series(1, len(a) - 1)) AS u(i)
+  GROUP BY a[i], a[i + 1]
+),
+best{r} AS (
+  SELECT l_sym, r_sym FROM pairs{r}
+  ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1
+),
+syms{r} AS (
+  SELECT t.word,
+         CASE WHEN b.l_sym IS NULL THEN t.s
+              ELSE replace(t.s,
+                   {d1} || b.l_sym || {d2} || {d1} || b.r_sym || {d2},
+                   {d1} || b.l_sym || b.r_sym || {d2})
+         END AS s, t.cnt
+  FROM syms{r - 1} t LEFT JOIN best{r} b ON TRUE
+)""")
+    parts.append(f"""
+wpos AS (
+  SELECT doc_id, i - 1 AS wpos, a[i] AS word
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ') AS a
+        FROM documents WHERE doc_id % {mod} = 0) t,
+       unnest(generate_series(1, len(a))) AS u(i)
+  WHERE a[i] <> '' AND position({d1} IN a[i]) = 0
+    AND position({d2} IN a[i]) = 0
+),
+wtoks AS (
+  SELECT word,
+         string_split(substr(s, 2, length(s) - 2), {d2} || {d1}) AS t
+  FROM syms{n_merges}
+)""")
+    return ("WITH " + ",".join(parts) + """
+SELECT w.doc_id, CAST(w.wpos AS BIGINT) AS wpos,
+       CAST(j - 1 AS BIGINT) AS spos, t[j] AS token
+FROM wpos w JOIN wtoks USING (word),
+     unnest(generate_series(1, len(t))) AS u(j)
+ORDER BY doc_id, wpos, spos
+""")
+
+
+SQL_BPE_ENCODE = _bpe_encode_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -8342,6 +8438,7 @@ QUERIES = {
     "q_zorder": q_zorder,
     "q_rp_project": q_rp_project,
     "q_embed_audit": q_embed_audit,
+    "q_bpe_encode": q_bpe_encode,
     "q_boilerplate": q_boilerplate,
     "q_hash_sample": q_hash_sample,
     "q_quota_sample": q_quota_sample,
@@ -8481,6 +8578,7 @@ ORACLES = {
     "q_zorder": SQL_ZORDER,
     "q_rp_project": SQL_RP_PROJECT,
     "q_embed_audit": SQL_EMBED_AUDIT,
+    "q_bpe_encode": SQL_BPE_ENCODE,
     "q_boilerplate": SQL_BOILERPLATE,
     "q_hash_sample": SQL_HASH_SAMPLE,
     "q_quota_sample": SQL_QUOTA_SAMPLE,

@@ -471,6 +471,49 @@ def bpe_token_counts(df: DataFrame, n_merges: int = 10,
                     .alias("n_bpe_tokens")))
 
 
+def bpe_encode(df: DataFrame, n_merges: int = 10,
+               text_col: str = "text", id_col: str = "doc_id",
+               doc_filter=None) -> DataFrame:
+    """Encode documents as ORDERED subword token streams under the
+    corpus's own trained BPE — the actual tokenizer-apply step
+    (``bpe_train`` learns the merges, :func:`bpe_token_counts` budgets
+    with them; this emits the tokens a training run would consume).
+    Returns ``(id, wpos, spos, token)``: word position in the document
+    (gaps where invalid/empty words were excluded, identically to
+    training), symbol position within the word, and the subword string.
+    Concatenating tokens over ``spos`` reconstructs each word exactly.
+
+    Scale shape: training is the shared Zipf-small symbol-table fold
+    (never re-reads the corpus after the one word-count pass); encoding
+    never re-runs merges — each document's word stream hash-joins the
+    vocab-sized final symbol table and splits the merged string
+    (``doc_filter`` restricts WHICH docs are emitted without changing
+    what was trained on — the encode side is a join, so filtering it
+    is free while training still sees the full corpus)."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    tok_arr = F.split(F.trim(F.regexp_replace(
+        F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    stream = (df.select(F.col(id_col),
+                        F.posexplode(tok_arr).alias("wpos", "word"))
+              .filter((F.col("word") != "")
+                      & ~F.col("word").contains(BPE_D1)
+                      & ~F.col("word").contains(BPE_D2)))
+    wc = (stream.groupBy("word")
+          .agg(F.count("*").cast("long").alias("cnt")).cache())
+    _, syms = _bpe_merge_rounds(wc, n_merges, apply_last=True)
+    toks = syms.select(
+        "word",
+        F.split(F.substring(F.col("s"), 2, F.length("s") - 2),
+                BPE_D2 + BPE_D1).alias("_t"))
+    emitted = stream if doc_filter is None else stream.filter(doc_filter)
+    return (emitted.join(toks, "word")
+            .select(F.col(id_col), F.col("wpos").cast("long").alias("wpos"),
+                    F.posexplode("_t").alias("spos", "token"))
+            .select(id_col, "wpos", F.col("spos").cast("long").alias("spos"),
+                    "token"))
+
+
 # ---------------------------------------------------------------------------
 # Corpus distribution drift (KL / Jensen-Shannon between two snapshots)
 # ---------------------------------------------------------------------------

@@ -1426,3 +1426,43 @@ def test_embedding_audit_hand_computed(spark):
     assert got[2]["norm"] == 0.0
     assert got[3]["n_nan"] == 1 and got[3]["n_inf"] == 2
     assert got[3]["sumsq_micro"] == 1000000**2   # finite comps only
+
+
+def test_bpe_encode_reconstructs_words_and_matches_counts(spark):
+    from pyspark.sql import functions as F
+    from extractpdf4j_spark.functions.textstats import (
+        bpe_encode, bpe_token_counts)
+    rows = [(1, "low lower lowest low low"),
+            (2, "new newer news  low"),
+            (3, ""),
+            (4, "banana bandana")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    enc = bpe_encode(df, n_merges=5).collect()
+    # concatenating tokens over spos reconstructs each word
+    words = {}
+    for r in sorted(enc, key=lambda r: (r["doc_id"], r["wpos"], r["spos"])):
+        words.setdefault((r["doc_id"], r["wpos"]), []).append(r["token"])
+    for (d, w), toks in words.items():
+        assert "".join(toks) != ""
+    rebuilt = {
+        d: " ".join("".join(words[(dd, w)])
+                    for dd, w in sorted(words) if dd == d)
+        for d in {k[0] for k in words}}
+    assert rebuilt[1] == "low lower lowest low low"
+    assert rebuilt[2] == "new newer news low"
+    assert rebuilt[4] == "banana bandana"
+    assert 3 not in rebuilt                      # empty doc emits nothing
+    # total emitted tokens per doc == bpe_token_counts' budget number
+    got_counts = {r["doc_id"]: r["n_bpe_tokens"]
+                  for r in bpe_token_counts(df, n_merges=5).collect()}
+    from collections import Counter
+    emitted = Counter(r["doc_id"] for r in enc)
+    for d, n in got_counts.items():
+        assert emitted.get(d, 0) == n, (d, emitted.get(d, 0), n)
+    # doc_filter restricts emission without changing training
+    only2 = bpe_encode(df, n_merges=5,
+                       doc_filter=(F.col("doc_id") == 2)).collect()
+    assert {r["doc_id"] for r in only2} == {2}
+    assert sorted((r["wpos"], r["spos"], r["token"]) for r in only2) == \
+        sorted((r["wpos"], r["spos"], r["token"])
+               for r in enc if r["doc_id"] == 2)
