@@ -74,3 +74,45 @@ def test_zorder_layout_partitions_disjoint(spark):
     assert sum(r["n"] for r in ranges) == 512
     for a, b in zip(ranges, ranges[1:]):
         assert a["hi"] <= b["lo"], (a, b)      # disjoint z-ranges
+
+
+def _plan_of(df):
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_layout_plan_shapes(spark):
+    """100 TB shapes: quantize's only exchange is the O(1) stats
+    broadcast (never a corpus shuffle); the production writer's single
+    corpus exchange is the z-value range partitioning."""
+    df = spark.range(0, 1000).selectExpr("id", "id % 97 AS x",
+                                         "id % 89 AS y")
+    q = _plan_of(quantize_minmax(df, ["x", "y"], bits=8))
+    assert "BroadcastExchange" in q
+    assert "SortMergeJoin" not in q
+    # no corpus-wide repartitioning in the quantize step
+    assert "Exchange hashpartitioning(x" not in q
+
+    p = _plan_of(zorder_layout(df, ["x", "y"], 8, bits=8))
+    assert "rangepartitioning(zval" in p.replace("RANGE", "range")
+
+
+def test_rp_and_audit_plan_shapes(spark):
+    """rp_project is one mapInPandas pass and embedding_audit a pure
+    projection — neither may exchange the corpus."""
+    from extractpdf4j_spark.functions.similarity import (
+        embedding_audit, rp_project)
+    emb = spark.range(0, 64).selectExpr(
+        "id AS vec_id",
+        "array(CAST(id AS DOUBLE), CAST(id + 1 AS DOUBLE), "
+        "CAST(id + 2 AS DOUBLE), CAST(id + 3 AS DOUBLE)) AS embedding")
+    rp = _plan_of(rp_project(emb, out_dim=2, dim=4))
+    assert "Exchange" not in rp
+    assert "ArrowEvalPython" in rp or "MapInPandas" in rp
+    au = _plan_of(embedding_audit(emb, dim=4))
+    assert "Exchange" not in au
+    assert "MapInPandas" not in au        # stays a JVM projection
