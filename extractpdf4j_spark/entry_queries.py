@@ -8281,6 +8281,65 @@ FROM a ORDER BY vec_id
 """
 
 
+def q_rp_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage RP-prefiltered ANN (similarity.rp_topk): coarse
+    cosine over the 8-dim engine-exact rp_micro sketch keeps a
+    50-deep shortlist; only those 50 rows' float vectors are fetched
+    (broadcast semi-join) and reranked exactly. The oracle chains the
+    rp CTEs (exact integer dots for the coarse ranking) into the
+    list_dot_product rerank restricted to the shortlist."""
+    from .functions.similarity import rp_topk
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return rp_topk(emb, query_id=0, k=10, out_dim=8, shortlist=50,
+                   dim=64)
+
+
+SQL_RP_ANN = r"""
+WITH sgn AS (
+  SELECT j.j, k.k,
+         CASE WHEN substr(md5('rp:42:' || j.j || ':' || k.k), 1, 1)
+              IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(generate_series(0, 63)) AS j) j,
+       (SELECT unnest(generate_series(0, 7)) AS k) k
+),
+cm AS (
+  SELECT c.vec_id, s.k, CAST(sum(c.xm * s.s) AS BIGINT) AS m
+  FROM (SELECT vec_id, i - 1 AS j,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS xm
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings)) c
+  JOIN sgn s ON c.j = s.j
+  GROUP BY c.vec_id, s.k
+),
+qm AS (SELECT k, m AS q FROM cm WHERE vec_id = 0),
+coarse AS (
+  SELECT cm.vec_id,
+         CAST(sum(cm.m * qm.q) AS DOUBLE) AS dot,
+         sqrt(CAST(sum(cm.m * cm.m) AS DOUBLE)) AS nd
+  FROM cm JOIN qm USING (k)
+  GROUP BY cm.vec_id
+),
+qn AS (SELECT sqrt(CAST(sum(q * q) AS DOUBLE)) AS nq FROM qm),
+short AS (
+  SELECT vec_id, round(dot / (nd * nq), 6) AS ccos
+  FROM coarse, qn
+  ORDER BY ccos DESC, vec_id LIMIT 50
+),
+qv AS (SELECT embedding::DOUBLE[] AS qemb FROM embeddings
+       WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding::DOUBLE[], qemb)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qemb, qemb))), 6) AS cosine
+FROM embeddings e JOIN short USING (vec_id), qv
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # BPE encode (textstats.bpe_encode): the tokenizer-apply step
 # ---------------------------------------------------------------------------
@@ -8439,6 +8498,7 @@ QUERIES = {
     "q_rp_project": q_rp_project,
     "q_embed_audit": q_embed_audit,
     "q_bpe_encode": q_bpe_encode,
+    "q_rp_ann": q_rp_ann,
     "q_boilerplate": q_boilerplate,
     "q_hash_sample": q_hash_sample,
     "q_quota_sample": q_quota_sample,
@@ -8579,6 +8639,7 @@ ORACLES = {
     "q_rp_project": SQL_RP_PROJECT,
     "q_embed_audit": SQL_EMBED_AUDIT,
     "q_bpe_encode": SQL_BPE_ENCODE,
+    "q_rp_ann": SQL_RP_ANN,
     "q_boilerplate": SQL_BOILERPLATE,
     "q_hash_sample": SQL_HASH_SAMPLE,
     "q_quota_sample": SQL_QUOTA_SAMPLE,

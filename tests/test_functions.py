@@ -1466,3 +1466,26 @@ def test_bpe_encode_reconstructs_words_and_matches_counts(spark):
     assert sorted((r["wpos"], r["spos"], r["token"]) for r in only2) == \
         sorted((r["wpos"], r["spos"], r["token"])
                for r in enc if r["doc_id"] == 2)
+
+
+def test_rp_topk_exact_when_shortlist_covers_corpus(spark):
+    import numpy as np
+    from extractpdf4j_spark.functions.similarity import cosine_topk, rp_topk
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(60, 32)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(60)],
+        "vec_id: long, embedding: array<float>")
+    exact = [(r["vec_id"], r["cosine"])
+             for r in cosine_topk(df, query_id=5, k=10).collect()]
+    # shortlist >= corpus: the coarse pass cannot lose anything
+    two = [(r["vec_id"], r["cosine"])
+           for r in rp_topk(df, query_id=5, k=10, out_dim=8,
+                            shortlist=60, dim=32).collect()]
+    assert two == exact
+    # a realistic shortlist still recalls most of the exact top-10
+    approx = {r["vec_id"]
+              for r in rp_topk(df, query_id=5, k=10, out_dim=16,
+                               shortlist=20, dim=32).collect()}
+    hit = len(approx & {v for v, _ in exact})
+    assert hit >= 6, hit
