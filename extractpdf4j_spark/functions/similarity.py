@@ -960,7 +960,8 @@ def embedding_audit(embeddings: DataFrame, id_col: str = "vec_id",
 def rp_topk(embeddings: DataFrame, query_id: int, k: int = 10,
             out_dim: int = 16, shortlist: int = 50,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            seed: int = 42, dim: int | None = None) -> DataFrame:
+            seed: int = 42, dim: int | None = None,
+            rp: DataFrame | None = None) -> DataFrame:
     """Two-stage ANN with the RP sketch as the coarse pass: score the
     whole corpus in the ``out_dim`` projected space (a 64->16
     projection cuts scan bandwidth and matmul FLOPs 4x — at 100 TB the
@@ -973,8 +974,21 @@ def rp_topk(embeddings: DataFrame, query_id: int, k: int = 10,
 
     The coarse pass scores ``rp_micro`` (exact int64 components), so
     the shortlist is engine-reproducible; returns ``(id, cosine)``
-    exact-reranked, ranked (cosine desc, id)."""
-    rp = rp_project(embeddings, out_dim, id_col, vec_col, seed, dim)
+    exact-reranked, ranked (cosine desc, id).
+
+    Operating regime (measured, scripts/rp_ann_scale_probe.py): the
+    sketch's cosine distortion is ~1/sqrt(out_dim) (0.25 at 16), so
+    the shortlist only recalls matches whose cosine MARGIN over the
+    background exceeds it — near-duplicate retrieval (margin ~0.85:
+    recall 1.0 at 500k vectors) yes; ranking within a tight cluster
+    (gaps ~0.1: recall 0.1) no — that regime needs IVF/PQ + rerank.
+
+    ``rp`` lets a caller pass the materialized sketch table (the
+    production shape: project once, query many — same contract as
+    ``fuzzy_dedup(sigs=...)``); it must be ``rp_project`` output for
+    the same ``out_dim``/``seed`` over ``embeddings``."""
+    if rp is None:
+        rp = rp_project(embeddings, out_dim, id_col, vec_col, seed, dim)
     # two consumers (query-row collect + corpus scan): barrier the seam
     rp = rp.localCheckpoint(eager=False)
     qids = np.asarray([query_id], dtype=np.int64)

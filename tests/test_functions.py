@@ -1489,3 +1489,10 @@ def test_rp_topk_exact_when_shortlist_covers_corpus(spark):
                                shortlist=20, dim=32).collect()}
     hit = len(approx & {v for v, _ in exact})
     assert hit >= 6, hit
+    # a precomputed sketch (project once, query many) is result-identical
+    from extractpdf4j_spark.functions.similarity import rp_project
+    sketch = rp_project(df, out_dim=8, dim=32)
+    reuse = [(r["vec_id"], r["cosine"])
+             for r in rp_topk(df, query_id=5, k=10, out_dim=8,
+                              shortlist=60, dim=32, rp=sketch).collect()]
+    assert reuse == exact
