@@ -44,11 +44,15 @@ def main():
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default="",
                     help="comma-separated query names (default: all gated)")
+    ap.add_argument("--partitions", type=int, default=32,
+                    help="spark.sql.shuffle.partitions — run the battery "
+                         "at a SECOND value (e.g. 8) to kill any "
+                         "partition-order dependence in gated output")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master("local[32]")
-             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.shuffle.partitions", str(args.partitions))
              .config("spark.driver.memory", "24g")
              .appName("oracle-battery").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
