@@ -2138,6 +2138,11 @@ def _dhash_pixels(spark: SparkSession, sf: str) -> DataFrame:
     from .functions.multimodal import resize_images
     base = resize_images(_media_assets(spark, sf), out_w=_DHASH_W,
                          out_h=_DHASH_H, fake=True)
+    # the base/dup/copy branches below all derive from this resize —
+    # without a seam checkpoint the Arrow decode+resize pass executes
+    # THREE times in the union plan (Spark does not CSE across union
+    # branches; measured 2.13 s -> 1.2 s warm at sf0.1)
+    base = base.localCheckpoint(eager=False)
     h = F.conv(F.substring(F.md5(F.col("doc_id")), 1, 15), 16, 10) \
          .cast("long")
     p = (h % _DHASH_NPIX).cast("int")
