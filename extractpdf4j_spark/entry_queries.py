@@ -1135,6 +1135,22 @@ SELECT node, min(label) AS cluster FROM reach GROUP BY node ORDER BY node
 SQL_DEDUP_CLUSTERS = _dedup_clusters_oracle_sql()
 
 
+def q_cluster_doubling(spark: SparkSession, sf: str) -> DataFrame:
+    """Same connected components, pointer-doubling kernel
+    (dedup.duplicate_clusters algorithm='doubling'): min-label round +
+    label<-label[label] jump, O(log diameter) rounds instead of
+    O(diameter). Output must be identical to q_dedup_clusters — both
+    gates share the recursive-CTE closure oracle."""
+    from .functions.dedup import duplicate_clusters, minhash_duplicates
+    d = _docs(spark, sf)
+    pairs = (minhash_duplicates(d, k=8, bands=4, threshold=0.25,
+                                max_bucket=None)
+             .select("a", "b"))
+    return (duplicate_clusters(pairs, num_partitions=8, check_every=2,
+                               algorithm="doubling")
+            .orderBy("node"))
+
+
 def q_dedup_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
     """Composed near-duplicate REMOVAL (FineWeb-style): sig → LSH pairs →
     exact Jaccard verify (>=0.5; the corpus is cleanly bimodal: noise
@@ -8472,6 +8488,7 @@ QUERIES = {
     "q_minhash_pairs": q_minhash_pairs,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_cluster_doubling": q_cluster_doubling,
     "q_dedup_fuzzy": q_dedup_fuzzy,
     "q_dedup_ngrams": q_dedup_ngrams,
     "q_dedup_fuzzy_incr": q_dedup_fuzzy_incr,
@@ -8613,6 +8630,7 @@ ORACLES = {
     "q_minhash_pairs": SQL_MINHASH_PAIRS,
     "q_ngram_jaccard": SQL_NGRAM_JACCARD,
     "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "q_cluster_doubling": SQL_DEDUP_CLUSTERS,
     "q_dedup_fuzzy": SQL_DEDUP_FUZZY,
     "q_dedup_ngrams": SQL_DEDUP_NGRAMS,
     "q_dedup_fuzzy_incr": SQL_DEDUP_FUZZY_INCR,

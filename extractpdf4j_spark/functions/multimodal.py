@@ -267,7 +267,8 @@ def image_near_dedup(resized: DataFrame, max_hamming: int = 6,
                      band_bytes: int = 1, max_bucket: int = 200,
                      num_partitions: int | None = None,
                      check_every: int = 1,
-                     cache_input: bool = True) -> DataFrame:
+                     cache_input: bool = True,
+                     algorithm: str = "doubling") -> DataFrame:
     """Composed perceptual image dedup (the LAION-style removal pass):
     dHash → banded Hamming pairs → connected components → keep the
     minimum ``asset_id`` per cluster. Returns the SURVIVING rows of
@@ -296,9 +297,15 @@ def image_near_dedup(resized: DataFrame, max_hamming: int = 6,
         hashed = hashed.localCheckpoint(eager=True)
     pairs = dhash_pairs(image_dhash(hashed), max_hamming=max_hamming,
                         band_bytes=band_bytes, max_bucket=max_bucket)
+    # perceptual-hash graphs CHAIN (A~B, B~C without A~C): the measured
+    # sf0.1 pair graph has BFS diameter ~7, which cost min-label
+    # propagation 10 rounds. Pointer doubling is the default here —
+    # O(log diameter) rounds — while the near-clique LSH text graphs
+    # keep plain propagation.
     clusters = duplicate_clusters(pairs, "asset_a", "asset_b",
                                   num_partitions=num_partitions,
-                                  check_every=check_every)
+                                  check_every=check_every,
+                                  algorithm=algorithm)
     drop = (clusters.filter(F.col("node") != F.col("cluster"))
             .select(F.col("node").alias("asset_id")))
     return hashed.join(drop, "asset_id", "left_anti")

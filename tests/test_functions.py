@@ -394,6 +394,43 @@ def test_duplicate_clusters_budget_rounds_mode(spark):
         duplicate_clusters(chain, max_iter=2, check_every=99).collect()
 
 
+def test_duplicate_clusters_doubling_log_rounds(spark):
+    """Pointer doubling converges on a diameter-39 chain within a round
+    budget far below the diameter (propagation would need 39 rounds) —
+    the O(log d) claim, convergence-warning-free — and reaches the
+    same min labels."""
+    import warnings as _w
+    from extractpdf4j_spark.functions.dedup import duplicate_clusters
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "a long, b long")
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        out = duplicate_clusters(chain, max_iter=10,
+                                 algorithm="doubling").collect()
+    assert len(out) == 40
+    assert {r["cluster"] for r in out} == {0}
+
+
+def test_duplicate_clusters_doubling_parity_random(spark):
+    """doubling == propagate on a random multi-component graph (exact
+    (node, cluster) set), and rejects unknown algorithm names."""
+    import random
+    import pytest
+    from extractpdf4j_spark.functions.dedup import duplicate_clusters
+    rng = random.Random(11)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "a long, b long")
+    base = {(r["node"], r["cluster"])
+            for r in duplicate_clusters(df, max_iter=30).collect()}
+    dbl = {(r["node"], r["cluster"])
+           for r in duplicate_clusters(df, max_iter=30,
+                                       algorithm="doubling").collect()}
+    assert dbl == base
+    with pytest.raises(ValueError, match="algorithm"):
+        duplicate_clusters(df, algorithm="bogus")
+
+
 def test_ivf_trained_centroids_recall(spark):
     """Data-derived centroids (driver-side sampled spherical k-means)
     plug into ivf_topk and beat-or-match chance recall vs brute force;
