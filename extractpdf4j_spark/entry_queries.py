@@ -739,6 +739,51 @@ ORDER BY p.a, p.b
 
 
 # ---------------------------------------------------------------------------
+# 15c. n-gram containment (Broder asymmetric resemblance — subset docs)
+#      rare-shingle candidates (df <= 20), exact |A∩B| verify over the
+#      full shingle sets; both engines filter on the 6dp-ROUNDED
+#      fractions so the >= 0.5 gate can't knife-edge
+# ---------------------------------------------------------------------------
+
+def q_containment(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.dedup import containment_pairs
+    return (containment_pairs(_docs(spark, sf), shingle_n=3, max_df=20,
+                              min_containment=0.5)
+            .orderBy("a", "b"))
+
+
+SQL_CONTAINMENT = f"""
+WITH {DUCK_SHINGLES},
+counts AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+dfreq AS (SELECT shash, count(*) AS df FROM shf GROUP BY shash),
+seed AS (
+    SELECT s.doc_id, s.shash
+    FROM shf s JOIN dfreq d ON d.shash = s.shash AND d.df <= 20
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+    FROM seed a JOIN seed b ON a.shash = b.shash AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.a, c.b, count(*) AS ninter
+    FROM cand c
+    JOIN shf sa ON sa.doc_id = c.a
+    JOIN shf sb ON sb.doc_id = c.b AND sb.shash = sa.shash
+    GROUP BY c.a, c.b
+)
+SELECT i.a, i.b, ca.n AS na, cb.n AS nb, i.ninter,
+       round(i.ninter * 1.0 / ca.n, 6) AS cont_a,
+       round(i.ninter * 1.0 / cb.n, 6) AS cont_b
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.a
+JOIN counts cb ON cb.doc_id = i.b
+WHERE greatest(round(i.ninter * 1.0 / ca.n, 6),
+               round(i.ninter * 1.0 / cb.n, 6)) >= 0.5
+ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
 # 16b. Line grouping (ocrstream op 30; OcrStreamParser.java:153-158)
 #      lines keyed by (block,par,line), ordered by min top with
 #      first-appearance tie-break; words inside a line ordered by left
@@ -2402,6 +2447,36 @@ SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id
 def q_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
     from .functions.textstats import vocab_topk
     return vocab_topk(_docs(spark, sf), k=40)
+
+
+def q_hash_embed(spark: SparkSession, sf: str) -> DataFrame:
+    # feature-hashing vectors, sparse rows (scalar columns for the
+    # gate); dim=16 bounds output at 16 rows/doc. Exact integers: the
+    # 60-bit md5 int supplies disjoint bucket (h % 16) and sign
+    # ((h // 16) % 2) bits, identical arithmetic both engines.
+    from .functions.textstats import hash_embed
+    return (hash_embed(_docs(spark, sf), dim=16)
+            .orderBy("doc_id", "bucket"))
+
+
+SQL_HASH_EMBED = r"""
+WITH t AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM documents
+),
+h AS (
+    SELECT doc_id,
+           ('0x' || substring(md5(token), 1, 15))::BIGINT AS hv
+    FROM t WHERE token <> ''
+)
+SELECT doc_id, hv % 16 AS bucket,
+       CAST(sum(CASE WHEN (hv // 16) % 2 = 0 THEN 1 ELSE -1 END)
+            AS BIGINT) AS val
+FROM h
+GROUP BY doc_id, hv % 16
+ORDER BY doc_id, bucket
+"""
 
 
 SQL_VOCAB_TOPK = r"""
@@ -8196,6 +8271,50 @@ FROM f GROUP BY file_id ORDER BY file_id
 
 
 # ---------------------------------------------------------------------------
+# Small-file compaction plan (functions/layout.compact_plan): files as a
+# virtual byte stream in (bucket, h60(path), path) order, groups cut at
+# exact target-byte boundaries via 64-bit `div` — the Spark side builds
+# the prefix sum two-level, the oracle as one window over the identical
+# total order (the q_pack_sequences equivalence).
+# ---------------------------------------------------------------------------
+
+def q_compact_plan(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.layout import compact_plan
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    files = o.select(
+        F.concat(F.lit("part-"), F.col("o_orderkey").cast("string"))
+        .alias("path"),
+        F.floor("o_totalprice").cast("long").alias("bytes"))
+    return (compact_plan(files, target_bytes=100_000_000, n_buckets=4)
+            .select("path", "bytes", "bucket", "group")
+            .orderBy("path"))
+
+
+SQL_COMPACT_PLAN = """
+WITH f AS (
+    SELECT 'part-' || CAST(o_orderkey AS VARCHAR) AS path,
+           CAST(floor(o_totalprice) AS BIGINT) AS bytes
+    FROM orders
+),
+h AS (
+    SELECT path, bytes,
+           CAST('0x' || substr(md5(path), 1, 15) AS BIGINT) AS hh
+    FROM f
+),
+b AS (SELECT path, bytes, hh, hh % 4 AS bucket FROM h),
+c AS (
+    SELECT path, bytes, bucket,
+           CAST(sum(bytes) OVER (ORDER BY bucket, hh, path
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               - bytes AS cum
+    FROM b
+)
+SELECT path, bytes, bucket, cum // 100000000 AS "group"
+FROM c ORDER BY path
+"""
+
+
+# ---------------------------------------------------------------------------
 # Random-projection dimensionality reduction (similarity.rp_project)
 # ---------------------------------------------------------------------------
 
@@ -8487,6 +8606,7 @@ QUERIES = {
     "q_minhash_sig": q_minhash_sig,
     "q_minhash_pairs": q_minhash_pairs,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_containment": q_containment,
     "q_dedup_clusters": q_dedup_clusters,
     "q_cluster_doubling": q_cluster_doubling,
     "q_dedup_fuzzy": q_dedup_fuzzy,
@@ -8513,10 +8633,12 @@ QUERIES = {
     "q_embed_quantize": q_embed_quantize,
     "q_dedup_keep": q_dedup_keep,
     "q_vocab_topk": q_vocab_topk,
+    "q_hash_embed": q_hash_embed,
     "q_token_drift": q_token_drift,
     "q_corpus_divergence": q_corpus_divergence,
     "q_window_drift": q_window_drift,
     "q_zorder": q_zorder,
+    "q_compact_plan": q_compact_plan,
     "q_rp_project": q_rp_project,
     "q_embed_audit": q_embed_audit,
     "q_bpe_encode": q_bpe_encode,
@@ -8629,6 +8751,7 @@ ORACLES = {
     "q_minhash_sig": SQL_MINHASH_SIG,
     "q_minhash_pairs": SQL_MINHASH_PAIRS,
     "q_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "q_containment": SQL_CONTAINMENT,
     "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
     "q_cluster_doubling": SQL_DEDUP_CLUSTERS,
     "q_dedup_fuzzy": SQL_DEDUP_FUZZY,
@@ -8655,10 +8778,12 @@ ORACLES = {
     "q_embed_quantize": SQL_EMBED_QUANTIZE,
     "q_dedup_keep": SQL_DEDUP_KEEP,
     "q_vocab_topk": SQL_VOCAB_TOPK,
+    "q_hash_embed": SQL_HASH_EMBED,
     "q_token_drift": SQL_TOKEN_DRIFT,
     "q_corpus_divergence": SQL_CORPUS_DIVERGENCE,
     "q_window_drift": SQL_WINDOW_DRIFT,
     "q_zorder": SQL_ZORDER,
+    "q_compact_plan": SQL_COMPACT_PLAN,
     "q_rp_project": SQL_RP_PROJECT,
     "q_embed_audit": SQL_EMBED_AUDIT,
     "q_bpe_encode": SQL_BPE_ENCODE,

@@ -222,6 +222,66 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
 
 
 # ---------------------------------------------------------------------------
+# n-gram containment (Broder's asymmetric resemblance)
+# ---------------------------------------------------------------------------
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", shingle_n: int = 3,
+                      max_df: int | None = 20,
+                      min_containment: float = 0.5) -> DataFrame:
+    """Subset-document discovery: pairs where one doc's shingle set is
+    (mostly) CONTAINED in the other's — Broder's containment
+    c(A,B) = |A∩B| / |A|. The case Jaccard-based near-dup misses: a
+    short article quoted whole inside a long page has c≈1 but Jaccard
+    ≈ |A|/|B| ≈ 0, so MinHash banding tuned for J≥0.7 never pairs them.
+
+    Two stages, both bounded:
+      1. CANDIDATES — docs sharing ≥1 *rare* shingle (doc frequency ≤
+         ``max_df``). The DF prune caps the self-join fan-out: a shingle
+         in d docs contributes d(d-1)/2 candidate rows, so without it a
+         universal shingle ("terms of service") would go quadratic in
+         the corpus. Containment pairs by definition share MANY
+         shingles, so requiring one rare shared shingle loses nothing
+         real (a contained doc whose every shingle is in >max_df docs is
+         itself boilerplate — the boilerplate family's job, not this
+         one's).
+      2. EXACT verify — |A∩B| over the FULL shingle sets for candidate
+         pairs only (the prune never biases the reported fraction).
+
+    Returns (a, b, na, nb, ninter, cont_a, cont_b) with a < b,
+    cont_x = ninter / nx rounded 6dp, filtered to
+    max(cont_a, cont_b) ≥ ``min_containment`` — the larger fraction
+    belongs to the CONTAINED (smaller) side.
+
+    At 100 TB: everything joins on 60-bit int shingle hashes; stage-1's
+    shuffle is the pruned shingle table, stage-2's is candidates ×
+    shared shingles. ``max_df`` is the knob that bounds both.
+    """
+    sh = shingle_hash_rows(df, text_col, id_col, shingle_n).cache()
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    seed = sh
+    if max_df is not None:
+        rare = (sh.groupBy("shash").agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_df).select("shash"))
+        seed = sh.join(rare, "shash")
+    cand = (seed.select(F.col(id_col).alias("a"), "shash")
+            .join(seed.select(F.col(id_col).alias("b"), "shash"), "shash")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+    sa = sh.select(F.col(id_col).alias("a"), F.col("shash").alias("s"))
+    sb = sh.select(F.col(id_col).alias("b"), F.col("shash").alias("s"))
+    inter = (cand.join(sa, "a").join(sb, ["b", "s"])
+             .groupBy("a", "b").agg(F.count("*").alias("ninter")))
+    ca = counts.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
+    cb = counts.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    out = (inter.join(ca, "a").join(cb, "b")
+           .withColumn("cont_a", F.round(F.col("ninter") / F.col("na"), 6))
+           .withColumn("cont_b", F.round(F.col("ninter") / F.col("nb"), 6))
+           .filter(F.greatest("cont_a", "cont_b") >= min_containment))
+    return out.select("a", "b", "na", "nb", "ninter", "cont_a", "cont_b")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

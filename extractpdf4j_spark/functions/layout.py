@@ -26,7 +26,8 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["zvalue", "quantize_minmax", "zorder_files", "zorder_layout"]
+__all__ = ["zvalue", "quantize_minmax", "zorder_files", "zorder_layout",
+           "compact_plan", "compact_dataset"]
 
 
 def zvalue(cols: list[Column | str], bits: int = 16) -> Column:
@@ -107,3 +108,93 @@ def zorder_layout(df: DataFrame, cols: list[str], n_files: int,
     z = q.withColumn("zval", zvalue([f"{c}_q" for c in cols], bits))
     return (z.repartitionByRange(n_files, "zval")
             .sortWithinPartitions("zval"))
+
+
+def compact_plan(files: DataFrame, target_bytes: int,
+                 path_col: str = "path", bytes_col: str = "bytes",
+                 n_buckets: int = 4) -> DataFrame:
+    """Small-file compaction planner (the OPTIMIZE-compaction half next
+    to the z-order clustering half): assign every input file to an
+    output group of ~``target_bytes``.
+
+    The file-stats table is laid out as one virtual byte stream in the
+    deterministic global order ``(bucket, 60-bit path hash, path)`` and
+    cut at exact ``target_bytes`` boundaries: ``group = cum_before div
+    target`` on longs (pack_shards' integer boundary — no double
+    division, no 2^53 drift). A file larger than ``target_bytes``
+    simply owns its group(s) alone; following files skip group ids.
+
+    Scale shape: the input here is METADATA — one row per file, ~800k
+    rows for 100 TB at 128 MB files — but the prefix sum still uses the
+    repo's two-level construction (per-bucket windows + a broadcast
+    ``n_buckets``-row offset table), so no stage ever orders more than
+    one bucket's rows. Returns the input plus (bucket, group), all
+    longs.
+    """
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    from .dedup import _hash60
+    h = _hash60(F.col(path_col).cast("string"))
+    with_b = (files.withColumn("_h", h)
+              .withColumn("bucket", (F.col("_h") % n_buckets).cast("long")))
+    w = (Window.partitionBy("bucket")
+         .orderBy(F.col("_h").asc(), F.col(path_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum_in_bucket = (F.sum(F.col(bytes_col)).over(w)
+                     - F.col(bytes_col)).cast("long")
+    bw = (Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (with_b.groupBy("bucket")
+               .agg(F.sum(bytes_col).cast("long").alias("_btot"))
+               .withColumn("_boff",
+                           F.coalesce(F.sum("_btot").over(bw),
+                                      F.lit(0)).cast("long"))
+               .select("bucket", "_boff"))
+    return (with_b
+            .withColumn("_cib", cum_in_bucket)
+            .join(F.broadcast(offsets), "bucket")
+            .withColumn("_cum", (F.col("_boff") + F.col("_cib")))
+            .withColumn("group",
+                        F.expr(f"_cum div {int(target_bytes)}")
+                        .cast("long"))
+            .drop("_h", "_cib", "_boff", "_cum"))
+
+
+def compact_dataset(spark, in_dir: str, out_dir: str, target_bytes: int,
+                    n_buckets: int = 4) -> dict:
+    """Execute a compaction: list ``in_dir``'s parquet part files, plan
+    groups with :func:`compact_plan`, rewrite to ``out_dir`` with ONE
+    file per group (``out_dir/_grp=N/part-*.parquet``).
+
+    The rewrite is a single distributed job: rows pick up their file's
+    group via a broadcast join on ``input_file_name()``, then
+    ``repartition("_grp")`` puts each group wholly in one task and
+    ``partitionBy("_grp")`` writes it as one file — hash collisions
+    between groups cost parallelism, never correctness or extra files.
+
+    Listing uses the local filesystem (the sandbox's storage); on an
+    object store swap the listing for the catalog/manifest query — the
+    plan and rewrite are storage-agnostic. Returns
+    ``{"n_input_files", "n_groups", "total_bytes"}``.
+    """
+    import os
+    stats = sorted(
+        (e.path, e.stat().st_size)
+        for e in os.scandir(in_dir)
+        if e.is_file() and e.name.endswith(".parquet"))
+    if not stats:
+        raise ValueError(f"no parquet part files under {in_dir}")
+    files = spark.createDataFrame(stats, ["path", "bytes"])
+    plan = compact_plan(files, target_bytes, n_buckets=n_buckets)
+    mapping = plan.select(
+        F.concat(F.lit("file://"), F.col("path")).alias("_uri"),
+        F.col("group").alias("_grp"))
+    df = (spark.read.parquet(in_dir)
+          .withColumn("_uri", F.input_file_name())
+          .join(F.broadcast(mapping), "_uri").drop("_uri"))
+    (df.repartition("_grp")
+     .write.mode("overwrite").partitionBy("_grp").parquet(out_dir))
+    agg = plan.agg(F.countDistinct("group").alias("g"),
+                   F.sum("bytes").alias("b")).collect()[0]
+    return {"n_input_files": len(stats), "n_groups": int(agg["g"]),
+            "total_bytes": int(agg["b"])}

@@ -74,6 +74,58 @@ def vocab_topk(df, k: int = 50, text_col: str = "text"):
             .limit(k))
 
 
+def hash_embed(df: DataFrame, dim: int = 64, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Feature-hashing ("hashing trick") document vectors in sparse form
+    — the model-free bridge from raw text into the ANN/embedding family
+    (Weinberger et al. 2009, "Feature Hashing for Large Scale Multitask
+    Learning"): bucket = h(token) mod dim, value = sum of ±1 signs over
+    occurrences. The independent sign bit makes collisions cancel in
+    expectation, so inner products between hashed vectors are unbiased
+    estimates of the bag-of-words inner product — which is what makes
+    the output legitimate input for cosine_topk / rp_topk / knn_join
+    without any trained model.
+
+    Engine-exact: bucket and sign both derive from the repo's 60-bit
+    md5 integer (bucket = h % dim, sign from bit pattern (h // dim) % 2
+    — disjoint bits, plain integer arithmetic in both engines). Returns
+    (id_col, bucket, val LONG) rows; zero-sum buckets are kept (both
+    engines agree). One explode + ONE map-side-combined groupBy — the
+    shuffle carries at most dim rows per doc.
+    """
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                                        r"\s+")).alias("token"))
+            .filter(F.col("token") != ""))
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10) \
+         .cast("long")
+    # sign bit must not reuse the bucket bits: (h // dim) % 2
+    sgn = F.when(F.expr(f"(_h div {dim}) % 2") == 0, F.lit(1)) \
+           .otherwise(F.lit(-1))
+    return (toks.withColumn("_h", h)
+            .withColumn("bucket", F.col("_h") % dim)
+            .withColumn("_s", sgn)
+            .groupBy(id_col, "bucket")
+            .agg(F.sum("_s").cast("long").alias("val")))
+
+
+def hash_embed_vectors(df: DataFrame, dim: int = 64,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Dense form of :func:`hash_embed` for the ANN operators:
+    (id_col, emb array<double>[dim]). Pivot over the literal bucket list
+    (no pivot-discovery job), absent buckets read 0 — a pure codegen
+    projection after hash_embed's single shuffle. dim stays a column
+    count, so keep it ≤ a few hundred here; at larger dim feed the
+    sparse rows to a mapInPandas assembler instead."""
+    sparse = hash_embed(df, dim=dim, text_col=text_col, id_col=id_col)
+    piv = (sparse.groupBy(id_col)
+           .pivot("bucket", list(range(dim))).sum("val"))
+    emb = F.array(*[F.coalesce(F.col(str(i)), F.lit(0)).cast("double")
+                    for i in range(dim)])
+    return piv.select(F.col(id_col), emb.alias("emb"))
+
+
 def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
               k1: float = 1.2, b: float = 0.75, text_col: str = "text",
               id_col: str = "doc_id",

@@ -57,6 +57,68 @@ def test_ngram_jaccard_exact_on_pairs(spark):
     assert out.get((1, 2)) == 1.0
 
 
+def test_hash_embed_sparse_dense_and_ann_feed(spark):
+    import hashlib
+    from extractpdf4j_spark.functions.textstats import (hash_embed,
+                                                        hash_embed_vectors)
+    docs = [(1, "alpha beta alpha gamma"), (2, "alpha beta alpha gamma"),
+            (3, "delta epsilon zeta eta")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    dim = 8
+
+    def h60(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+    expect = {}
+    for did, text in docs:
+        for tok in text.lower().split():
+            h = h60(tok)
+            s = 1 if (h // dim) % 2 == 0 else -1
+            key = (did, h % dim)
+            expect[key] = expect.get(key, 0) + s
+    got = {(r["doc_id"], r["bucket"]): r["val"]
+           for r in hash_embed(df, dim=dim).collect()}
+    assert got == expect
+
+    dense = {r["doc_id"]: r["emb"]
+             for r in hash_embed_vectors(df, dim=dim).collect()}
+    for did, _ in docs:
+        assert dense[did] == [float(expect.get((did, b), 0))
+                              for b in range(dim)]
+
+    # hashed vectors are legitimate ANN input: the identical doc ranks
+    # first (cosine 1.0), the disjoint-vocab doc scores ~0
+    from extractpdf4j_spark.functions.similarity import cosine_topk
+    emb = (hash_embed_vectors(df, dim=dim)
+           .withColumnRenamed("doc_id", "vec_id")
+           .withColumnRenamed("emb", "embedding"))
+    top = cosine_topk(emb, query_id=1, k=3).collect()
+    ranked = [(r["vec_id"], r["cosine"]) for r in top]
+    assert ranked[0][0] in (1, 2) and ranked[0][1] == 1.0
+    assert abs(dict(ranked)[3]) < 0.5
+
+
+def test_containment_pairs_subset_doc(spark):
+    # doc 2 is a verbatim passage from the middle of doc 1: containment
+    # catches it (cont_b = 1.0) where Jaccard (8/28 ≈ 0.29) would not.
+    from extractpdf4j_spark.functions.dedup import containment_pairs
+    toks = [f"t{i}" for i in range(30)]
+    long_doc = " ".join(toks)                    # 28 distinct 3-shingles
+    short_doc = " ".join(toks[10:20])            # 8 shingles, all in doc 1
+    other = " ".join(f"z{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc), (3, other)], ["doc_id", "text"])
+    rows = {(r["a"], r["b"]): r
+            for r in containment_pairs(df, min_containment=0.5).collect()}
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    assert (r["na"], r["nb"], r["ninter"]) == (28, 8, 8)
+    assert r["cont_b"] == 1.0 and r["cont_a"] == round(8 / 28, 6)
+    # the pair's Jaccard is below every near-dup threshold — the case
+    # this operator exists for
+    assert r["ninter"] / (r["na"] + r["nb"] - r["ninter"]) < 0.3
+
+
 def test_simhash_near_duplicates(spark):
     from extractpdf4j_spark.functions import simhash64, simhash_duplicates
     base = " ".join(f"w{i}" for i in range(60))

@@ -76,6 +76,47 @@ def test_zorder_layout_partitions_disjoint(spark):
         assert a["hi"] <= b["lo"], (a, b)      # disjoint z-ranges
 
 
+def test_compact_plan_exact_boundaries(spark):
+    from extractpdf4j_spark.functions.layout import compact_plan
+    files = spark.createDataFrame(
+        [(f"f{i}", 40) for i in range(10)], ["path", "bytes"])
+    plan = compact_plan(files, target_bytes=100, n_buckets=2).collect()
+    # replay: same (bucket, h60, path) order, cum_before // 100
+    import hashlib
+    rows = sorted(
+        ((int(hashlib.md5(r["path"].encode()).hexdigest()[:15], 16) % 2,
+          int(hashlib.md5(r["path"].encode()).hexdigest()[:15], 16),
+          r["path"]), r) for r in plan)
+    cum = 0
+    for (_, _, _), r in rows:
+        assert r["group"] == cum // 100, r
+        cum += r["bytes"]
+    # every group holds <= ceil plus the straddling file: with 40-byte
+    # files on a 100 target, groups carry 2-3 files
+    from collections import Counter
+    per = Counter(r["group"] for r in plan)
+    assert all(1 <= n <= 3 for n in per.values())
+
+
+def test_compact_dataset_round_trip(spark, tmp_path):
+    from extractpdf4j_spark.functions.layout import compact_dataset
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"))
+    df.repartition(16).write.parquet(src)          # 16 small files
+    summary = compact_dataset(spark, src, dst, target_bytes=1 << 20)
+    assert summary["n_input_files"] == 16
+    assert 1 <= summary["n_groups"] < 16           # fewer, bigger files
+    back = spark.read.parquet(dst)
+    assert back.count() == 2000
+    assert back.agg(F.sum("id")).collect()[0][0] == 2000 * 1999 // 2
+    import os
+    part_files = [f for root, _, fs in os.walk(dst)
+                  for f in fs if f.endswith(".parquet")]
+    assert len(part_files) == summary["n_groups"]  # ONE file per group
+
+
 def _plan_of(df):
     import contextlib
     import io
