@@ -360,7 +360,18 @@ def main():
             # cool for the identical binary)
             _auto_cooldown(int(os.environ.get("SPARK_GRAFT_AUTOCOOL_GAP",
                                               "300")))
-        print(json.dumps(headline(SF_DIR, CPUS)))
+        rec = headline(SF_DIR, CPUS)
+        # The per-query sweep dict (140+ entries) goes on its OWN line so
+        # the compact headline JSON is the FINAL line and always fits the
+        # driver's tail capture — BENCH_r04.json came back "parsed": null
+        # because the combined line outgrew it (VERDICT r4 weak #2).
+        queries = rec.pop("queries", {})
+        print(json.dumps({"queries": queries, "sf": rec.get("sf")}))
+        # headline keeps a BOUNDED queries subset (the 8 E2E extraction
+        # gates) so the parsed artifact still carries per-query signal
+        rec["queries"] = {k: v for k, v in queries.items()
+                          if k.startswith("q_extract_")}
+        print(json.dumps(rec))
         _mark_run_done()
 
 

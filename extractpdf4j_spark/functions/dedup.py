@@ -180,7 +180,13 @@ def minhash_duplicates(df: DataFrame, text_col: str = "text",
                        max_bucket: int | None = 1000) -> DataFrame:
     """Near-duplicate pairs with estimated Jaccard >= threshold.
     Estimate = fraction of equal signature components."""
-    sigs = minhash_signatures(df, text_col, id_col, k).cache()
+    # localCheckpoint, NOT .cache(): a .cache() here is never
+    # unpersisted, so every invocation leaks a pinned table in executor
+    # storage (the bench protocol runs each gate twice back-to-back —
+    # ADVICE r4). Checkpoint blocks are reference-tracked and reclaimed
+    # by the ContextCleaner once the result DataFrame is GC'd.
+    sigs = minhash_signatures(df, text_col, id_col, k)\
+        .localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(sigs, id_col, k, bands, max_bucket)
     sa = sigs.select(F.col(id_col).alias("a"),
                      *[F.col(f"h{i}").alias(f"a_h{i}") for i in range(k)])
@@ -205,7 +211,9 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     |A∪B| = |A| + |B| - |A∩B|. Joining on 60-bit hashes instead of
     shingle strings cuts the intersection join's shuffle ~4x; the DuckDB
     oracle hashes identically."""
-    sh = shingle_hash_rows(df, text_col, id_col, shingle_n).cache()
+    # localCheckpoint, not .cache() — see minhash_pairs (storage leak)
+    sh = shingle_hash_rows(df, text_col, id_col, shingle_n)\
+        .localCheckpoint(eager=True)
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     sa = sh.select(F.col(id_col).alias("a"), F.col("shash").alias("s"))
     sb = sh.select(F.col(id_col).alias("b"), F.col("shash").alias("s"))
@@ -273,7 +281,11 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     occurrences are plentiful — degrades toward the old full-table
     join, never past it).
     """
-    sh = shingle_hash_rows(df, text_col, id_col, shingle_n).cache()
+    # localCheckpoint, not .cache() — see minhash_pairs (storage leak);
+    # the shingle table has 3 consumers (counts / dfreq split /
+    # candidate join) so it must still materialize exactly once
+    sh = shingle_hash_rows(df, text_col, id_col, shingle_n)\
+        .localCheckpoint(eager=True)
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     if max_df is not None:
         dfreq = sh.groupBy("shash").agg(F.count("*").alias("df"))

@@ -178,23 +178,57 @@ def compact_dataset(spark, in_dir: str, out_dir: str, target_bytes: int,
     ``{"n_input_files", "n_groups", "total_bytes"}``.
     """
     import os
+    # resolve relative paths PYTHON-side: the JVM resolves a relative
+    # URI against its own launch cwd, which need not match os.getcwd()
+    in_dir = os.path.abspath(in_dir)
+    out_dir = os.path.abspath(out_dir)
     stats = sorted(
-        (e.path, e.stat().st_size)
+        (os.path.abspath(e.path), e.stat().st_size)
         for e in os.scandir(in_dir)
         if e.is_file() and e.name.endswith(".parquet"))
     if not stats:
         raise ValueError(f"no parquet part files under {in_dir}")
     files = spark.createDataFrame(stats, ["path", "bytes"])
     plan = compact_plan(files, target_bytes, n_buckets=n_buckets)
+    # Rows are matched to their plan group by part-file BASENAME, not
+    # full URI: input_file_name() reports a percent-encoded file:// URI
+    # whose scheme/encoding never round-trips reliably against an
+    # os.scandir path (relative in_dir, spaces, '#', non-ASCII all
+    # break a concat('file://', path) equality). Part names are unique
+    # within a dataset (part-NNNNN-<uuid>), so the basename is a safe
+    # key; '+' is re-escaped before url_decode because URLDecoder turns
+    # a literal '+' into a space while Hadoop's URI keeps it verbatim.
     mapping = plan.select(
-        F.concat(F.lit("file://"), F.col("path")).alias("_uri"),
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("_name"),
         F.col("group").alias("_grp"))
+    raw_name = F.element_at(F.split(F.col("_uri"), "/"), -1)
+    dec_name = F.coalesce(
+        F.expr(r"try_url_decode(regexp_replace(_raw, '\\+', '%2B'))"),
+        F.col("_raw"))
     df = (spark.read.parquet(in_dir)
           .withColumn("_uri", F.input_file_name())
-          .join(F.broadcast(mapping), "_uri").drop("_uri"))
+          .withColumn("_raw", raw_name)
+          .withColumn("_name", dec_name)
+          .join(F.broadcast(mapping), "_name", "left")
+          # a join miss must fail the JOB, not silently misplace rows:
+          # raise_error fires per-row only on the null-_grp branch
+          .withColumn("_grp", F.coalesce(
+              F.col("_grp"),
+              F.expr("cast(raise_error(concat('compact_dataset: part "
+                     "file not in plan: ', _raw)) as bigint)")))
+          .drop("_uri", "_raw", "_name"))
     (df.repartition("_grp")
      .write.mode("overwrite").partitionBy("_grp").parquet(out_dir))
+    # The summary must describe the WRITTEN data, not the plan. Both
+    # counts are parquet-footer metadata reads — no data scan even at
+    # 100 TB — and double-check the raise_error guard end to end.
+    n_in = spark.read.parquet(in_dir).count()
+    n_out = spark.read.parquet(out_dir).count()
+    if n_out != n_in:
+        raise RuntimeError(
+            f"compact_dataset wrote {n_out} rows but input has {n_in}: "
+            f"file→group mapping missed part files under {in_dir}")
     agg = plan.agg(F.countDistinct("group").alias("g"),
                    F.sum("bytes").alias("b")).collect()[0]
     return {"n_input_files": len(stats), "n_groups": int(agg["g"]),
-            "total_bytes": int(agg["b"])}
+            "total_bytes": int(agg["b"]), "n_rows": int(n_out)}

@@ -187,7 +187,7 @@ def _dhash_exprs(out_w: int, out_h: int):
 
 
 def dhash_pairs(hashes: DataFrame, max_hamming: int = 6,
-                band_bytes: int = 1, max_bucket: int = 200) -> DataFrame:
+                band_bytes: int = 2, max_bucket: int = 200) -> DataFrame:
     """Near-duplicate image pairs via banded Hamming join over
     :func:`image_dhash` output.
 
@@ -200,9 +200,10 @@ def dhash_pairs(hashes: DataFrame, max_hamming: int = 6,
     distance ``sum(bit_count(a.b_y XOR b.b_y))`` and filtered to
     ``<= max_hamming``.
 
-    Scale — pick ``band_bytes`` by corpus size: a 1-byte band has only
-    256 distinct values, so past ~50k images EVERY bucket exceeds any
-    sane ``max_bucket`` and the hot-key cap starts dropping true pairs
+    Scale — the DEFAULT ``band_bytes=2`` is the scale-safe choice: a
+    1-byte band has only 256 distinct values, so past ~50k images EVERY
+    bucket exceeds any sane ``max_bucket`` and the hot-key cap starts
+    dropping true pairs
     (measured: 200k images planted with 30k ≤4-bit pairs → 17,285
     found at ``band_bytes=1, max_bucket=200``; 30,000/30,000 at
     ``band_bytes=2`` — see BENCH/BASELINE.md). 2-byte bands give 65k
@@ -264,7 +265,7 @@ def dhash_pairs(hashes: DataFrame, max_hamming: int = 6,
 
 
 def image_near_dedup(resized: DataFrame, max_hamming: int = 6,
-                     band_bytes: int = 1, max_bucket: int = 200,
+                     band_bytes: int = 2, max_bucket: int = 200,
                      num_partitions: int | None = None,
                      check_every: int = 1,
                      cache_input: bool = True,

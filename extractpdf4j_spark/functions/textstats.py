@@ -88,11 +88,21 @@ def hash_embed(df: DataFrame, dim: int = 64, text_col: str = "text",
 
     Engine-exact: bucket and sign both derive from the repo's 60-bit
     md5 integer (bucket = h % dim, sign from bit pattern (h // dim) % 2
-    — disjoint bits, plain integer arithmetic in both engines). Returns
-    (id_col, bucket, val LONG) rows; zero-sum buckets are kept (both
-    engines agree). One explode + ONE map-side-combined groupBy — the
-    shuffle carries at most dim rows per doc.
+    — plain integer arithmetic in both engines). The bucket and sign
+    bits are DISJOINT only when ``dim`` is a power of two (then
+    bucket = low lg(dim) bits, sign = the next bit); for other dims the
+    sign correlates with the bucket and the collisions-cancel-in-
+    expectation property weakens, so non-power-of-two dims are rejected
+    (ADVICE r4). Returns (id_col, bucket, val LONG) rows; zero-sum
+    buckets are kept (both engines agree). One explode + ONE
+    map-side-combined groupBy — the shuffle carries at most dim rows
+    per doc.
     """
+    if dim <= 0 or dim & (dim - 1):
+        raise ValueError(
+            f"dim={dim} must be a power of two: the sign bit "
+            "(h // dim) % 2 is independent of bucket = h % dim only "
+            "for power-of-two dims")
     toks = (df.select(F.col(id_col),
                       F.explode(F.split(F.trim(F.lower(F.col(text_col))),
                                         r"\s+")).alias("token"))

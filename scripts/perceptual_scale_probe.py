@@ -81,9 +81,12 @@ def main() -> None:
         resized = spark.read.parquet(OUT)
         t1 = time.time()
         hashes = image_dhash(resized, out_w=W, out_h=H)
+        # PROBE_BAND_BYTES unset → dhash_pairs' own default, so this
+        # probe certifies exactly what a defaults-call ships (r4's trap
+        # was a probe default pinned to the unsafe band_bytes=1)
+        _bb = os.environ.get("PROBE_BAND_BYTES")
         pairs = dhash_pairs(hashes, max_hamming=6,
-                            band_bytes=int(os.environ.get(
-                                "PROBE_BAND_BYTES", "1")),
+                            **({"band_bytes": int(_bb)} if _bb else {}),
                             max_bucket=200)
         n_pairs = pairs.count()
         times.append(time.time() - t1)

@@ -117,6 +117,31 @@ def test_compact_dataset_round_trip(spark, tmp_path):
     assert len(part_files) == summary["n_groups"]  # ONE file per group
 
 
+def test_compact_dataset_relative_and_encoded_paths(spark, tmp_path):
+    """ADVICE r4: a relative in_dir and a directory with a space (which
+    input_file_name() percent-encodes) must not silently drop rows —
+    the basename mapping + raise_error guard + footer-count check make
+    a mapping miss impossible or loud."""
+    import os
+    from extractpdf4j_spark.functions.layout import compact_dataset
+    src_abs = tmp_path / "sp ace dir" / "src"
+    dst = str(tmp_path / "dst2")
+    df = spark.range(500).select(F.col("id"))
+    df.repartition(4).write.parquet(str(src_abs))
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        summary = compact_dataset(spark, "sp ace dir/src", dst,
+                                  target_bytes=1 << 20)
+    finally:
+        os.chdir(cwd)
+    assert summary["n_input_files"] == 4
+    assert summary["n_rows"] == 500
+    back = spark.read.parquet(dst)
+    assert back.count() == 500
+    assert back.agg(F.sum("id")).collect()[0][0] == 500 * 499 // 2
+
+
 def _plan_of(df):
     import contextlib
     import io
