@@ -6,8 +6,10 @@ returning the flattened extracted spans.
 
 ``queries()`` / ``oracle_sql()`` — operator-level correctness gate; each
 Spark DataFrame implementation has a DuckDB-ANSI equivalent unless the
-operator is not SQL-expressible (the extraction pipeline itself), which
-gets a rows-only check.
+operator is not SQL-expressible, which gets a rows-only check. The
+flagship path itself is oracle-pinned by ``q_flagship_spans`` /
+``q_flagship_metrics`` (entry()'s exact lineage on the SQL-expressible
+text-family subset).
 """
 
 from __future__ import annotations

@@ -368,9 +368,10 @@ def main():
         queries = rec.pop("queries", {})
         print(json.dumps({"queries": queries, "sf": rec.get("sf")}))
         # headline keeps a BOUNDED queries subset (the 8 E2E extraction
-        # gates) so the parsed artifact still carries per-query signal
+        # gates + the flagship pair) so the parsed artifact still
+        # carries per-query signal
         rec["queries"] = {k: v for k, v in queries.items()
-                          if k.startswith("q_extract_")}
+                          if k.startswith(("q_extract_", "q_flagship_"))}
         print(json.dumps(rec))
         _mark_run_done()
 

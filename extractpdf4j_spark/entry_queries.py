@@ -7904,6 +7904,86 @@ FROM wdims ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# FLAGSHIP front-door gate (VERDICT r4 #4): the contract's entry() lineage
+# itself — ensure_fixture_corpus(sf, limit=200) → the full hybrid
+# extraction pipeline → flattened spans — hash-gated on the corpus subset
+# whose fixture generation is SQL-expressible: the text family
+# (doc_id % 10 < 6; corpusgen/fixtures.build_from_corpus_pdf lays the
+# doc's whitespace words into a 5-column grid at STMT_COL_X =
+# [40,130,300,390,480], y = 700 - 14*row, w = 5*len(word), ≤12 rows — all
+# integer-valued doubles, so the %.4f wire encode round-trips exactly and
+# the oracle can replay generation + the stream kernel + the hybrid
+# serialization end to end). Text-family docs carry no media spans, so
+# under entry()'s default hybrid config only the stream candidate exists
+# and the scored argmax picks it whenever a table exists (any non-empty
+# table scores > 0, beating the 0.0 lattice/ocr tie-break —
+# HybridParser.java:257-263,297-322); the oracle therefore serializes
+# with strategy 'stream'. Unlike the synthetic-corpus E2E gates above,
+# this one pins the REAL front door: same fixture derivation
+# (mapInPandas corpus generation + disk cache), same default config, same
+# two-stage pipeline that entry() runs.
+# ---------------------------------------------------------------------------
+
+def _flagship_combined(spark: SparkSession, sf: str) -> DataFrame:
+    from .config import ExtractConfig
+    from .corpusgen import ensure_fixture_corpus
+    from .pipeline import extract
+
+    docs, media = ensure_fixture_corpus(spark, sf, limit=200)
+    fam = F.regexp_extract("doc_id", r"^doc-(\d+)$", 1).try_cast("long")
+    docs = docs.filter((fam % 10) < 6)
+    return extract(docs, media, ExtractConfig(),
+                   num_partitions=GATE_PARTITIONS)
+
+
+def q_flagship_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-checked flagship gate: entry()'s own corpus derivation +
+    hybrid pipeline, text-family subset, flattened winner spans."""
+    return _gate_spans(_flagship_combined(spark, sf))
+
+
+def q_flagship_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Status/strategy/dims of the same flagship run, hash-checked."""
+    return _gate_metrics(_flagship_combined(spark, sf))
+
+
+# generation replay: words = python str.split() of text with '|'→' '
+# (ASCII-clean corpus, verified at sf0.001/sf0.01 — the \s+ regexp split
+# + empty filter is exactly equivalent there), word i (0-based) lands at
+# row i//5 / col i%5, capped to 12 rows (60 words); empty cells from the
+# last partial row simply emit no glyph.
+_FLAGSHIP_GATE_G = r"""
+    SELECT 'doc-' || CAST(d.doc_id AS VARCHAR) AS doc_id,
+           ([40.0, 130.0, 300.0, 390.0, 480.0])[(u.i - 1) % 5 + 1] AS x,
+           700.0 - CAST(((u.i - 1) // 5) AS DOUBLE) * 14.0 AS y,
+           5.0 * len(d.ws[u.i]) AS w,
+           d.ws[u.i] AS token
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(replace(text, '|', ' '),
+                                              '\s+'),
+                           w -> w <> '') AS ws
+        FROM documents
+        WHERE doc_id < 200 AND doc_id % 10 < 6
+    ) d,
+    unnest(generate_series(1, least(len(d.ws), 60))) AS u(i)
+"""
+
+SQL_FLAGSHIP_SPANS = ("WITH g AS (" + _FLAGSHIP_GATE_G + "),\n"
+                      + _STREAM_KERNEL_BODY + _spans_tail_sql("stream"))
+
+SQL_FLAGSHIP_METRICS = ("WITH g AS (" + _FLAGSHIP_GATE_G + "),\n"
+                        + _STREAM_KERNEL_BODY + """
+SELECT doc_id,
+       'ok' AS status,
+       'stream' AS strategy,
+       CAST(1 AS BIGINT) AS tables_found,
+       CAST(nrows * ncols AS BIGINT) AS cells_parsed
+FROM dims ORDER BY doc_id
+""")
+
+
+# ---------------------------------------------------------------------------
 # Rows-only queries (not SQL-expressible: the extraction pipeline itself)
 # ---------------------------------------------------------------------------
 
@@ -8606,6 +8686,9 @@ QUERIES = {
     "q_extract_ocr_metrics": q_extract_ocr_metrics,
     "q_extract_hybrid_spans": q_extract_hybrid_spans,
     "q_extract_hybrid_metrics": q_extract_hybrid_metrics,
+    # flagship front door: entry()'s own lineage, oracle-pinned (r5)
+    "q_flagship_spans": q_flagship_spans,
+    "q_flagship_metrics": q_flagship_metrics,
     # --- below: never driver-attested (local-oracle green only) ---
     "q_hash_embed": q_hash_embed,
     "q_token_drift": q_token_drift,
@@ -8881,6 +8964,8 @@ ORACLES = {
     # end-to-end (stream-only config over derived text docs)
     "q_extract_hybrid_spans": SQL_EXTRACT_HYBRID_SPANS,
     "q_extract_hybrid_metrics": SQL_EXTRACT_HYBRID_METRICS,
+    "q_flagship_spans": SQL_FLAGSHIP_SPANS,
+    "q_flagship_metrics": SQL_FLAGSHIP_METRICS,
     "q_extract_lattice_spans": SQL_EXTRACT_LATTICE_SPANS,
     "q_extract_lattice_metrics": SQL_EXTRACT_LATTICE_METRICS,
     "q_extract_ocr_spans": SQL_EXTRACT_OCR_SPANS,

@@ -91,11 +91,35 @@ def main() -> None:
         n_pairs = pairs.count()
         times.append(time.time() - t1)
 
+    # Exact-recall assertion on the planted ground truth: each 20-image
+    # group plants clones at members 1 and 2 of member 0; the +8*m
+    # one-channel nudge flips at most ~2 bits of one hash row, so all
+    # 3*(N/20) within-triplet pairs are true ≤4-bit pairs and (with
+    # 16-bit bands) structurally share ≥3 unchanged bands. r4's probe
+    # measured 17,285/30,000 at the old band_bytes=1 default (hot-bucket
+    # cap losses) vs 30,000/30,000 at 2 — this assertion pins the
+    # DEFAULT-call recall at scale.
+    planted = (pairs
+               .select(F.col("asset_a").alias("a"),
+                       F.col("asset_b").alias("b"))
+               .withColumn("ga", F.regexp_extract("a", r"img-(\d+)", 1)
+                           .cast("long"))
+               .withColumn("gb", F.regexp_extract("b", r"img-(\d+)", 1)
+                           .cast("long"))
+               .filter((F.col("ga") // 20 == F.col("gb") // 20)
+                       & (F.col("ga") % 20 < 3) & (F.col("gb") % 20 < 3))
+               .count())
+    expected = 3 * (N_IMAGES // 20)
+    assert planted == expected, (
+        f"planted-pair recall {planted}/{expected}: the defaults lost "
+        "true pairs (band_bytes/max_bucket regression)")
+
     print(json.dumps({
         "n_images": N_IMAGES, "gen_s": round(gen_s, 2),
         "first_s": round(times[0], 2), "steady_s": round(times[1], 2),
         "images_per_s": round(N_IMAGES / times[1], 1),
         "pairs": n_pairs,
+        "planted_recall": f"{planted}/{expected}",
     }))
     spark.stop()
 

@@ -229,6 +229,38 @@ def test_sources_seam_catalog_tables(spark, fixture_parquet, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {target}")
 
 
+def test_sources_seam_namespaced_identifier(spark, fixture_parquet):
+    """The production identifier shape is multi-level (``db.table`` —
+    with Iceberg jars, ``catalog.db.table``): the seam must route a
+    namespaced identifier through the catalog for write, resume
+    (try_read_table) and read-back, not just a bare table name."""
+    from extractpdf4j_spark.config import ExtractConfig
+    from extractpdf4j_spark.pipeline import run_extraction
+    from extractpdf4j_spark.sources import (is_table_identifier,
+                                            read_table, try_read_table)
+
+    assert is_table_identifier("seamdb.extracted")
+    target = "seamdb.extracted_ns_test"
+    spark.sql("CREATE DATABASE IF NOT EXISTS seamdb")
+    spark.sql(f"DROP TABLE IF EXISTS {target}")
+    import shutil
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(os.path.join(wh.replace("file:", ""), "seamdb.db",
+                               "extracted_ns_test"), ignore_errors=True)
+    assert try_read_table(spark, target) is None   # fresh: resume no-op
+
+    docs = spark.read.parquet(str(fixture_parquet / "documents"))
+    media = spark.read.parquet(str(fixture_parquet / "media"))
+    res = run_extraction(spark, docs, media, ExtractConfig(), target,
+                         run_id="ns1")
+    assert res.count() == 3
+    res2 = run_extraction(spark, docs, media, ExtractConfig(), target,
+                          run_id="ns2")
+    assert {r["run_id"] for r in res2.select("run_id").collect()} == {"ns1"}
+    assert read_table(spark, target).count() == 3
+    spark.sql(f"DROP TABLE IF EXISTS {target}")
+
+
 def test_bucketed_join_is_shuffle_free(spark):
     """Plan evidence for the README/Iceberg scale claim: two tables
     bucketed on the join key with matching bucket counts join with NO
