@@ -106,7 +106,7 @@ def main() -> None:
                            .cast("long"))
                .withColumn("gb", F.regexp_extract("b", r"img-(\d+)", 1)
                            .cast("long"))
-               .filter((F.col("ga") // 20 == F.col("gb") // 20)
+               .filter((F.expr("ga div 20") == F.expr("gb div 20"))
                        & (F.col("ga") % 20 < 3) & (F.col("gb") % 20 < 3))
                .count())
     expected = 3 * (N_IMAGES // 20)
