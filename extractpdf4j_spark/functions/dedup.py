@@ -184,9 +184,13 @@ def minhash_duplicates(df: DataFrame, text_col: str = "text",
     # unpersisted, so every invocation leaks a pinned table in executor
     # storage (the bench protocol runs each gate twice back-to-back —
     # ADVICE r4). Checkpoint blocks are reference-tracked and reclaimed
-    # by the ContextCleaner once the result DataFrame is GC'd.
+    # by the ContextCleaner once the result DataFrame is GC'd. LAZY
+    # (eager=False): the first consumer materializes it inside its own
+    # job — .cache()'s execution shape without the leak (eager=True
+    # measured ~1.5x slower on this family: a separate materialization
+    # job ahead of every consumer).
     sigs = minhash_signatures(df, text_col, id_col, k)\
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     pairs = lsh_candidate_pairs(sigs, id_col, k, bands, max_bucket)
     sa = sigs.select(F.col(id_col).alias("a"),
                      *[F.col(f"h{i}").alias(f"a_h{i}") for i in range(k)])
@@ -213,7 +217,7 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     oracle hashes identically."""
     # localCheckpoint, not .cache() — see minhash_pairs (storage leak)
     sh = shingle_hash_rows(df, text_col, id_col, shingle_n)\
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     sa = sh.select(F.col(id_col).alias("a"), F.col("shash").alias("s"))
     sb = sh.select(F.col(id_col).alias("b"), F.col("shash").alias("s"))
@@ -285,7 +289,7 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     # the shingle table has 3 consumers (counts / dfreq split /
     # candidate join) so it must still materialize exactly once
     sh = shingle_hash_rows(df, text_col, id_col, shingle_n)\
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     if max_df is not None:
         dfreq = sh.groupBy("shash").agg(F.count("*").alias("df"))
