@@ -322,10 +322,11 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
             F.split(F.trim(F.regexp_replace(
                 F.lower(F.col(text_col)), r"\s+", " ")), " ")
         ).alias("tok"))
-    # seam cache: freq feeds the total and the scoring join — uncached,
-    # the tokenize+aggregate lineage executes twice
+    # seam (lazy localCheckpoint — reference-tracked, leak-free unlike
+    # .cache()): freq feeds the total and the scoring join —
+    # unpersisted, the tokenize+aggregate lineage executes twice
     freq = toks.groupBy("tok").agg(
-        F.count("*").alias("tok_count")).cache()
+        F.count("*").alias("tok_count")).localCheckpoint(eager=False)
     total = freq.agg(F.sum("tok_count").alias("corpus_total"))
     scored = (toks.join(freq, "tok")
               .crossJoin(F.broadcast(total))
@@ -382,14 +383,15 @@ def nb_train_quality_classifier(df: DataFrame, label_col: str,
     feats = (_hashed_tokens(df, text_col, id_col, buckets)
              .join(df.select(id_col, F.col(label_col).alias("_lbl")),
                    id_col))
-    # counts is cached (<= buckets rows) and totals folds out of it —
-    # summing per-feature counts equals the corpus totals exactly, so
-    # the token explosion runs once, not twice
+    # counts is seam-persisted (<= buckets rows; lazy localCheckpoint,
+    # reference-tracked) and totals folds out of it — summing
+    # per-feature counts equals the corpus totals exactly, so the
+    # token explosion runs once, not twice
     counts = feats.groupBy("feature").agg(
         F.sum(F.when(F.col("_lbl"), 1).otherwise(0)).cast("long")
          .alias("pos_cnt"),
         F.sum(F.when(F.col("_lbl"), 0).otherwise(1)).cast("long")
-         .alias("neg_cnt")).cache()
+         .alias("neg_cnt")).localCheckpoint(eager=False)
     totals = counts.agg(
         F.sum("pos_cnt").cast("long").alias("tot_pos"),
         F.sum("neg_cnt").cast("long").alias("tot_neg"))
@@ -1129,11 +1131,13 @@ def bigram_logprob(df: DataFrame, lm_df: DataFrame | None = None,
 
     lm_toks = lm_df.select(
         F.explode(_tok_arr(F.col(lm_text_col))).alias("tok"))
-    # seam cache: uni feeds three consumers (total, uc, up) — uncached,
-    # each re-tokenizes lm_df. The uc/up joins stay broadcast explicitly:
-    # InMemoryRelation size stats otherwise flip them to shuffle joins.
+    # seam (lazy localCheckpoint — leak-free): uni feeds three
+    # consumers (total, uc, up) — unpersisted, each re-tokenizes
+    # lm_df. The uc/up joins stay broadcast explicitly regardless of
+    # the persisted table's size stats.
     uni = (lm_toks.groupBy("tok")
-           .agg(F.count("*").cast("long").alias("cnt")).cache())
+           .agg(F.count("*").cast("long").alias("cnt"))
+           .localCheckpoint(eager=False))
     total = uni.agg(F.sum("cnt").cast("long").alias("total"))
     bh = _hash60(F.concat_ws(" ", "prev", "cur"))
     big = (_bigram_rows(lm_df, lm_text_col, keep_id=False)
@@ -1410,10 +1414,13 @@ def dsir_weights(df: DataFrame, target_df: DataFrame,
 
     rb = _buckets(df, text_col, True)
     tb = _buckets(target_df, tgt_col, False)
-    # seam cache: rc/tc are each read twice (totals + scoring joins) and
-    # are at most n_buckets rows — uncached, the token explosion reruns
-    rc = rb.groupBy("b").agg(F.count("*").alias("cr")).cache()
-    tc = tb.groupBy("b").agg(F.count("*").alias("ct")).cache()
+    # seam (lazy localCheckpoint — leak-free): rc/tc are each read
+    # twice (totals + scoring joins) and are at most n_buckets rows —
+    # unpersisted, the token explosion reruns
+    rc = (rb.groupBy("b").agg(F.count("*").alias("cr"))
+          .localCheckpoint(eager=False))
+    tc = (tb.groupBy("b").agg(F.count("*").alias("ct"))
+          .localCheckpoint(eager=False))
     tot = (rc.agg(F.sum("cr").alias("tr"))
            .crossJoin(tc.agg(F.sum("ct").alias("tt"))))
     # every raw token's bucket exists in rc by construction; ct may miss

@@ -506,8 +506,9 @@ def _propagate_min_labels(edges: DataFrame, max_iter: int,
                           check_every: int, warnings) -> DataFrame:
     # checkpoint the edge list BEFORE iterating: without this every round
     # re-executes the upstream pair-generation pipeline (its lineage),
-    # not just the propagation join
-    edges = edges.localCheckpoint(eager=True)
+    # not just the propagation join. Lazy: the eager labels checkpoint
+    # below computes through it and persists both in ONE job.
+    edges = edges.localCheckpoint(eager=False)
     labels = (edges.select("u").distinct()
               .select(F.col("u").alias("node"), F.col("u").alias("label")))
     labels = labels.localCheckpoint(eager=True)
@@ -523,13 +524,19 @@ def _propagate_min_labels(edges: DataFrame, max_iter: int,
         new = (own.unionByName(nbr)
                .groupBy("node").agg(F.min("cand").alias("label"),
                                     F.min("own").alias("own")))
-        new = new.localCheckpoint(eager=True)
         # every node has exactly one non-null own row, so own == the
-        # previous label; the count scans the checkpointed partitions
-        # only. Under check_every > 1 the driver action is skipped on
-        # budget rounds (changed stays None = unknown) and always runs
-        # on the final round so the non-convergence warning stays live.
-        if (it + 1) % check_every == 0 or it == max_iter - 1:
+        # previous label. On counted rounds the checkpoint is LAZY: the
+        # convergence count is the job that materializes it, so the
+        # round costs ONE driver job, not an eager-materialize job plus
+        # the count (measured: halves per-round jobs, identical rows).
+        # On budget rounds (check_every > 1) there is no count, so the
+        # checkpoint must be eager to keep each round materialized
+        # before the next builds on it; changed stays None = unknown.
+        # The final round always counts so the non-convergence warning
+        # stays live.
+        will_check = (it + 1) % check_every == 0 or it == max_iter - 1
+        new = new.localCheckpoint(eager=not will_check)
+        if will_check:
             changed = new.filter(F.col("label") != F.col("own")).count()
         else:
             changed = None
@@ -569,7 +576,9 @@ def _doubling_min_labels(edges: DataFrame, max_iter: int,
     are constant per component, hence = the minimum (which keeps its
     own id). Same convergence check / warning contract as
     _propagate_min_labels."""
-    edges = edges.localCheckpoint(eager=True)
+    # lazy edges + eager labels: both persist in one job (see
+    # _propagate_min_labels)
+    edges = edges.localCheckpoint(eager=False)
     labels = (edges.select("u").distinct()
               .select(F.col("u").alias("node"), F.col("u").alias("label")))
     labels = labels.localCheckpoint(eager=True)
@@ -591,8 +600,11 @@ def _doubling_min_labels(edges: DataFrame, max_iter: int,
                .select(m["node"],
                        F.coalesce(F.col("_pl"), m["label"]).alias("label"),
                        m["own"]))
-        new = new.localCheckpoint(eager=True)
-        if (it + 1) % check_every == 0 or it == max_iter - 1:
+        # lazy on counted rounds — the count materializes it (see
+        # _propagate_min_labels)
+        will_check = (it + 1) % check_every == 0 or it == max_iter - 1
+        new = new.localCheckpoint(eager=not will_check)
+        if will_check:
             changed = new.filter(F.col("label") != F.col("own")).count()
         else:
             changed = None
@@ -841,20 +853,21 @@ def fuzzy_dedup_against_corpus(new_df: DataFrame, corpus_df: DataFrame,
         cbd = (cbd.join(sized, ["band_id", "band_val"])
                .filter(F.col("_bn") <= max_bucket).drop("_bn"))
     # the candidate pair set is read by four downstream joins (two
-    # shingle restrictions, the intersection, the count attach) — cache
-    # it so the banding lineage runs once, same convention as
-    # ngram_jaccard_pairs' shingle cache
+    # shingle restrictions, the intersection, the count attach) —
+    # persist it (lazy localCheckpoint, reference-tracked/leak-free) so
+    # the banding lineage runs once, same convention as
+    # ngram_jaccard_pairs' shingle seam
     cross = (nbd.join(cbd, ["band_id", "band_val"])
-             .select("a", "b").distinct().cache())
+             .select("a", "b").distinct().localCheckpoint(eager=False))
     # verify on true shingle Jaccard, shingling ONLY candidate docs
     sh_new = shingle_hash_rows(
         new_df.join(cross.select(F.col("a").alias(id_col)).distinct(),
                     id_col, "left_semi"), text_col, id_col,
-        shingle_n).cache()
+        shingle_n).localCheckpoint(eager=False)
     sh_cor = shingle_hash_rows(
         corpus_df.join(cross.select(F.col("b").alias(id_col)).distinct(),
                        id_col, "left_semi"), text_col, id_col,
-        shingle_n).cache()
+        shingle_n).localCheckpoint(eager=False)
     sa = sh_new.select(F.col(id_col).alias("a"), F.col("shash").alias("s"))
     sb = sh_cor.select(F.col(id_col).alias("b"), F.col("shash").alias("s"))
     inter = (cross.join(sa, "a").join(sb, ["b", "s"])
@@ -1052,10 +1065,11 @@ def corpus_overlap_matrix(df: DataFrame, group_col: str = "source",
     most G*(G-1)/2 rows. With G in the thousands a hot shingle shared
     by every group costs G'^2 join rows per hash — prune universal
     shingles first (the boilerplate-frequency cut) if that bites."""
-    # seam cache: sh feeds sizes and BOTH self-join sides — uncached,
-    # the shingle+distinct lineage executes three times
+    # seam (lazy localCheckpoint — leak-free): sh feeds sizes and BOTH
+    # self-join sides — unpersisted, the shingle+distinct lineage
+    # executes three times
     sh = shingle_hash_rows(df, text_col=text_col, id_col=group_col,
-                           n=n).cache()
+                           n=n).localCheckpoint(eager=False)
     sizes = sh.groupBy(group_col).agg(F.count("*").cast("long")
                                       .alias("n_sh"))
     a = sh.select(F.col(group_col).alias("a"), "shash")

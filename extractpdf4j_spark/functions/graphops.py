@@ -52,14 +52,21 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
     e = (edges.select(F.col(src_col).alias("src"),
                       F.col(dst_col).alias("dst"))
          .distinct())
-    # cached: the dangling anti-join reads deg EVERY round — uncached,
-    # each round re-executes the edge scan + distinct + aggregation
+    # seam-persisted: the dangling anti-join reads deg EVERY round —
+    # unpersisted, each round re-executes the edge scan + distinct +
+    # aggregation. localCheckpoint(eager=False), NOT .cache(): same
+    # lazy first-use materialization and the optimizer keeps the small
+    # side's stats (verified: LogicalRDD carries sizeInBytes, broadcast
+    # still chosen), but blocks are reference-tracked — released when
+    # the caller drops the result — where CacheManager pins a .cache()
+    # forever (the ADVICE r4 leak class).
     deg = (e.groupBy("src")
-           .agg(F.count("*").cast("double").alias("deg")).cache())
-    ed = e.join(deg, "src").cache()           # reused every round
+           .agg(F.count("*").cast("double").alias("deg"))
+           .localCheckpoint(eager=False))
+    ed = e.join(deg, "src").localCheckpoint(eager=False)  # reused every round
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select(F.col("dst").alias("node")))
-             .distinct().cache())
+             .distinct().localCheckpoint(eager=False))
     n = float(nodes.count())                  # the one driver action
     pr = nodes.select("node", F.lit(1.0 / n).alias("pr"))
     for i in range(n_iter):

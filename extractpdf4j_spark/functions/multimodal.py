@@ -427,16 +427,18 @@ def _set_overlap_pairs(df: DataFrame, val_col: str, threshold: float,
     audio fingerprint shingles): distinct per (asset, value) →
     ``max_bucket`` hot-key cap → equi-self-join on the value → pair
     count → exact Jaccard via a size join. The capped set feeds three
-    consumers (sizes + both self-join sides), so it is cached at that
-    seam — otherwise the signature-extraction lineage upstream executes
-    once per consumer (house rule for composed ops)."""
+    consumers (sizes + both self-join sides), so it is persisted at
+    that seam (lazy localCheckpoint — reference-tracked, leak-free,
+    unlike .cache()) — otherwise the signature-extraction lineage
+    upstream executes once per consumer (house rule for composed
+    ops)."""
     fr = df.select("asset_id", val_col).distinct()
     if max_bucket:
         from pyspark.sql import Window
         w = Window.partitionBy(val_col).orderBy("asset_id")
         fr = (fr.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") <= max_bucket).drop("_rn"))
-    fr = fr.cache()
+    fr = fr.localCheckpoint(eager=False)
     sizes = fr.groupBy("asset_id").agg(F.count("*").alias("n"))
     shared = (fr.alias("x")
               .join(fr.alias("y"),

@@ -732,9 +732,11 @@ def ivf_pq_topk(embeddings: DataFrame, query_id: int, k: int = 10,
                 .select(id_col))
     cand = embeddings.join(cand_ids, id_col, "left_semi")
     if rerank is not None:
-        # seam cache: the rerank tail re-reads cand through a broadcast
-        # shortlist join — uncached, it re-executes the IVF assignment
-        cand = cand.cache()
+        # seam: the rerank tail re-reads cand through a broadcast
+        # shortlist join — unpersisted, it re-executes the IVF
+        # assignment. localCheckpoint(eager=False), not .cache():
+        # same lazy materialization, reference-tracked (leak-free)
+        cand = cand.localCheckpoint(eager=False)
     encoded = pq_encode(cand, n_sub, n_cents, dim, pq_seed, id_col,
                         vec_col, codebooks=books)
     lut = np.stack([B[s] @ qv[s * sub_dim:(s + 1) * sub_dim]
@@ -815,9 +817,14 @@ def kcenter_select(embeddings: DataFrame, k: int,
     rows. Assumes non-zero vectors (cosine is undefined otherwise)."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    # lazy localCheckpoint, not .cache(): the seed collect
+    # materializes it, every round reads the stored blocks, and the
+    # blocks are reference-tracked — released when e goes out of scope
+    # even if a round raises (the old cache+unpersist leaked on any
+    # mid-loop exception)
     e = (embeddings
          .select(F.col(id_col), _as_double(F.col(vec_col)).alias("emb"))
-         .cache())
+         .localCheckpoint(eager=False))
     seed = e.orderBy(id_col).limit(1).collect()[0]
     picks = [(1, int(seed[id_col]), None)]
     sel_ids = [int(seed[id_col])]
@@ -848,8 +855,6 @@ def kcenter_select(embeddings: DataFrame, k: int,
         picks.append((r, pid, float(top["dist"])))
         sel_ids.append(pid)
         sel.append(np.asarray(top["emb"], dtype=np.float64))
-    # the result is already driver-side; don't leave k corpora cached
-    e.unpersist()
     return embeddings.sparkSession.createDataFrame(
         picks, f"sel_rank long, {id_col} long, dist double")
 

@@ -175,10 +175,12 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
                         F.explode(F.split(F.trim(F.regexp_replace(
                             F.lower(t), r"\s+", " ")), " ")).alias("token"))
             .filter(F.col("token") != ""))
-    # seam cache: tf feeds four consumers (dl, dfreq, stats via dl, and
-    # the scoring join) — uncached, each re-executes the tokenize lineage
+    # seam (lazy localCheckpoint — reference-tracked, leak-free unlike
+    # .cache()): tf feeds four consumers (dl, dfreq, stats via dl, and
+    # the scoring join) — unpersisted, each re-executes the tokenize
+    # lineage
     tf = toks.groupBy(id_col, "token").agg(
-        F.count("*").cast("long").alias("tf")).cache()
+        F.count("*").cast("long").alias("tf")).localCheckpoint(eager=False)
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df_t"))
     stats = dl.agg(F.count("*").cast("long").alias("n_d"),
@@ -245,17 +247,18 @@ def pmi_collocations(df: DataFrame, k: int = 20, min_count: int = 5,
     bi = (t.select(F.explode(z).alias("_z"))
           .select(F.col("_z.x").alias("x"), F.col("_z.y").alias("y"))
           .filter((F.col("x") != "") & (F.col("y") != "")))
-    # seam caches: uni feeds totals + both count joins; the bigram
-    # stream is aggregated ONCE into pairs_all (Zipf-small), from which
-    # both n_bi (sum of group counts == count(*)) and the min_count
-    # filter derive — uncached, the explode lineage ran twice each
+    # seams (lazy localCheckpoint — leak-free): uni feeds totals +
+    # both count joins; the bigram stream is aggregated ONCE into
+    # pairs_all (Zipf-small), from which both n_bi (sum of group counts
+    # == count(*)) and the min_count filter derive — unpersisted, the
+    # explode lineage ran twice each
     uni = (t.select(F.explode("_t").alias("tok"))
            .filter(F.col("tok") != "")
            .groupBy("tok").agg(F.count("*").cast("long").alias("c"))
-           .cache())
+           .localCheckpoint(eager=False))
     pairs_all = (bi.groupBy("x", "y")
                  .agg(F.count("*").cast("long").alias("pair_count"))
-                 .cache())
+                 .localCheckpoint(eager=False))
     pairs = pairs_all.filter(F.col("pair_count") >= min_count)
     totals = (uni.agg(F.sum("c").alias("n_uni"))
               .crossJoin(pairs_all.agg(
@@ -300,10 +303,11 @@ def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
                           F.lower(F.col(text_col)), r"\s+", " ")),
                           " ")).alias("token"))
             .filter(F.col("token") != ""))
-    # seam cache: tf feeds dfreq and the scoring join — uncached, the
-    # tokenize lineage re-executes for each (the bm25_topk pattern)
+    # seam (lazy localCheckpoint — leak-free): tf feeds dfreq and the
+    # scoring join — unpersisted, the tokenize lineage re-executes for
+    # each (the bm25_topk pattern)
     tf = toks.groupBy(id_col, "token").agg(
-        F.count("*").cast("long").alias("tf")).cache()
+        F.count("*").cast("long").alias("tf")).localCheckpoint(eager=False)
     dfreq = tf.groupBy("token").agg(
         F.count("*").cast("long").alias("df_t"))
     n_docs = df.select(F.countDistinct(id_col).cast("long").alias("n_d"))
@@ -423,7 +427,7 @@ def bpe_train(df: DataFrame, n_merges: int = 10, text_col: str = "text"
                      & ~F.col("word").contains(BPE_D1)
                      & ~F.col("word").contains(BPE_D2)))
     wc = words.groupBy("word").agg(
-        F.count("*").cast("long").alias("cnt")).cache()
+        F.count("*").cast("long").alias("cnt")).localCheckpoint(eager=False)
     merges, _ = _bpe_merge_rounds(wc, n_merges, apply_last=False)
     return merges
 
@@ -457,7 +461,7 @@ def _bpe_merge_rounds(wc: DataFrame, n_merges: int, apply_last: bool):
                               F.col("l_sym"), F.col("r_sym"))
                 .limit(1)
                 .withColumn("merge_rank", F.lit(r).cast("long"))
-                .cache())
+                .localCheckpoint(eager=False))
         merge_rows.append(best.select("merge_rank", "l_sym", "r_sym",
                                       "pair_count"))
         if r < n_merges or apply_last:
@@ -511,9 +515,9 @@ def bpe_token_counts(df: DataFrame, n_merges: int = 10,
                   & ~F.col("word").contains(BPE_D2))
           .groupBy(id_col, "word")
           .agg(F.count("*").cast("long").alias("k"))
-          .cache())
+          .localCheckpoint(eager=False))
     wc = (dw.groupBy("word").agg(F.sum("k").cast("long").alias("cnt"))
-          .cache())
+          .localCheckpoint(eager=False))
     _, syms = _bpe_merge_rounds(wc, n_merges, apply_last=True)
     n_syms = F.size(F.split(F.substring(F.col("s"), 2,
                                         F.length("s") - 2),
@@ -562,7 +566,8 @@ def bpe_encode(df: DataFrame, n_merges: int = 10,
                       & ~F.col("word").contains(BPE_D1)
                       & ~F.col("word").contains(BPE_D2)))
     wc = (stream.groupBy("word")
-          .agg(F.count("*").cast("long").alias("cnt")).cache())
+          .agg(F.count("*").cast("long").alias("cnt"))
+          .localCheckpoint(eager=False))
     _, syms = _bpe_merge_rounds(wc, n_merges, apply_last=True)
     toks = syms.select(
         "word",
@@ -649,16 +654,17 @@ def _drift_terms(a: DataFrame, b: DataFrame, keys: list) -> DataFrame:
     """Shared drift core over two count tables carrying ``cnt_a`` /
     ``cnt_b``: union-vocab full-outer join, per-key totals, smoothed
     per-token nano terms (see :func:`token_drift` for the math)."""
-    # seam cache: the vocab table feeds the totals agg AND the per-token
-    # projection — uncached, the tokenize+count of BOTH corpora executes
-    # twice (the unigram_logprob seam rule)
+    # seam (lazy localCheckpoint — leak-free): the vocab table feeds
+    # the totals agg AND the per-token projection — unpersisted, the
+    # tokenize+count of BOTH corpora executes twice (the
+    # unigram_logprob seam rule)
     joined = (a.join(b, [*keys, "token"], "full_outer")
               .select(*keys, "token",
                       F.coalesce("cnt_a", F.lit(0)).cast("long")
                       .alias("cnt_a"),
                       F.coalesce("cnt_b", F.lit(0)).cast("long")
                       .alias("cnt_b"))
-              .cache())
+              .localCheckpoint(eager=False))
     stats = joined.groupBy(*keys).agg(
         F.sum("cnt_a").cast("long").alias("tot_a"),
         F.sum("cnt_b").cast("long").alias("tot_b"),
