@@ -39,6 +39,10 @@ surface — kind, text, media_ref, order):
 from __future__ import annotations
 
 import io
+import pickle
+import re
+import struct
+import zlib
 from dataclasses import dataclass
 
 import numpy as np
@@ -118,14 +122,34 @@ def decode_glyph_blob(page: int, blob: str | None) -> GlyphRuns:
 # Media payloads
 # ---------------------------------------------------------------------------
 
-@dataclass
 class PagePayload:
-    page: int
-    image: np.ndarray            # uint8 grayscale raster
-    dpi: float                   # raster resolution (pixels = points*dpi/72)
-    page_width_pt: float
-    page_height_pt: float
-    words: pd.DataFrame          # deterministic OCR word layer (OCR_WORD_COLS)
+    """One page's raster + OCR word layer.
+
+    ``words`` (the OCR_WORD_COLS frame) is constructed lazily from
+    ``word_arrays`` when decode supplied raw columns — building a pandas
+    frame per payload was a measured decode hot spot, and pages without
+    words never need one."""
+
+    def __init__(self, page: int, image: np.ndarray, dpi: float,
+                 page_width_pt: float, page_height_pt: float,
+                 words: pd.DataFrame | None = None,
+                 word_arrays: dict | None = None):
+        self.page = page
+        self.image = image                  # uint8 grayscale raster
+        self.dpi = dpi                      # pixels = points*dpi/72
+        self.page_width_pt = page_width_pt
+        self.page_height_pt = page_height_pt
+        self._words = words
+        self._word_arrays = word_arrays
+
+    @property
+    def words(self) -> pd.DataFrame:
+        if self._words is None:
+            wa = self._word_arrays
+            if wa is None:
+                wa = {c: [] for c in OCR_WORD_COLS}
+            self._words = pd.DataFrame(wa, copy=False)
+        return self._words
 
 
 def encode_media_payload(page: int, image: np.ndarray, dpi: float,
@@ -165,29 +189,109 @@ def encode_media_payload(page: int, image: np.ndarray, dpi: float,
     return buf.getvalue()
 
 
+# --- minimal npz reader -----------------------------------------------------
+# np.load on an npz archive pays per-member zipfile.open + npy header
+# ast.literal_eval; at one payload per page that machinery was a measured
+# ~20% of stage-1 kernel CPU. The layout np.savez_compressed writes is a
+# plain sequential zip (seekable sink → sizes in the local headers, no
+# data descriptors), so a linear local-header walk + zlib + np.frombuffer
+# reads the identical bytes; any structural surprise falls back to np.load.
+
+_NPY_HDR_RE = re.compile(
+    rb"'descr': '([^']+)', 'fortran_order': (False|True), "
+    rb"'shape': \(([0-9, ]*)\)")
+
+
+def _parse_npy(buf: bytes) -> np.ndarray:
+    if buf[:6] != b"\x93NUMPY":
+        raise ValueError("not npy")
+    if buf[6] == 1:
+        off = 10 + struct.unpack_from("<H", buf, 8)[0]
+    else:
+        off = 12 + struct.unpack_from("<I", buf, 8)[0]
+    m = _NPY_HDR_RE.search(buf[:off])
+    if m is None:
+        raise ValueError("npy header")
+    descr = m.group(1).decode()
+    shape = tuple(int(x) for x in m.group(3).split(b",") if x.strip())
+    if descr == "|O":
+        return pickle.loads(buf[off:])
+    a = np.frombuffer(buf, dtype=np.dtype(descr), offset=off)
+    order = "F" if m.group(2) == b"True" else "C"
+    return a.reshape(shape, order=order)
+
+
+def _fast_npz(data: bytes) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    off = 0
+    n = len(data)
+    while off + 30 <= n and data[off:off + 4] == b"PK\x03\x04":
+        flags, method = struct.unpack_from("<HH", data, off + 6)
+        csize, usize = struct.unpack_from("<II", data, off + 18)
+        nlen, elen = struct.unpack_from("<HH", data, off + 26)
+        if flags & 0x08:
+            raise ValueError("streamed member")  # → np.load fallback
+        name = data[off + 30:off + 30 + nlen].decode()
+        if csize == 0xFFFFFFFF or usize == 0xFFFFFFFF:
+            # numpy writes with force_zip64: real sizes live in the 0x0001
+            # extra field (uncompressed first, then compressed, 8B each,
+            # present only for the 0xFFFFFFFF-masked header fields)
+            e0 = off + 30 + nlen
+            end = e0 + elen
+            found = False
+            while e0 + 4 <= end:
+                fid, flen = struct.unpack_from("<HH", data, e0)
+                if fid == 0x0001:
+                    p = e0 + 4
+                    if usize == 0xFFFFFFFF:
+                        usize = struct.unpack_from("<Q", data, p)[0]
+                        p += 8
+                    if csize == 0xFFFFFFFF:
+                        csize = struct.unpack_from("<Q", data, p)[0]
+                    found = True
+                    break
+                e0 += 4 + flen
+            if not found:
+                raise ValueError("zip64 sizes missing")
+        start = off + 30 + nlen + elen
+        raw = data[start:start + csize]
+        buf = zlib.decompress(raw, -15) if method == 8 else raw
+        if not name.endswith(".npy"):
+            raise ValueError("unexpected member")
+        out[name[:-4]] = _parse_npy(buf)
+        off = start + csize
+    if not out:
+        raise ValueError("no members")
+    return out
+
+
 def decode_media_payload(payload: bytes) -> PagePayload:
-    with np.load(io.BytesIO(payload), allow_pickle=True) as z:
-        words = pd.DataFrame({
-            "left": z["ocr_left"], "top": z["ocr_top"],
-            "width": z["ocr_width"], "height": z["ocr_height"],
-            "conf": z["ocr_conf"], "text": list(z["ocr_text"]),
-            "block": z["ocr_block"], "par": z["ocr_par"],
-            "line": z["ocr_line"], "word": z["ocr_word"],
-        })
-        if "image_bits" in z:
-            h, w = (int(v) for v in z["image_shape"])
-            image = (np.unpackbits(z["image_bits"], count=h * w)
-                     .reshape(h, w) * np.uint8(255))
-        else:
-            image = z["image"]
-        return PagePayload(
-            page=int(z["page"]),
-            image=image,
-            dpi=float(z["dpi"]),
-            page_width_pt=float(z["page_width_pt"]),
-            page_height_pt=float(z["page_height_pt"]),
-            words=words,
-        )
+    try:
+        z = _fast_npz(payload)
+    except Exception:
+        with np.load(io.BytesIO(payload), allow_pickle=True) as zf:
+            z = {k: zf[k] for k in zf.files}
+    word_arrays = {
+        "left": z["ocr_left"], "top": z["ocr_top"],
+        "width": z["ocr_width"], "height": z["ocr_height"],
+        "conf": z["ocr_conf"], "text": list(z["ocr_text"]),
+        "block": z["ocr_block"], "par": z["ocr_par"],
+        "line": z["ocr_line"], "word": z["ocr_word"],
+    }
+    if "image_bits" in z:
+        h, w = (int(v) for v in z["image_shape"])
+        image = (np.unpackbits(z["image_bits"], count=h * w)
+                 .reshape(h, w) * np.uint8(255))
+    else:
+        image = np.ascontiguousarray(z["image"])  # writable (frombuffer view)
+    return PagePayload(
+        page=int(z["page"]),
+        image=image,
+        dpi=float(z["dpi"]),
+        page_width_pt=float(z["page_width_pt"]),
+        page_height_pt=float(z["page_height_pt"]),
+        word_arrays=word_arrays,
+    )
 
 
 # ---------------------------------------------------------------------------

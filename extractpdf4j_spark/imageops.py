@@ -178,6 +178,66 @@ def adaptive_threshold(gray: np.ndarray, block: int, c: float,
     return out.astype(np.uint8) * np.uint8(255)
 
 
+def _is_bilevel(gray: np.ndarray) -> bool:
+    """True when every pixel is 0 or 255 (the packed-bits raster case).
+    ``(g+1) & 0xFE`` is 0 exactly for g ∈ {0, 255} under uint8 wrap."""
+    return not np.any((gray + np.uint8(1)) & np.uint8(0xFE))
+
+
+def _win15_axis1_u8(z: np.ndarray) -> np.ndarray:
+    """15-wide replicate-border window count along axis 1 of a 0/1 uint8
+    mask, as two-level shift-adds (3+5 adds, all SIMD u8 — no cumsum
+    dependency chain). Exact: counts <= 225 fit uint8."""
+    h, n = z.shape
+    p = np.empty((h, n + 14), dtype=np.uint8)   # manual replicate pad:
+    p[:, 7:n + 7] = z                           # np.pad's generic path is
+    p[:, :7] = z[:, :1]                         # a measured hot spot here
+    p[:, n + 7:] = z[:, n - 1:n]
+    s3 = p[:, 0:n + 12].copy()
+    s3 += p[:, 1:n + 13]
+    s3 += p[:, 2:n + 14]
+    out = s3[:, 0:n].copy()
+    for o in (3, 6, 9, 12):
+        out += s3[:, o:n + o]
+    return out
+
+
+def _bilevel_mask01(gray: np.ndarray) -> np.ndarray:
+    """``binarize_for_lines(gray) > 0`` as a 0/1 uint8 mask, for BILEVEL
+    input only — bit-identical to the generic path, ~3x faster at 32
+    cores (u8 shift-add window counts, axis-0 pass strip-tiled so every
+    temporary stays cache-resident).
+
+    Derivation: with pixels ∈ {0,255} the window sum is 255·cnt255, and
+    the fused integer compare (g+10)·450 <= 2s+225 reduces to
+    ``g==0 and cnt255>=9`` ⟺ ``g==0 and cnt0<=216`` (cnt0+cnt255=225
+    under replicate borders)."""
+    h, w = gray.shape
+    z = (gray == 0).view(np.uint8)
+    out = np.empty((h, w), dtype=np.uint8)
+    s1 = _win15_axis1_u8(z)
+    for y0 in range(0, h, 128):
+        y1 = min(h, y0 + 128)
+        lo, hi = max(0, y0 - 7), min(h, y1 + 7)
+        seg = s1[lo:hi]
+        tp, bp = 7 - (y0 - lo), 7 - (hi - y1)
+        if tp or bp:
+            padded = np.empty((hi - lo + tp + bp, w), dtype=np.uint8)
+            padded[tp:tp + (hi - lo)] = seg
+            padded[:tp] = seg[:1]
+            padded[tp + (hi - lo):] = seg[-1:]
+            seg = padded
+        n = y1 - y0
+        s3 = seg[0:n + 12, :].copy()
+        s3 += seg[1:n + 13, :]
+        s3 += seg[2:n + 14, :]
+        s = s3[0:n, :].copy()
+        for o in (3, 6, 9, 12):
+            s += s3[o:n + o, :]
+        out[y0:y1] = z[y0:y1] & (s <= 216)
+    return out
+
+
 def _binarize_region_rows(gray: np.ndarray, y0: int, y1: int) -> np.ndarray:
     """Rows [y0, y1) of ``binarize_for_lines(gray)`` — exact, including
     the replicate-border semantics relative to the FULL image."""
@@ -213,6 +273,8 @@ def binarize_for_lines(gray: np.ndarray) -> np.ndarray:
     h, w = gray.shape
     if h == 0 or w == 0:
         return np.zeros((h, w), dtype=np.uint8)
+    if _is_bilevel(gray):
+        return _bilevel_mask01(gray) * np.uint8(255)
     out = np.empty((h, w), dtype=np.uint8)
     for y0 in range(0, h, 128):
         y1 = min(h, y0 + 128)
@@ -239,6 +301,26 @@ def detect_line_positions(gray: np.ndarray, k: int) -> tuple[np.ndarray, np.ndar
     ``project_open_lines(binarize_for_lines(gray), k, ...)`` for both
     axes — pinned by tests against the literal oracle."""
     h, w = gray.shape
+    if _is_bilevel(gray):
+        # packed-bits rasters: one u8 shift-add binarize materializes the
+        # whole (small) mask, then both axes open candidate slices of it
+        # — no per-strip or per-slab re-binarization at all
+        m01 = _bilevel_mask01(gray)
+        row_cov = m01.sum(axis=1, dtype=np.int64)
+        col_cov = m01.sum(axis=0, dtype=np.int64)
+        rows_out = np.empty(0, dtype=np.int64)
+        cand_r = np.where(row_cov > w * 0.35)[0]
+        if len(cand_r):
+            keep = _open_count_rows(m01[cand_r], k) > w * 0.35
+            rows_out = cand_r[keep]
+        cols_out = np.empty(0, dtype=np.int64)
+        cand_c = np.where(col_cov > h * 0.35)[0]
+        if len(cand_c):
+            sub = np.ascontiguousarray(m01[:, cand_c].T)
+            keep = _open_count_rows(sub, k) > h * 0.35
+            cols_out = cand_c[keep]
+        return rows_out, cols_out
+
     row_cov = np.empty(h, dtype=np.int64)
     col_cov = np.zeros(w, dtype=np.int64)
     for y0 in range(0, h, 128):

@@ -21,8 +21,15 @@ Re-expresses OcrStreamParser.java over a page raster payload:
     center; locate() clamped to last column; the first header-looking line
     is skipped; all-blank rows dropped         — OcrStreamParser.java:181-199,338-353
 8.  column type inference + amount/date normalization (>=60% votes)
-                                               — OcrStreamParser.java:400-438
+                                               — OcrStreamParser.java:400-423
 9.  row bounds from ALL lines: (minTop+maxBot)/2 — OcrStreamParser.java:204-209
+
+Internal representation: a page's words are ~tens of rows, so the hot
+path runs on plain Python lists extracted ONCE from the word table
+(per-line pandas frames cost more in object construction than the whole
+page's matching work — measured 2x kernel time at bench scale). The
+public pandas-facing helpers below are thin adapters over the same
+list-based cores so tests and the kernel exercise identical logic.
 """
 
 from __future__ import annotations
@@ -34,9 +41,9 @@ from .. import imageops
 from ..docmodel import PagePayload
 from ..ocr import OcrBackend
 from ..table import Table
-from ..textnorm import (EXPECTED_HEADERS, edit_distance, fuzzy_header_match,
-                        is_likely_numeric, normalize_alpha,
-                        normalize_numeric_like_columns)
+from ..textnorm import (EXPECTED_HEADERS, edit_distance, edit_distance_le1,
+                        fuzzy_header_match, is_likely_numeric,
+                        normalize_alpha, normalize_numeric_like_columns)
 
 GAP_MIN = 18         # OcrStreamParser.java:365
 BIN = 20             # OcrStreamParser.java:369
@@ -56,37 +63,53 @@ def preprocess_page(gray: np.ndarray) -> np.ndarray:
     return cleaned
 
 
-def group_lines(words: pd.DataFrame) -> list[pd.DataFrame]:
-    """Group words into logical lines (OcrStreamParser.java:153-158)."""
-    if len(words) == 0:
-        return []
-    # first-appearance order of (block,par,line), then sort lines by min
-    # top (stable), words inside each line by left (stable).
-    # groupby(sort=False) preserves first-appearance key order and
-    # intra-group row order — one pass instead of a mask per key.
-    key = (words["block"].astype(str) + ":" + words["par"].astype(str)
-           + ":" + words["line"].astype(str))
-    lines = [g for _, g in words.groupby(key.to_numpy(), sort=False)]
-    lines.sort(key=lambda ln: int(ln["top"].min()))
-    return [ln.sort_values("left", kind="stable") for ln in lines]
+# ---------------------------------------------------------------------------
+# List-based cores (the kernel path)
+# ---------------------------------------------------------------------------
+
+class _Line:
+    """One logical line: parallel lists in left-sorted (stable) order."""
+    __slots__ = ("left", "top", "width", "height", "text", "norm")
+
+    def __init__(self, left, top, width, height, text, norm):
+        self.left = left
+        self.top = top
+        self.width = width
+        self.height = height
+        self.text = text
+        self.norm = norm
 
 
-def _norms(line: pd.DataFrame) -> list[str]:
-    """Normalized word texts; uses the per-page precomputed ``_norm``
-    column when present (ocrstream_extract_page adds it once) so each
-    word is normalized once per page, not once per matching pass."""
-    if "_norm" in line.columns:
-        return line["_norm"].tolist()
-    return [normalize_alpha(str(t)) for t in line["text"]]
+def _group_lines_lists(left, top, width, height, text, block, par, line
+                       ) -> list[_Line]:
+    """Line grouping core (OcrStreamParser.java:153-158): first-appearance
+    order of (block,par,line); lines sorted by min top (stable); words in
+    each line by left (stable)."""
+    groups: dict[tuple, list[int]] = {}
+    for i, k in enumerate(zip(block, par, line)):
+        g = groups.get(k)
+        if g is None:
+            groups[k] = [i]
+        else:
+            g.append(i)
+    # int() on the key matches the frame path's int(ln["top"].min())
+    idx_lists = sorted(groups.values(),
+                       key=lambda g: int(min(top[i] for i in g)))
+    out = []
+    norms = [normalize_alpha(t) for t in text]
+    for g in idx_lists:
+        g = sorted(g, key=lambda i: left[i])
+        out.append(_Line([left[i] for i in g], [top[i] for i in g],
+                         [width[i] for i in g], [height[i] for i in g],
+                         [text[i] for i in g], [norms[i] for i in g]))
+    return out
 
 
-def match_header(line: pd.DataFrame) -> dict[str, float]:
+def _match_header_core(norms: list[str], lefts: list) -> dict[str, float]:
     """OcrStreamParser.matchHeader:282-296 — each word claims the first
-    unclaimed expected header it fuzzy-matches. Returns target → the
-    matched word's left edge (the only attribute downstream uses)."""
+    unclaimed expected header it fuzzy-matches."""
     out: dict[str, float] = {}
-    lefts = line["left"].to_numpy()
-    for i, n in enumerate(_norms(line)):
+    for i, n in enumerate(norms):
         for target in EXPECTED_HEADERS:
             if target in out:
                 continue
@@ -96,10 +119,10 @@ def match_header(line: pd.DataFrame) -> dict[str, float]:
     return out
 
 
-def looks_like_header(line: pd.DataFrame) -> bool:
+def _looks_like_header_core(norms: list[str]) -> bool:
     """OcrStreamParser.java:338-347 — >=3 words hitting any target."""
     hit = 0
-    for n in _norms(line):
+    for n in norms:
         for target in EXPECTED_HEADERS:
             if fuzzy_header_match(n, target):
                 hit += 1
@@ -107,17 +130,30 @@ def looks_like_header(line: pd.DataFrame) -> bool:
     return hit >= 3
 
 
-def header_anchored_bounds(lines: list[pd.DataFrame], page_width: int) -> list[float] | None:
+def _matches_required_core(norms: list[str], required: tuple[str, ...]) -> bool:
+    """OcrStreamParser.matchRequiredHeaders:301-313 (equality or
+    editDistance<=1 — note: NO containment rule here)."""
+    found: list[str] = []
+    for n in norms:
+        for req in required:
+            if req in found:
+                continue
+            if n == req or edit_distance_le1(n, req):
+                found.append(req)
+    return len(found) == len(required)
+
+
+def _header_anchored_bounds_core(lines: list[_Line],
+                                 page_width: int) -> list[float] | None:
     """OcrStreamParser.java:246-279."""
     if not lines:
         return None
-    first_top = int(lines[0]["top"].min())
+    first_top = int(min(lines[0].top))
     cutoff_y = first_top + int(page_width * HEADER_REGION)
     for ln in lines:
-        top = int(ln["top"].min())
-        if top > cutoff_y:
+        if int(min(ln.top)) > cutoff_y:
             break
-        match = match_header(ln)
+        match = _match_header_core(ln.norm, ln.left)
         if len(match) >= 4:
             xs = [match[h] for h in EXPECTED_HEADERS if h in match]
             if len(xs) >= 3:
@@ -130,18 +166,19 @@ def header_anchored_bounds(lines: list[pd.DataFrame], page_width: int) -> list[f
     return None
 
 
-def infer_separators(lines: list[pd.DataFrame], page_width: int) -> list[int]:
+def _infer_separators_core(lines: list[_Line], page_width: int) -> list[int]:
     """OcrStreamParser.java:357-387 (Java int division throughout)."""
     mids: list[int] = []
     for ln in lines:
-        if len(ln) < 2:
+        if len(ln.left) < 2:
             continue
-        left = ln["left"].to_numpy(np.int64)
-        width = ln["width"].to_numpy(np.int64)
-        right_a = left[:-1] + width[:-1]
-        gap = left[1:] - right_a
-        m = gap > GAP_MIN
-        mids.extend((right_a[m] + gap[m] // 2).tolist())
+        left = ln.left
+        width = ln.width
+        for i in range(len(left) - 1):
+            right_a = int(left[i]) + int(width[i])
+            gap = int(left[i + 1]) - right_a
+            if gap > GAP_MIN:
+                mids.append(right_a + gap // 2)
     if not mids:
         return []
     hist: dict[int, int] = {}
@@ -167,18 +204,69 @@ def _locate_clamped(bounds: list[float], x: float) -> int:
     return max(0, len(bounds) - 2)
 
 
+# ---------------------------------------------------------------------------
+# Public pandas-facing helpers (tests / oracle parity surface)
+# ---------------------------------------------------------------------------
+
+def _line_from_frame(ln: pd.DataFrame) -> _Line:
+    if "_norm" in ln.columns:
+        norms = ln["_norm"].tolist()
+    else:
+        norms = [normalize_alpha(str(t)) for t in ln["text"]]
+    return _Line(ln["left"].tolist(), ln["top"].tolist(),
+                 ln["width"].tolist(), ln["height"].tolist(),
+                 [str(t) for t in ln["text"]], norms)
+
+
+def group_lines(words: pd.DataFrame) -> list[pd.DataFrame]:
+    """Group words into logical lines (OcrStreamParser.java:153-158)."""
+    if len(words) == 0:
+        return []
+    # first-appearance order of (block,par,line), then sort lines by min
+    # top (stable), words inside each line by left (stable).
+    # groupby(sort=False) preserves first-appearance key order and
+    # intra-group row order — one pass instead of a mask per key.
+    key = (words["block"].astype(str) + ":" + words["par"].astype(str)
+           + ":" + words["line"].astype(str))
+    lines = [g for _, g in words.groupby(key.to_numpy(), sort=False)]
+    lines.sort(key=lambda ln: int(ln["top"].min()))
+    return [ln.sort_values("left", kind="stable") for ln in lines]
+
+
+def match_header(line: pd.DataFrame) -> dict[str, float]:
+    """OcrStreamParser.matchHeader:282-296 — each word claims the first
+    unclaimed expected header it fuzzy-matches. Returns target → the
+    matched word's left edge (the only attribute downstream uses)."""
+    ln = _line_from_frame(line)
+    return _match_header_core(ln.norm, ln.left)
+
+
+def looks_like_header(line: pd.DataFrame) -> bool:
+    """OcrStreamParser.java:338-347 — >=3 words hitting any target."""
+    return _looks_like_header_core(_line_from_frame(line).norm)
+
+
+def header_anchored_bounds(lines: list[pd.DataFrame], page_width: int) -> list[float] | None:
+    """OcrStreamParser.java:246-279."""
+    return _header_anchored_bounds_core(
+        [_line_from_frame(ln) for ln in lines], page_width)
+
+
+def infer_separators(lines: list[pd.DataFrame], page_width: int) -> list[int]:
+    """OcrStreamParser.java:357-387 (Java int division throughout)."""
+    return _infer_separators_core(
+        [_line_from_frame(ln) for ln in lines], page_width)
+
+
 def matches_required_headers(line: pd.DataFrame, required: tuple[str, ...]) -> bool:
     """OcrStreamParser.matchRequiredHeaders:301-313 (equality or
     editDistance<=1 — note: NO containment rule here)."""
-    found: list[str] = []
-    for n in _norms(line):
-        for req in required:
-            if req in found:
-                continue
-            if n == req or edit_distance(n, req) <= 1:
-                found.append(req)
-    return len(found) == len(required)
+    return _matches_required_core(_line_from_frame(line).norm, required)
 
+
+# ---------------------------------------------------------------------------
+# Page kernel
+# ---------------------------------------------------------------------------
 
 def ocrstream_extract_page(payload: PagePayload | None, backend: OcrBackend,
                            required_headers: tuple[str, ...] = (),
@@ -199,26 +287,34 @@ def ocrstream_extract_page(payload: PagePayload | None, backend: OcrBackend,
     else:
         cleaned = payload.image
     words = backend.words(payload, cleaned, psm)
-    txt = words["text"].astype(str).str.strip() if len(words) else pd.Series([], dtype=str)
-    words = words[txt != ""] if len(words) else words
     if len(words) == 0:
         return Table([], [], []), False
+    # blank filter strips a COPY; cells keep the backend's original text
+    # (same as the previous frame-based path, which masked rows by the
+    # stripped values but left the text column untouched)
+    text = [str(t) for t in words["text"]]
+    keep = [i for i, t in enumerate(text) if t.strip() != ""]
+    if not keep:
+        return Table([], [], []), False
+    if len(keep) != len(text):
+        words = words.iloc[keep]
+        text = [text[i] for i in keep]
 
-    # normalize every word ONCE per page; the header-matching passes
-    # (required gate, anchor search, header-skip) reuse the cached column
-    words = words.assign(
-        _norm=[normalize_alpha(str(t)) for t in words["text"]])
-    lines = group_lines(words)
+    lines = _group_lines_lists(
+        words["left"].tolist(), words["top"].tolist(),
+        words["width"].tolist(), words["height"].tolist(), text,
+        words["block"].tolist(), words["par"].tolist(),
+        words["line"].tolist())
 
     headers_found = False
     if required_headers:
         headers_found = any(
-            matches_required_headers(ln, required_headers) for ln in lines)
+            _matches_required_core(ln.norm, required_headers) for ln in lines)
 
     page_width = cleaned.shape[1]
-    col_bounds = header_anchored_bounds(lines, page_width)
+    col_bounds = _header_anchored_bounds_core(lines, page_width)
     if col_bounds is None:
-        seps = infer_separators(lines, page_width)
+        seps = _infer_separators_core(lines, page_width)
         col_bounds = [0.0] + [float(s) for s in seps] + [float(page_width)]
 
     ncols = max(1, len(col_bounds) - 1)
@@ -226,21 +322,16 @@ def ocrstream_extract_page(payload: PagePayload | None, backend: OcrBackend,
     grid: list[list[str]] = []
     header_passed = False
     for ln in lines:
-        if not header_passed and looks_like_header(ln):
+        if not header_passed and _looks_like_header_core(ln.norm):
             header_passed = True
             continue
         row = ["" for _ in range(ncols)]
-        lefts = ln["left"].to_numpy(np.float64)
-        widths = ln["width"].to_numpy(np.float64)
-        texts = ln["text"].astype(str).tolist()
-        numeric = np.array([is_likely_numeric(t) for t in texts])
-        cx = np.where(numeric, lefts + widths - 1, lefts + widths / 2.0)
-        # vectorized locate() with the clamp-to-last semantics of
-        # _locate_clamped (searchsorted over the sorted bounds)
-        cs = np.searchsorted(np.asarray(col_bounds), cx, side="right") - 1
-        cs[(cs < 0) | (cs > ncols - 1)] = ncols - 1
-        for i, t in enumerate(texts):
-            c = cs[i]
+        for i, t in enumerate(ln.text):
+            if is_likely_numeric(t):
+                cx = ln.left[i] + ln.width[i] - 1
+            else:
+                cx = ln.left[i] + ln.width[i] / 2.0
+            c = _locate_clamped(col_bounds, cx)
             row[c] = t if row[c] == "" else row[c] + " " + t
         row = [v.strip() for v in row]
         if any(v for v in row):
@@ -250,8 +341,8 @@ def ocrstream_extract_page(payload: PagePayload | None, backend: OcrBackend,
 
     row_bounds: list[float] = []
     for ln in lines:
-        top_min = int(ln["top"].min())
-        bot_max = int((ln["top"] + ln["height"]).max())
+        top_min = int(min(ln.top))
+        bot_max = int(max(t + h for t, h in zip(ln.top, ln.height)))
         row_bounds.append((top_min + bot_max) / 2.0)
 
     return Table(grid, col_bounds, row_bounds), headers_found

@@ -33,6 +33,9 @@ import pandas as pd
 from .docmodel import OCR_WORD_COLS, PagePayload
 
 
+_UNSET = object()   # cell_text cache sentinel (None means "no words")
+
+
 class OcrBackend:
     """Protocol: produce TSV-style words for a page, or plain text for a
     cell crop.
@@ -61,12 +64,23 @@ class EmbeddedWordsBackend(OcrBackend):
 
     def words(self, payload: PagePayload, image: np.ndarray, psm: int) -> pd.DataFrame:
         w = payload.words
+        if len(w) == 0:
+            return w
         # Ocr.java:228-229 drops rows with empty/blank trimmed text;
         # OcrStreamParser.java:149 filters blanks again post-hoc.
-        txt = w["text"].astype(str).str.strip()
-        out = w[txt != ""].copy()
-        out["text"] = txt[txt != ""]
-        return out.reset_index(drop=True)
+        # (list-comp strip instead of two .str passes — the per-page word
+        # table is tens of rows, where accessor overhead dominates)
+        stripped = [str(t).strip() for t in w["text"].tolist()]
+        keep = [i for i, s in enumerate(stripped) if s != ""]
+        cols: dict = {}
+        for c in w.columns:
+            if c == "text":
+                cols[c] = (stripped if len(keep) == len(stripped)
+                           else [stripped[i] for i in keep])
+            else:
+                v = w[c].to_numpy()
+                cols[c] = v if len(keep) == len(stripped) else v[keep]
+        return pd.DataFrame(cols, copy=False)
 
     def cell_text(self, payload: PagePayload, cell_img: np.ndarray,
                   bbox: tuple[int, int, int, int]) -> str:
@@ -78,11 +92,11 @@ class EmbeddedWordsBackend(OcrBackend):
         (a stable sort of the subset equals the subset of the stable
         sort), so each of the potentially many per-cell calls is pure
         numpy masking."""
-        arrs = getattr(payload, "_ocr_sorted", None)
-        if arrs is None:
+        arrs = getattr(payload, "_ocr_sorted", _UNSET)
+        if arrs is _UNSET:
             w = payload.words
             if len(w) == 0:
-                arrs = None
+                arrs = None   # cached below: no-words pages resolve once
             else:
                 left = w["left"].to_numpy(np.float64)
                 top = w["top"].to_numpy(np.float64)

@@ -41,6 +41,7 @@ import json
 import time
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark import TaskContext
@@ -351,10 +352,23 @@ def _make_assemble_partition(cfg: ExtractConfig):
         partition_id = tc.partitionId() if tc is not None else -1
 
         def flush(pdf: pd.DataFrame) -> pd.DataFrame:
-            out: list[dict] = []
-            for doc_id, g in pdf.groupby("doc_id", sort=False):
-                out.append(_assemble_one(cfg, strategies, hybrid, doc_id,
-                                         g, partition_id))
+            # column arrays once per batch; per-document work then runs on
+            # plain Python over contiguous doc runs (the sorted-input
+            # contract) — a pandas frame+mask per document dominated the
+            # stage at a few rows per document
+            doc = pdf["doc_id"].to_numpy()
+            change = np.empty(len(doc), dtype=bool)
+            change[0] = True
+            change[1:] = doc[1:] != doc[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(doc))
+            arrs = {c: pdf[c].to_numpy() for c in
+                    ("strategy", "score", "page", "cells_json", "col_bounds",
+                     "row_bounds", "ocr_fallbacks", "headers_found",
+                     "errors", "wall_ms")}
+            out = [_assemble_run(cfg, strategies, hybrid, doc[s], arrs,
+                                 int(s), int(e), partition_id)
+                   for s, e in zip(starts, ends)]
             return pd.DataFrame(out, columns=cols)
 
         pending: pd.DataFrame | None = None
@@ -377,63 +391,75 @@ def _make_assemble_partition(cfg: ExtractConfig):
     return assemble_partition
 
 
-def _assemble_one(cfg: ExtractConfig, strategies, hybrid: bool,
-                  doc_id: str, pdf: pd.DataFrame, partition_id: int) -> dict:
-        markers = pdf[pdf["strategy"] == PAGE_MARKER]
-        ocr_fallbacks = int(markers["ocr_fallbacks"].sum())
-        headers_found = bool((markers["headers_found"] > 0).any())
-        errors = int(markers["errors"].sum())
-        wall_ms = int(markers["wall_ms"].sum())
+def _assemble_run(cfg: ExtractConfig, strategies, hybrid: bool, doc_id: str,
+                  arrs: dict, s: int, e: int, partition_id: int) -> dict:
+    """Assemble one document from its contiguous row run [s, e) of the
+    batch's column arrays — same semantics as the previous per-document
+    frame path, minus the frame/mask construction per document."""
+    strat = arrs["strategy"]
+    ocr_fallbacks = 0
+    headers_found = False
+    errors = 0
+    wall_ms = 0
+    # per-strategy row indices; scores were computed in stage 1, so
+    # losers are never JSON-parsed here
+    per_idx: dict[str, list[int]] = {st: [] for st in strategies}
+    for i in range(s, e):
+        st = strat[i]
+        if st == PAGE_MARKER:
+            ocr_fallbacks += int(arrs["ocr_fallbacks"][i])
+            if arrs["headers_found"][i] > 0:
+                headers_found = True
+            errors += int(arrs["errors"][i])
+            wall_ms += int(arrs["wall_ms"][i])
+        elif st in per_idx:
+            per_idx[st].append(i)
 
-        # per-strategy rows; scores were computed in stage 1, so losers
-        # are never JSON-parsed here
-        per_strategy: dict[str, pd.DataFrame] = {}
-        for strat in strategies:
-            per_strategy[strat] = pdf[pdf["strategy"] == strat]
+    # required-headers gate: the reference returns an empty result for
+    # the WHOLE ocrstream parse when the headers never appear
+    # (OcrStreamParser.java:107-112) — never a process kill.
+    if (cfg.required_headers and MODE_OCRSTREAM in per_idx
+            and not headers_found):
+        per_idx[MODE_OCRSTREAM] = []
 
-        # required-headers gate: the reference returns an empty result for
-        # the WHOLE ocrstream parse when the headers never appear
-        # (OcrStreamParser.java:107-112) — never a process kill.
-        if (cfg.required_headers and MODE_OCRSTREAM in per_strategy
-                and not headers_found):
-            per_strategy[MODE_OCRSTREAM] = per_strategy[MODE_OCRSTREAM].iloc[0:0]
+    score = arrs["score"]
+    scores = {st: (float(np.mean(score[idx])) if idx else 0.0)
+              for st, idx in per_idx.items()}
 
-        scores = {s: (float(v["score"].mean()) if len(v) else 0.0)
-                  for s, v in per_strategy.items()}
-
-        if all(len(v) == 0 for v in per_strategy.values()):
-            if errors > 0:
-                status = STATUS_ERROR
-            elif (cfg.required_headers and not headers_found
-                    and strategies == (MODE_OCRSTREAM,)):
-                status = STATUS_HEADERS_MISSING
-            else:
-                status = STATUS_NO_TABLES
-            return _one_row(doc_id, [], status, "", 0, 0,
-                            ocr_fallbacks, 0.0, wall_ms, partition_id)
-
-        if hybrid:
-            winner = pick_strategy(scores.get(MODE_STREAM, 0.0),
-                                   scores.get(MODE_LATTICE, 0.0),
-                                   scores.get(MODE_OCRSTREAM, 0.0))
+    if all(len(idx) == 0 for idx in per_idx.values()):
+        if errors > 0:
+            status = STATUS_ERROR
+        elif (cfg.required_headers and not headers_found
+                and strategies == (MODE_OCRSTREAM,)):
+            status = STATUS_HEADERS_MISSING
         else:
-            winner = strategies[0]
-        best = max(scores.values())
-        if best < cfg.min_score:
-            # HybridParser.java:251-255 service semantics: empty result.
-            return _one_row(doc_id, [], STATUS_BELOW_MIN_SCORE, winner, 0, 0,
-                            ocr_fallbacks, best, wall_ms, partition_id)
+            status = STATUS_NO_TABLES
+        return _one_row(doc_id, [], status, "", 0, 0,
+                        ocr_fallbacks, 0.0, wall_ms, partition_id)
 
-        sub = per_strategy[winner].sort_values("page")
-        tables = [(int(r.page), Table(json.loads(r.cells_json),
-                                      list(r.col_bounds),
-                                      list(r.row_bounds)))
-                  for r in sub.itertuples(index=False)]
-        spans = serialize_tables([(p, winner, t) for p, t in tables])
-        cells_parsed = sum(t.nrows * t.ncols for _, t in tables)
-        return _one_row(doc_id, spans, STATUS_OK, winner, len(tables),
-                        cells_parsed, ocr_fallbacks, scores[winner],
-                        wall_ms, partition_id)
+    if hybrid:
+        winner = pick_strategy(scores.get(MODE_STREAM, 0.0),
+                               scores.get(MODE_LATTICE, 0.0),
+                               scores.get(MODE_OCRSTREAM, 0.0))
+    else:
+        winner = strategies[0]
+    best = max(scores.values())
+    if best < cfg.min_score:
+        # HybridParser.java:251-255 service semantics: empty result.
+        return _one_row(doc_id, [], STATUS_BELOW_MIN_SCORE, winner, 0, 0,
+                        ocr_fallbacks, best, wall_ms, partition_id)
+
+    page = arrs["page"]
+    widx = sorted(per_idx[winner], key=lambda i: page[i])
+    tables = [(int(page[i]), Table(json.loads(arrs["cells_json"][i]),
+                                   list(arrs["col_bounds"][i]),
+                                   list(arrs["row_bounds"][i])))
+              for i in widx]
+    spans = serialize_tables([(p, winner, t) for p, t in tables])
+    cells_parsed = sum(t.nrows * t.ncols for _, t in tables)
+    return _one_row(doc_id, spans, STATUS_OK, winner, len(tables),
+                    cells_parsed, ocr_fallbacks, scores[winner],
+                    wall_ms, partition_id)
 
 
 def _one_row(doc_id, spans, status, strategy, tables_found, cells_parsed,

@@ -18,6 +18,7 @@ Semantics anchored to:
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -62,14 +63,29 @@ def edit_distance(a: str, b: str) -> int:
     return prev[m]
 
 
+@lru_cache(maxsize=1 << 16)
 def fuzzy_header_match(norm: str, target: str) -> bool:
     """The header acceptance rule used throughout the OCR-stream parser
     (OcrStreamParser.java:289,343): editDistance<=1 OR containment either
     way. NOTE bug-compatible: an empty normalized word matches every
-    target via ``target.contains("")``."""
+    target via ``target.contains("")``.
+
+    lru-cached: the kernel evaluates this per word x 5 targets x several
+    matching passes over a small OCR vocabulary, so repeats dominate; a
+    pure function of two short strings is safe to memoize."""
     return (
         edit_distance(norm, target) <= 1 or target in norm or norm in target
     )
+
+
+@lru_cache(maxsize=1 << 16)
+def edit_distance_le1(a: str, b: str) -> bool:
+    """Cached ``edit_distance(a, b) <= 1`` with a length pre-filter
+    (|len(a)-len(b)| > 1 can never pass) — the required-headers gate's
+    hot predicate."""
+    if abs(len(a) - len(b)) > 1:
+        return False
+    return edit_distance(a, b) <= 1
 
 
 def normalize_amount(s: str | None) -> str:
