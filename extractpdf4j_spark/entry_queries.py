@@ -8827,6 +8827,56 @@ QUERIES = {
     "q_extract_spans": q_extract_spans,
 }
 
+# ---------------------------------------------------------------------------
+# Per-query AQE partition-coalescing preference (guide §2: scale-adaptive
+# partitioning instead of a constant). The bench session disables
+# spark.sql.adaptive.coalescePartitions globally because the EXTRACTION
+# pipeline's stage-1 input rides a join exchange whose rows are
+# small-bytes/heavy-CPU — size-based coalescing collapses them onto few
+# cores (measured 3x regression, CLAUDE.md). Every OTHER registered query
+# is ordinary data-proportional work where coalescing tiny post-shuffle
+# partitions removes pure task-scheduling latency (interleaved A/B at
+# sf0.1 local[32], min of 2: q_bm25 6.53→1.77 s, q_leakage_split
+# 6.79→3.14 s, q_curate 6.70→3.37 s, q_tfidf_topk 2.89→1.24 s,
+# q_dedup_fuzzy 6.21→4.25 s, q_bpe_* 0.67-0.74x, CC loops 0.79-0.85x).
+# The wrapper sets the RUNTIME conf at build time — every caller
+# (bench.py sweep, driver correctness gate, oracle battery, tests)
+# executes the returned frame immediately, and each query declares its
+# own preference so ordering cannot leak state. parallelismFirst=false
+# makes the coalescing genuinely size-based (advisory 64 MB target), the
+# configuration that scales with input instead of with the local core
+# count. Results are partition-layout-independent (certified at
+# shuffle.partitions 32 AND 8; tests/battery already ran with coalescing
+# on by default).
+_COALESCE_OFF = {
+    "q_extract_stream_spans", "q_extract_stream_metrics",
+    "q_extract_lattice_spans", "q_extract_lattice_metrics",
+    "q_extract_ocr_spans", "q_extract_ocr_metrics",
+    "q_extract_hybrid_spans", "q_extract_hybrid_metrics",
+    "q_flagship_spans", "q_flagship_metrics",
+    "q_extract_metrics", "q_extract_spans",
+}
+
+
+def _with_coalesce_pref(name: str, fn):
+    import functools
+
+    enabled = "false" if name in _COALESCE_OFF else "true"
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf: str) -> DataFrame:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", enabled)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "false")
+        return fn(spark, sf)
+
+    return wrapped
+
+
+QUERIES = {k: _with_coalesce_pref(k, v) for k, v in QUERIES.items()}
+
 ORACLES = {
     "q_row_cluster": SQL_ROW_CLUSTER,
     "q_span_merge": SQL_SPAN_MERGE,
