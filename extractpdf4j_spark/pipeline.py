@@ -231,7 +231,14 @@ def build_page_work(docs: DataFrame, media: DataFrame | None,
         # glyph blobs cross one exchange instead of two
         tp = tp.repartition(num_partitions, F.col("doc_id"), F.col("page"))
         mp = mp.repartition(num_partitions, F.col("doc_id"), F.col("page"))
-    work = tp.join(mp, ["doc_id", "page"], "full_outer")
+    # SHUFFLE_HASH: a full-outer sort-merge pays two whole-partition sorts
+    # (plus their codegen) for metadata-sized rows; the hash variant
+    # builds the media side per partition instead (bounded: page-level
+    # keys, metadata-only columns, partition count scales with the
+    # corpus). Measured 0.91 -> 0.61 s steady / 2.64 -> 0.75 s first-call
+    # on the sf0.1 page-work plan; output rows identical.
+    work = tp.join(mp.hint("SHUFFLE_HASH"), ["doc_id", "page"],
+                   "full_outer")
 
     if media is None:
         return (work.drop("media_ref")
