@@ -8858,10 +8858,17 @@ _COALESCE_OFF = {
 }
 
 
-def _with_coalesce_pref(name: str, fn):
+def _with_exec_prefs(name: str, fn):
     import functools
 
-    enabled = "false" if name in _COALESCE_OFF else "true"
+    extraction = name in _COALESCE_OFF
+    enabled = "false" if extraction else "true"
+    # Arrow batch size: 64 is tuned for the extraction kernels' raster
+    # rows (see bench.py); the operator gates' mapInPandas stages are
+    # narrow numeric/BLAS work where 64-row batches cost per-batch
+    # overhead (interleaved A/B, min of 2: q_ann_scale 2.62→0.93 s,
+    # q_media_features/q_ivf_pq ~0.75x, others neutral).
+    batch = "64" if extraction else "4096"
 
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf: str) -> DataFrame:
@@ -8870,12 +8877,14 @@ def _with_coalesce_pref(name: str, fn):
         spark.conf.set(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
             "false")
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", batch)
         return fn(spark, sf)
 
     return wrapped
 
 
-QUERIES = {k: _with_coalesce_pref(k, v) for k, v in QUERIES.items()}
+QUERIES = {k: _with_exec_prefs(k, v) for k, v in QUERIES.items()}
 
 ORACLES = {
     "q_row_cluster": SQL_ROW_CLUSTER,
