@@ -76,15 +76,21 @@ def stages(spark, sf_dir: str):
     return out
 
 
-def capture_plans(spark, sf_dir: str, names: list[str], label: str):
+def capture_plans(spark, sf_dir: str, names: list[str], label: str,
+                  execute: bool = False, out_dir: str | None = None):
     from extractpdf4j_spark.entry_queries import QUERIES
-    os.makedirs(os.path.join(REPO, "plans", "r06"), exist_ok=True)
+    out_dir = out_dir or os.path.join(REPO, "plans", "r06")
+    os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = QUERIES[name](spark, sf_dir)
+        if execute:
+            # run THIS DataFrame's own QueryExecution (count() would plan
+            # a separate one) so explain shows the AQE final plan
+            df.collect()
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
-        path = os.path.join(REPO, "plans", "r06", f"{name}_{label}.txt")
+        path = os.path.join(out_dir, f"{name}_{label}.txt")
         with open(path, "w") as f:
             f.write(buf.getvalue())
         print("wrote", path)
@@ -113,6 +119,10 @@ def main():
     ap.add_argument("--stages", action="store_true")
     ap.add_argument("--plans", default="")
     ap.add_argument("--label", default="after")
+    ap.add_argument("--exec", dest="execute", action="store_true",
+                    help="run the query first so explain shows the AQE "
+                         "final plan")
+    ap.add_argument("--out-dir", default="")
     ap.add_argument("--queries", default="")
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
@@ -122,7 +132,9 @@ def main():
         if args.stages:
             print(json.dumps(stages(spark, SF_DIR)))
         if args.plans:
-            capture_plans(spark, SF_DIR, args.plans.split(","), args.label)
+            capture_plans(spark, SF_DIR, args.plans.split(","), args.label,
+                          execute=args.execute,
+                          out_dir=args.out_dir or None)
         if args.queries:
             print(json.dumps(
                 time_queries(spark, SF_DIR, args.queries.split(","),
