@@ -1206,7 +1206,7 @@ def q_dedup_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
     from .functions.dedup import fuzzy_dedup
     d = _docs(spark, sf)
     kept = fuzzy_dedup(d, jaccard_threshold=0.5, max_bucket=None,
-                       num_partitions=8)
+                       num_partitions=8, check_every=2)
     return (kept.select(
         "doc_id", "lang", "source",
         F.md5(F.col("text").cast("binary")).alias("text_hash"))
@@ -1251,7 +1251,8 @@ def q_dedup_fuzzy_incr(spark: SparkSession, sf: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 3 != 0)
     kept = fuzzy_dedup_against_corpus(batch, corpus,
                                       jaccard_threshold=0.5,
-                                      max_bucket=None, num_partitions=8)
+                                      max_bucket=None, num_partitions=8,
+                                      check_every=2)
     return (kept.select(
         "doc_id", "lang", "source",
         F.md5(F.col("text").cast("binary")).alias("text_hash"))
