@@ -354,28 +354,31 @@ def char_entropy(df: DataFrame, text_col: str = "text",
     oracle, which replays the same replaces verbatim. Two chained
     projections keep each generated method far below janino's 64 KB
     limit (the >512-term single-expression trap in CLAUDE.md)."""
-    t = F.lower(F.col(text_col))
-    n = F.length(t).cast("long")
+    # Each projection is ONE F.expr-parsed SQL string: assembling the
+    # 38 replace-counts + 38 entropy terms Column-by-Column costs ~7.5k
+    # py4j round-trips (~0.7 s driver time per plan build, on the bench
+    # clock); the parsed Catalyst tree is node-for-node identical.
+    t = f"lower(`{text_col}`)"
+    n = f"CAST(LENGTH({t}) AS BIGINT)"
     cnt_cols = [
-        (n - F.length(F.replace(t, F.lit(c))).cast("long")).alias(f"_c{i}")
+        F.expr(f"{n} - CAST(LENGTH(replace({t}, '{c}')) AS BIGINT)")
+        .alias(f"_c{i}")
         for i, c in enumerate(ENTROPY_ALPHABET)]
-    proj = df.select(F.col(id_col), n.alias("_n"), *cnt_cols)
-    known = sum((F.col(f"_c{i}") for i in range(1, len(ENTROPY_ALPHABET))),
-                F.col("_c0"))
-    proj = proj.withColumn("_other", F.col("_n") - known)
+    proj = df.select(F.col(id_col), F.expr(n).alias("_n"), *cnt_cols)
+    known = " + ".join(f"`_c{i}`" for i in range(len(ENTROPY_ALPHABET)))
+    proj = proj.withColumn("_other", F.expr(f"`_n` - ({known})"))
 
-    def term(c):
-        p = c.cast("double") / F.col("_n").cast("double")
-        return F.when(c > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+    def term(c: str) -> str:
+        p = f"(CAST({c} AS DOUBLE) / CAST(`_n` AS DOUBLE))"
+        return (f"(CASE WHEN {c} > 0 THEN (- {p}) * ln({p}) "
+                f"ELSE 0.0D END)")
 
-    ent = term(F.col("_c0"))
-    for i in range(1, len(ENTROPY_ALPHABET)):
-        ent = ent + term(F.col(f"_c{i}"))
-    ent = ent + term(F.col("_other"))
-    other_ratio = F.when(
-        F.col("_n") > 0,
-        F.col("_other").cast("double") / F.col("_n").cast("double")
-    ).otherwise(F.lit(0.0))
+    ent = F.expr(" + ".join(
+        [term(f"`_c{i}`") for i in range(len(ENTROPY_ALPHABET))]
+        + [term("`_other`")]))
+    other_ratio = F.expr(
+        "CASE WHEN `_n` > 0 THEN CAST(`_other` AS DOUBLE) / "
+        "CAST(`_n` AS DOUBLE) ELSE 0.0D END")
     return proj.select(
         F.col(id_col),
         F.col("_n").alias("n_chars"),
